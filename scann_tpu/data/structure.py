@@ -1,0 +1,180 @@
+"""Minimal crystal/molecule structure representation.
+
+Replaces the reference's pymatgen ``Structure``/``Molecule`` usage
+(pymatgen is not a dependency of this framework). Supports exactly what the
+SCANN pipeline needs:
+
+- periodic structures with an arbitrary 3x3 lattice,
+- molecules, boxed into an orthorhombic periodic cell the same way the
+  reference does (>=10 A box, centered center-of-mass; reference
+  ``scann/utils/voronoi_neighbor.py:82-87`` / ``general.py:190-196``),
+- parsing of .xyz (including extended-xyz ``Lattice="..."`` comment lines,
+  reference ``general.py:147-175``) and VASP POSCAR files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from scann_tpu.data.atomic_data import atomic_masses, atomic_numbers, chemical_symbols
+
+
+@dataclass
+class Structure:
+    species: List[str]                   # element symbols, one per site
+    coords: np.ndarray                   # cartesian coordinates [n, 3]
+    lattice: Optional[np.ndarray] = None  # row-vector lattice [3, 3]; None = molecule
+
+    def __post_init__(self):
+        self.coords = np.asarray(self.coords, dtype=np.float64).reshape(-1, 3)
+        if self.lattice is not None:
+            self.lattice = np.asarray(self.lattice, dtype=np.float64).reshape(3, 3)
+
+    def __len__(self) -> int:
+        return len(self.species)
+
+    @property
+    def is_periodic(self) -> bool:
+        return self.lattice is not None
+
+    @property
+    def atomic_numbers(self) -> np.ndarray:
+        return np.array([atomic_numbers[s] for s in self.species], dtype=np.int32)
+
+    @property
+    def masses(self) -> np.ndarray:
+        return atomic_masses[self.atomic_numbers]
+
+    @property
+    def center_of_mass(self) -> np.ndarray:
+        m = self.masses
+        return (self.coords * m[:, None]).sum(0) / m.sum()
+
+    @property
+    def frac_coords(self) -> np.ndarray:
+        assert self.lattice is not None
+        return self.coords @ np.linalg.inv(self.lattice)
+
+    # --- construction helpers -------------------------------------------------
+
+    @classmethod
+    def from_frac(cls, species, frac_coords, lattice) -> "Structure":
+        lattice = np.asarray(lattice, dtype=np.float64).reshape(3, 3)
+        cart = np.asarray(frac_coords, dtype=np.float64).reshape(-1, 3) @ lattice
+        return cls(list(species), cart, lattice)
+
+    def boxed(self, box: float = 10.0, margin: float = 0.1) -> "Structure":
+        """Put a molecule in an orthorhombic periodic box.
+
+        Box edge per axis = max(box, extent + margin), molecule centered at the
+        box center by center of mass — matching the reference construction
+        (``voronoi_neighbor.py:83-87`` with pymatgen ``get_boxed_structure``).
+        """
+        ext = self.coords.max(0) - self.coords.min(0)
+        abc = np.maximum(box, ext + margin)
+        lattice = np.diag(abc)
+        coords = self.coords - self.center_of_mass + abc / 2.0
+        return Structure(list(self.species), coords, lattice)
+
+    def as_periodic(self, box: float = 10.0) -> "Structure":
+        return self if self.is_periodic else self.boxed(box)
+
+    # --- parsers --------------------------------------------------------------
+
+    @classmethod
+    def from_xyz_lines(cls, lines: Sequence[str]) -> "Structure":
+        """Parse (extended) xyz: natoms / comment [Lattice="9 floats"] / sites."""
+        natoms = int(lines[0].split()[0])
+        comment = lines[1] if len(lines) > 1 else ""
+        lattice = None
+        if 'Lattice="' in comment:
+            vals = [float(x) for x in comment.split('Lattice="')[1].split('"')[0].split()]
+            lattice = np.array(vals, dtype=np.float64).reshape(3, 3)
+        elif len(comment.split()) >= 9 and _all_floats(comment.split()[:9]):
+            vals = [float(x) for x in comment.split()[:9]]
+            lattice = np.array(vals, dtype=np.float64).reshape(3, 3)
+        species, coords = [], []
+        for line in lines[2 : 2 + natoms]:
+            parts = line.split()
+            sym = parts[0]
+            if sym.isdigit():
+                sym = chemical_symbols[int(sym)]
+            species.append(sym)
+            coords.append([float(x) for x in parts[1:4]])
+        return cls(species, np.array(coords), lattice)
+
+    @classmethod
+    def from_xyz(cls, path: str) -> "Structure":
+        with open(path) as f:
+            return cls.from_xyz_lines(f.readlines())
+
+    @classmethod
+    def from_poscar(cls, path: str) -> "Structure":
+        with open(path) as f:
+            lines = [ln.rstrip() for ln in f]
+        scale = float(lines[1].split()[0])
+        lattice = np.array([[float(x) for x in lines[i].split()[:3]] for i in (2, 3, 4)])
+        if scale < 0:  # negative scale = target volume
+            vol = abs(np.linalg.det(lattice))
+            scale = (abs(scale) / vol) ** (1.0 / 3.0)
+        lattice = lattice * scale
+        symbols = lines[5].split()
+        counts = [int(x) for x in lines[6].split()]
+        idx = 7
+        if lines[idx].strip().lower().startswith("s"):  # selective dynamics
+            idx += 1
+        cartesian = lines[idx].strip().lower().startswith(("c", "k"))
+        idx += 1
+        species = [s for s, c in zip(symbols, counts) for _ in range(c)]
+        coords = np.array(
+            [[float(x) for x in lines[idx + i].split()[:3]] for i in range(sum(counts))]
+        )
+        if cartesian:
+            return cls(species, coords * scale, lattice)
+        return cls.from_frac(species, coords, lattice)
+
+    @classmethod
+    def from_file(cls, path: str, mol: bool = False) -> "Structure":
+        """Load a structure from file (xyz or POSCAR/CONTCAR/vasp).
+
+        Mirrors the reference ``load_file`` (``general.py:178-203``):
+        ``mol=True`` boxes the molecule into a >=10 A periodic cell.
+        """
+        low = path.lower()
+        if low.endswith(".xyz"):
+            s = cls.from_xyz(path)
+        elif "poscar" in low or "contcar" in low or low.endswith(".vasp"):
+            s = cls.from_poscar(path)
+        else:
+            raise ValueError(f"unsupported structure file format: {path}")
+        if mol and not s.is_periodic:
+            s = s.boxed()
+        return s
+
+    def to_xyz(self, path: str, extra_columns: Optional[np.ndarray] = None,
+               comment: str = "") -> None:
+        """Write .xyz, optionally with per-atom extra columns (e.g. GA scores
+        for OVITO visualization, reference ``predict_files.py:47-59``)."""
+        with open(path, "w") as f:
+            f.write(f"{len(self)}\n")
+            if self.lattice is not None and not comment:
+                flat = " ".join(f"{v:.8f}" for v in self.lattice.ravel())
+                comment = f'Lattice="{flat}"'
+            f.write(comment + "\n")
+            for i, (s, c) in enumerate(zip(self.species, self.coords)):
+                line = f"{s} {c[0]:.8f} {c[1]:.8f} {c[2]:.8f}"
+                if extra_columns is not None:
+                    vals = np.atleast_1d(extra_columns[i])
+                    line += "".join(f" {v:.8f}" for v in vals)
+                f.write(line + "\n")
+
+
+def _all_floats(tokens) -> bool:
+    try:
+        [float(t) for t in tokens]
+        return True
+    except ValueError:
+        return False

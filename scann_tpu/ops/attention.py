@@ -1,0 +1,128 @@
+"""Pure-jnp attention cores.
+
+These are the XLA reference implementations of the two hot ops; the fused
+Pallas TPU kernels in ``scann_tpu.kernels`` implement the same contracts and
+are checked against these in tests.
+
+Semantics mirror the reference exactly:
+
+- LocalAttention: reference ``scann/layers/attention.py:118-216``.
+  Per-center softmax attention over Voronoi neighbors, multi-head, with the
+  query-side ``hdim**-scale`` scaling, additive -1e9 neighbor masking, and the
+  masked context sum.
+- GlobalAttention: reference ``scann/layers/attention.py:267-318``.
+  Per-atom "GA score" = softmax over atoms of the (diagonal-excluded) row-sum
+  of the pairwise K.Q energy; pooled context = sum of attn-weighted keys.
+  Instead of materializing the [B, M, M] energy matrix and reducing it
+  (reference does ``einsum('bkd,bqd->bkq')`` then ``reduce_sum``), we use the
+  algebraic identity
+
+      agg_i = sum_{j != i} (m_i K_i) . (m_j Q_j)
+            = (m_i K_i) . (sum_j m_j Q_j) - m_i^2 (K_i . Q_i)
+
+  which is O(B M D) work and memory instead of O(B M^2 D) — identical
+  numerics up to float associativity (covered by parity tests).
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_neighbor_states(states: jnp.ndarray, neighbor_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-neighbor center states.
+
+    states: [B, M, D]; neighbor_idx: [B, M, N] (indices into the M axis,
+    already sentinel-remapped to 0 for padding). Returns [B, M, N, D].
+
+    Equivalent to the reference's batch-index ``tf.gather_nd`` trick
+    (``gather_shape`` at ``custom_layers.py:18-28`` + ``attention.py:136-139``)
+    without building the [B, M, N, 2] index tensor.
+    """
+    return jax.vmap(lambda s, i: s[i])(states, neighbor_idx)
+
+
+def local_attention_core(
+    query: jnp.ndarray,       # [B, M, D]   (projected centers)
+    key: jnp.ndarray,         # [B, M, N, D] (projected neighbor*geometry)
+    value: jnp.ndarray,       # [B, M, N, D]
+    mask: jnp.ndarray,        # [B, M, N]  float valid-neighbor mask
+    num_head: int,
+    scale: float = 0.5,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked multi-head attention over the neighbor axis.
+
+    Returns (attn [B, H, M, N], context [B, M, D]) where context is the
+    masked sum over neighbors of attn-weighted values (reference
+    ``attention.py:183-212``, *before* the +query residual and LayerNorm).
+    """
+    B, M, D = query.shape
+    N = key.shape[2]
+    H = num_head
+    hd = D // H
+
+    q = query.reshape(B, M, H, hd)
+    k = key.reshape(B, M, N, H, hd)
+    v = value.reshape(B, M, N, H, hd)
+
+    # Reference scales the query by hdim ** -scale (attention.py:180-181).
+    q = q * jnp.asarray(hd, q.dtype) ** jnp.asarray(-scale, q.dtype)
+
+    energy = jnp.einsum("bmhd,bmnhd->bhmn", q, k)
+    energy = energy + (1.0 - mask[:, None, :, :]) * jnp.asarray(-1e9, energy.dtype)
+    attn = jax.nn.softmax(energy, axis=-1)
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn_used = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0).astype(attn.dtype)
+    else:
+        attn_used = attn
+
+    # context = sum_N mask * (attn @ v)   (attention.py:206-212)
+    context = jnp.einsum("bhmn,bmn,bmnhd->bmhd", attn_used, mask, v)
+    return attn, context.reshape(B, M, D)
+
+
+def global_attention_core(
+    query: jnp.ndarray,   # [B, M, D] (projected)
+    key: jnp.ndarray,     # [B, M, D] (projected)
+    value: jnp.ndarray,   # [B, M, D]
+    mask: jnp.ndarray,    # [B, M, 1] float atom mask
+    norm: bool = True,
+    materialize_energy: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GA-score readout. Returns (attn [B, M, 1], context [B, D]).
+
+    ``materialize_energy=True`` computes the full [B, M, M] pairwise energy as
+    the reference does (for testing the O(M D) path against it).
+    """
+    mk = mask * key
+    mq = mask * query
+
+    if materialize_energy:
+        energy = jnp.einsum("bkd,bqd->bkq", mk, mq)
+        eye = jnp.eye(energy.shape[1], dtype=energy.dtype)
+        energy = energy * (1.0 - eye)[None]
+        agg = jnp.sum(energy, axis=-1, keepdims=True)  # [B, M, 1]
+    else:
+        q_sum = jnp.sum(mq, axis=1, keepdims=True)           # [B, 1, D]
+        cross = jnp.sum(mk * q_sum, axis=-1, keepdims=True)  # [B, M, 1]
+        diag = jnp.sum(mk * mq, axis=-1, keepdims=True)      # [B, M, 1]
+        agg = cross - diag
+
+    agg = mask * agg
+
+    if norm:
+        # tf.linalg.normalize(ord="euclidean", axis=1) — attention.py:295-297.
+        # Guarded against an exactly-zero norm (reference would NaN there).
+        nrm = jnp.sqrt(jnp.sum(agg * agg, axis=1, keepdims=True))
+        agg = agg / jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+
+    agg = agg + (1.0 - mask) * jnp.asarray(-1e9, agg.dtype)
+    attn = jax.nn.softmax(agg, axis=1)
+
+    context = jnp.sum(mask * attn * value, axis=1)  # [B, D]
+    return attn, context

@@ -1,0 +1,147 @@
+"""Featurizer tests against exact geometric oracles."""
+
+import numpy as np
+import pytest
+
+from scann_tpu.data.structure import Structure
+from scann_tpu.data.voronoi import (
+    _voronoi_facets,
+    compute_voronoi_neighbors,
+    solid_angle,
+)
+
+
+class TestSolidAngle:
+    def test_cube_face(self):
+        # face of a unit cube centered at origin: subtends 4pi/6
+        z = 0.5
+        poly = np.array([[z, z, z], [z, -z, z], [-z, -z, z], [-z, z, z]])
+        assert solid_angle(np.zeros(3), poly) == pytest.approx(4 * np.pi / 6, rel=1e-10)
+
+    def test_vertex_order_invariance(self, rng):
+        z = 0.5
+        poly = np.array([[z, z, z], [z, -z, z], [-z, -z, z], [-z, z, z]])
+        for _ in range(5):
+            perm = rng.permutation(4)
+            assert solid_angle(np.zeros(3), poly[perm]) == pytest.approx(
+                4 * np.pi / 6, rel=1e-10
+            )
+
+    def test_degenerate_polygon(self):
+        poly = np.array([[1, 0, 0], [2, 0, 0], [3, 0, 0]], dtype=float)
+        assert solid_angle(np.zeros(3), poly) == 0.0
+
+
+class TestVoronoiNeighbors:
+    def test_simple_cubic(self):
+        s = Structure(["Na"], [[0.0, 0.0, 0.0]], np.eye(3) * 3.0)
+        nbrs = compute_voronoi_neighbors(s, d_thresh=4.0, w_thresh=0.4)
+        assert len(nbrs[0]) == 6
+        for sym, idx, sa, wn, d in nbrs[0]:
+            assert sym == "Na" and idx == 0
+            assert sa == pytest.approx(4 * np.pi / 6, rel=1e-8)
+            assert wn == pytest.approx(1.0)
+            assert d == pytest.approx(3.0)
+
+    def test_fcc_twelve_neighbors(self):
+        fr = [[0, 0, 0], [0, 0.5, 0.5], [0.5, 0, 0.5], [0.5, 0.5, 0]]
+        s = Structure.from_frac(["Cu"] * 4, fr, np.eye(3) * 4.0)
+        nbrs = compute_voronoi_neighbors(s, d_thresh=4.0, w_thresh=0.0)
+        for atom_nbrs in nbrs:
+            assert len(atom_nbrs) == 12
+            for _, _, sa, wn, d in atom_nbrs:
+                assert sa == pytest.approx(4 * np.pi / 12, rel=1e-6)
+                assert d == pytest.approx(4.0 / np.sqrt(2), rel=1e-8)
+
+    def test_facet_solid_angles_sum_to_4pi(self):
+        # truncated-octahedron cell (BCC) — mixed facet sizes
+        s = Structure.from_frac(["Fe", "Fe"], [[0, 0, 0], [0.5, 0.5, 0.5]], np.eye(3) * 2.9)
+        facets = _voronoi_facets(s.coords, s.lattice, 2, 7.0)
+        for f in facets:
+            assert sum(x[1] for x in f) == pytest.approx(4 * np.pi, rel=1e-8)
+
+    def test_distance_filter(self):
+        s = Structure(["Na"], [[0.0, 0.0, 0.0]], np.eye(3) * 3.0)
+        nbrs = compute_voronoi_neighbors(s, d_thresh=2.0, w_thresh=0.0)
+        assert len(nbrs[0]) == 0  # all neighbors at 3.0 > 2.0
+
+    def test_weight_filter(self):
+        # BCC: 8 near hexagonal facets (large angle) + 6 far square facets
+        s = Structure.from_frac(["Fe", "Fe"], [[0, 0, 0], [0.5, 0.5, 0.5]], np.eye(3) * 2.9)
+        all_n = compute_voronoi_neighbors(s, d_thresh=10.0, w_thresh=0.0)
+        assert len(all_n[0]) == 14
+        # raise w_thresh above the square-facet angle -> only 8 hex facets kept
+        sas = sorted(n[2] for n in all_n[0])
+        cut = (sas[5] + sas[6]) / 2  # between 6 small and 8 large
+        big = compute_voronoi_neighbors(s, d_thresh=10.0, w_thresh=cut)
+        assert len(big[0]) == 8
+
+    def test_molecule_boxed(self):
+        # H2O-like: O at origin, two H at ~0.96 A
+        coords = [[0, 0, 0], [0.9572, 0, 0], [-0.2399, 0.9266, 0]]
+        mol = Structure(["O", "H", "H"], coords)
+        nbrs = compute_voronoi_neighbors(mol, d_thresh=4.0, w_thresh=0.4)
+        assert len(nbrs) == 3
+        # O sees both H; each H sees O (and maybe the other H)
+        o_nbr_idx = sorted(n[1] for n in nbrs[0])
+        assert o_nbr_idx[:2] == [1, 2]
+        assert any(n[1] == 0 for n in nbrs[1])
+        assert any(n[1] == 0 for n in nbrs[2])
+        # distances must be the raw molecule distances (boxing preserves geometry)
+        d_oh = [n[4] for n in nbrs[0] if n[1] == 1][0]
+        assert d_oh == pytest.approx(0.9572, rel=1e-6)
+
+    def test_record_layout(self):
+        s = Structure(["Na"], [[0.0, 0.0, 0.0]], np.eye(3) * 3.0)
+        rec = compute_voronoi_neighbors(s)[0][0]
+        # [species, index, solid_angle, normalized_weight, distance]
+        assert isinstance(rec[0], str)
+        assert isinstance(rec[1], int)
+        assert all(isinstance(x, float) for x in rec[2:])
+
+
+class TestStructure:
+    def test_xyz_roundtrip(self, tmp_path):
+        s = Structure(["C", "O"], [[0, 0, 0], [1.2, 0, 0]])
+        p = str(tmp_path / "co.xyz")
+        s.to_xyz(p)
+        s2 = Structure.from_xyz(p)
+        assert s2.species == ["C", "O"]
+        np.testing.assert_allclose(s2.coords, s.coords, atol=1e-6)
+
+    def test_xyz_with_lattice(self, tmp_path):
+        s = Structure(["Si", "Si"], [[0, 0, 0], [1.3, 1.3, 1.3]], np.eye(3) * 5.4)
+        p = str(tmp_path / "si.xyz")
+        s.to_xyz(p)
+        s2 = Structure.from_xyz(p)
+        assert s2.is_periodic
+        np.testing.assert_allclose(s2.lattice, s.lattice, atol=1e-6)
+
+    def test_poscar(self, tmp_path):
+        content = """Si2
+1.0
+  5.4 0.0 0.0
+  0.0 5.4 0.0
+  0.0 0.0 5.4
+Si
+2
+Direct
+  0.0 0.0 0.0
+  0.25 0.25 0.25
+"""
+        p = tmp_path / "POSCAR"
+        p.write_text(content)
+        s = Structure.from_poscar(str(p))
+        assert s.species == ["Si", "Si"]
+        np.testing.assert_allclose(s.coords[1], [1.35, 1.35, 1.35])
+
+    def test_boxed_centers_center_of_mass(self):
+        mol = Structure(["O", "H", "H"], [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+        boxed = mol.boxed(box=10.0)
+        assert boxed.is_periodic
+        np.testing.assert_allclose(boxed.lattice, np.eye(3) * 10.0)
+        np.testing.assert_allclose(boxed.center_of_mass, [5.0, 5.0, 5.0], atol=1e-9)
+        # relative geometry preserved
+        d1 = np.linalg.norm(mol.coords[1] - mol.coords[0])
+        d2 = np.linalg.norm(boxed.coords[1] - boxed.coords[0])
+        assert d1 == pytest.approx(d2)
