@@ -1,0 +1,243 @@
+"""Keras H5 checkpoint -> Flax param pytree converter.
+
+Loads the reference's published full-model H5 checkpoints
+(saved by Keras 2 ``ModelCheckpoint``/``model.save``, reference
+``scann_model.py:165-177``) into the parameter pytree of
+``scann_tpu.models.ScannModel``, so QM9/MP2018 inference matches the
+reference to numerical tolerance without TensorFlow at runtime.
+
+Two H5 layouts are supported:
+
+- **full-model H5** (the published format): weights under
+  ``model_weights/<layer>/<layer>/<var>:0`` with named Dense sublayers
+  (``query``/``key``/``filter_geo``) and globally-counted anonymous names for
+  LayerNorms (``layer_normalization_k``) and ResidualNorm Denses
+  (``dense_k``) — disambiguated by numeric suffix order within each group;
+- **weights-only H5** saved by Keras 3 ``save_weights`` (layout
+  ``layers/<auto-name>/vars/{0,1}``), where anonymous Dense layers are
+  resolved positionally from the build order of the reference graph.
+
+Layer-name correspondence (reference ``create_model`` names at
+``scann_model.py:362-447`` -> ScannModel module names):
+
+    embed_atom, extra_embed, dense_embed, neighbor_d, neighbor_w,
+    after_Lc, bf_property, predict_property, global_attention      (same)
+    local_attention[, _1, ...]   -> local_attention_0, _1, ...
+      inner: query, key, filter_geo (same); 1st LN -> layer_norm,
+      2nd LN (g_update only) -> layer_norm_g   (creation order,
+      reference attention.py:111-113)
+    residual_norm[, _1, ...]     -> residual_norm_0, _1, ...
+      inner denses in order -> dense_1, dense_2; LN -> layer_norm
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import h5py
+import numpy as np
+
+from scann_tpu.config import ModelConfig
+
+
+def _suffix_num(name: str, base: str) -> int:
+    if name == base:
+        return 0
+    m = re.match(rf"{re.escape(base)}_(\d+)$", name)
+    return int(m.group(1)) if m else -1
+
+
+def _dense(kernel, bias) -> Dict[str, np.ndarray]:
+    return {"kernel": np.asarray(kernel), "bias": np.asarray(bias)}
+
+
+def _ln(gamma, beta) -> Dict[str, np.ndarray]:
+    return {"scale": np.asarray(gamma), "bias": np.asarray(beta)}
+
+
+def load_h5_params(path: str, config: ModelConfig) -> dict:
+    """Return ``{"params": {...}}`` for ``ScannModel.apply``."""
+    with h5py.File(path, "r") as f:
+        if "model_weights" in f:
+            params = _load_full_model(f["model_weights"], config)
+        elif "layers" in f:
+            params = _load_weights_only(f["layers"], config)
+        else:
+            raise ValueError(f"unrecognized H5 layout in {path}: {list(f.keys())}")
+    return {"params": params}
+
+
+# --- full-model H5 (model_weights/...) ---------------------------------------
+
+def _collect(group) -> Dict[str, np.ndarray]:
+    """Flatten an H5 group to {relative/path/to/var: array}."""
+    out = {}
+
+    def rec(g, prefix):
+        for k in g:
+            item = g[k]
+            if isinstance(item, h5py.Dataset):
+                out[prefix + k] = np.asarray(item)
+            else:
+                rec(item, prefix + k + "/")
+
+    rec(group, "")
+    return out
+
+
+def _load_full_model(mw, config: ModelConfig) -> dict:
+    params = {}
+    layer_names = list(mw.keys())
+
+    def flat_of(layer_name):
+        # weights live under <layer>/<inner paths>; the top inner group repeats
+        # the layer name for self-built layers
+        return _collect(mw[layer_name])
+
+    for name in layer_names:
+        flat = flat_of(name)
+        if not flat:
+            continue
+        flat = {k.split(":")[0]: v for k, v in flat.items()}  # strip ':0'
+
+        if name == "embed_atom":
+            emb = [v for k, v in flat.items() if k.endswith("embeddings")]
+            if emb:
+                params["embed_atom"] = {"embedding": emb[0]}
+            else:
+                params["embed_atom"] = _dense(
+                    _get(flat, "kernel"), _get(flat, "bias"))
+        elif name in ("extra_embed", "dense_embed", "neighbor_d", "neighbor_w",
+                      "after_Lc", "bf_property", "predict_property"):
+            params[name] = _dense(_get(flat, "kernel"), _get(flat, "bias"))
+        elif name.startswith("local_attention"):
+            idx = _suffix_num(name, "local_attention")
+            params[f"local_attention_{idx}"] = _local_attention_params(flat, config)
+        elif name.startswith("residual_norm"):
+            idx = _suffix_num(name, "residual_norm")
+            params[f"residual_norm_{idx}"] = _residual_norm_params(flat)
+        elif name.startswith("global_attention"):
+            params["global_attention"] = {
+                "query": _dense(_get(flat, "query/kernel"), _get(flat, "query/bias")),
+                "key": _dense(_get(flat, "key/kernel"), _get(flat, "key/bias")),
+            }
+        # input layers / lambdas / dropout have no weights and are skipped
+    return params
+
+
+def _get(flat: Dict[str, np.ndarray], suffix: str) -> np.ndarray:
+    hits = [v for k, v in flat.items() if k.endswith(suffix)]
+    if len(hits) != 1:
+        raise KeyError(f"expected exactly one '{suffix}', found {len(hits)}")
+    return hits[0]
+
+
+def _numbered(flat: Dict[str, np.ndarray], base: str):
+    """All ``<base>[_k]/...`` sublayers sorted by numeric suffix.
+
+    Returns a list of {var: array} dicts in suffix order.
+    """
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        for i, p in enumerate(parts[:-1]):
+            if p == base or re.match(rf"{re.escape(base)}_\d+$", p):
+                groups.setdefault(p, {})[parts[-1]] = v
+    ordered = sorted(groups.items(), key=lambda kv: _suffix_num(kv[0], base))
+    return [g for _, g in ordered]
+
+
+def _local_attention_params(flat, config: ModelConfig) -> dict:
+    p = {
+        "query": _dense(_get(flat, "query/kernel"), _get(flat, "query/bias")),
+        "key": _dense(_get(flat, "key/kernel"), _get(flat, "key/bias")),
+        "filter_geo": _dense(_get(flat, "filter_geo/kernel"), _get(flat, "filter_geo/bias")),
+    }
+    lns = _numbered(flat, "layer_normalization") or _numbered(flat, "layer_norm")
+    # creation order (attention.py:111-113): layer_norm first, layer_norm_g second
+    p["layer_norm"] = _ln(lns[0]["gamma"], lns[0]["beta"])
+    if config.g_update:
+        if len(lns) < 2:
+            raise ValueError("g_update model but LocalAttention has one LayerNorm")
+        p["layer_norm_g"] = _ln(lns[1]["gamma"], lns[1]["beta"])
+    return p
+
+
+def _residual_norm_params(flat) -> dict:
+    denses = _numbered(flat, "dense")
+    ln = (_numbered(flat, "layer_normalization") or _numbered(flat, "layer_norm"))[0]
+    return {
+        "dense_1": _dense(denses[0]["kernel"], denses[0]["bias"]),
+        "dense_2": _dense(denses[1]["kernel"], denses[1]["bias"]),
+        "layer_norm": _ln(ln["gamma"], ln["beta"]),
+    }
+
+
+# --- weights-only H5 (Keras 3 save_weights: layers/<name>/vars/...) ----------
+
+def _load_weights_only(layers, config: ModelConfig) -> dict:
+    params = {}
+
+    def var(g, i):
+        return np.asarray(g["vars"][str(i)])
+
+    # anonymous Dense layers follow the reference build order
+    # (scann_model.py:361-447)
+    dense_roles = []
+    if config.feature == "cgcnn":
+        dense_roles.append("embed_atom")
+    if config.use_ring:
+        dense_roles.append("extra_embed")
+    dense_roles.append("dense_embed")
+    if config.g_update:
+        dense_roles += ["neighbor_d", "neighbor_w"]
+    dense_roles += ["after_Lc", "bf_property", "predict_property"]
+
+    dense_groups = sorted(
+        (k for k in layers.keys() if re.fullmatch(r"dense(_\d+)?", k)),
+        key=lambda k: _suffix_num(k, "dense"),
+    )
+    if len(dense_groups) != len(dense_roles):
+        raise ValueError(
+            f"expected {len(dense_roles)} anonymous Dense layers "
+            f"({dense_roles}), found {len(dense_groups)}"
+        )
+    for role, gname in zip(dense_roles, dense_groups):
+        g = layers[gname]
+        params[role] = _dense(var(g, 0), var(g, 1))
+
+    if config.feature == "atomic":
+        params["embed_atom"] = {"embedding": var(layers["embedding"], 0)}
+
+    for k in layers.keys():
+        if re.fullmatch(r"local_attention(_\d+)?", k):
+            idx = _suffix_num(k, "local_attention")
+            g = layers[k]
+            p = {
+                "query": _dense(var(g["proj_q"], 0), var(g["proj_q"], 1)),
+                "key": _dense(var(g["proj_k"], 0), var(g["proj_k"], 1)),
+                "filter_geo": _dense(var(g["filter_geo"], 0), var(g["filter_geo"], 1)),
+                "layer_norm": _ln(var(g["layer_norm"], 0), var(g["layer_norm"], 1)),
+            }
+            if config.g_update:
+                p["layer_norm_g"] = _ln(var(g["layer_norm_g"], 0), var(g["layer_norm_g"], 1))
+            params[f"local_attention_{idx}"] = p
+        elif re.fullmatch(r"residual_norm(_\d+)?", k):
+            idx = _suffix_num(k, "residual_norm")
+            g = layers[k]
+            seq = g["seq"]["layers"]
+            dn = sorted((n for n in seq.keys() if re.fullmatch(r"dense(_\d+)?", n)),
+                        key=lambda n: _suffix_num(n, "dense"))
+            params[f"residual_norm_{idx}"] = {
+                "dense_1": _dense(var(seq[dn[0]], 0), var(seq[dn[0]], 1)),
+                "dense_2": _dense(var(seq[dn[1]], 0), var(seq[dn[1]], 1)),
+                "layer_norm": _ln(var(g["layer_norm"], 0), var(g["layer_norm"], 1)),
+            }
+        elif k == "global_attention":
+            g = layers[k]
+            params["global_attention"] = {
+                "query": _dense(var(g["proj_q"], 0), var(g["proj_q"], 1)),
+                "key": _dense(var(g["proj_k"], 0), var(g["proj_k"], 1)),
+            }
+    return params

@@ -2,13 +2,14 @@ import os
 
 # Tests run on a simulated 8-device CPU mesh (SURVEY.md §4): real TPU hardware
 # is single-chip in CI, and CPU keeps the suite fast and deterministic.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: env may carry the tunneled TPU
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated pytest runs reuse compiled XLA
 # executables instead of recompiling every model variant from scratch.
