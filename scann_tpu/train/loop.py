@@ -1,0 +1,376 @@
+"""Training orchestration: jitted device-resident steps, eval, checkpoints.
+
+TPU-native counterpart of the reference orchestrator
+(``scann/models/scann_model.py:42-319``):
+
+- same training recipe: RMSE loss + the Keras l2(1e-4) kernel penalties and
+  Adam(epsilon=1e-7) with the ``decay=1e-5`` inverse-time lr factor
+  (``scann_model.py:210-214``), cosine or SGDR schedule, early stopping on
+  val MAE (patience 200), best-val checkpointing, test-set report,
+- TPU-first execution: the packed dataset lives in HBM (replicated over the
+  mesh); each step transfers only a [batch] int32 index vector, and the
+  batch gather happens inside the jitted step. Batches are sharded over the
+  ``data`` mesh axis; XLA inserts the gradient all-reduce over ICI.
+- checkpoint/resume via orbax (the reference has no optimizer-state resume;
+  we checkpoint the full train state).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scann_tpu.config import ScannConfig
+from scann_tpu.data.pipeline import BatchIterator, PackedBucket
+from scann_tpu.models import ScannModel
+from scann_tpu.models.scann import l2_penalty
+from scann_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from scann_tpu.train.schedules import SGDRSchedule, make_cosine_lr
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def r2_score(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    ss_res = float(np.sum((y_true - y_pred) ** 2))
+    ss_tot = float(np.sum((y_true - np.mean(y_true)) ** 2))
+    return 1.0 - ss_res / (ss_tot + 1e-12)
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: ScannConfig,
+        model: Optional[ScannModel] = None,
+        mesh=None,
+        workdir: Optional[str] = None,
+    ):
+        self.config = config
+        self.model = model or ScannModel(
+            config=config.model, mrelu_head=(config.hyper.target == "e_b")
+        )
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_devices=(config.tpu.mesh_shape[0] if config.tpu.mesh_shape else None)
+        )
+        self.workdir = workdir or "{}_{}".format(config.hyper.save_path, config.hyper.target)
+        # Keras Adam defaults: b1=0.9, b2=0.999, eps=1e-7 (scann_model.py:212);
+        # lr is applied separately per step so SGDR can drive it from the host.
+        self.tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-7)
+
+        self._repl = replicated_sharding(self.mesh)
+        self._bsh = batch_sharding(self.mesh)
+        self._train_step = None
+        self._eval_step = None
+        self.state: Optional[TrainState] = None
+        self._device_buckets: Dict[int, Tuple[Any, Any]] = {}
+
+    # --- state ---------------------------------------------------------------
+
+    def init_state(self, example_inputs: Dict[str, np.ndarray], seed: int = 0) -> TrainState:
+        params = self.model.init(jax.random.PRNGKey(seed), example_inputs,
+                                 deterministic=True)["params"]
+        params = jax.device_put(params, self._repl)
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params=params, opt_state=opt_state,
+                                step=jnp.zeros((), jnp.int32))
+        return self.state
+
+    def load_params(self, params: Any):
+        """Install externally-loaded params (e.g. from the H5 converter)."""
+        params = params.get("params", params)
+        params = jax.device_put(params, self._repl)
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params=params, opt_state=opt_state,
+                                step=jnp.zeros((), jnp.int32))
+        return self.state
+
+    # --- jitted steps --------------------------------------------------------
+
+    def _make_steps(self):
+        model = self.model
+        tx = self.tx
+        l2 = self.config.hyper.l2_reg
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, binputs, btargets, idx, lr, rng):
+            batch = jax.tree.map(lambda x: x[idx], binputs)
+            y = btargets[idx]
+
+            def loss_fn(params):
+                out = model.apply({"params": params}, batch, deterministic=False,
+                                  rngs={"dropout": rng})
+                pred = out["property"][:, 0]
+                mse = jnp.mean(jnp.square(pred - y))
+                rmse = jnp.sqrt(mse)
+                loss = rmse + l2_penalty(params, l2)
+                mae = jnp.mean(jnp.abs(pred - y))
+                return loss, (rmse, mae)
+
+            (loss, (rmse, mae)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1)
+            return new_state, {"loss": loss, "rmse": rmse, "mae": mae}
+
+        @jax.jit
+        def eval_step(params, binputs, btargets, idx, sample_mask):
+            batch = jax.tree.map(lambda x: x[idx], binputs)
+            y = btargets[idx]
+            out = model.apply({"params": params}, batch, deterministic=True)
+            pred = out["property"][:, 0]
+            return pred, y, sample_mask
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # --- device-resident data ------------------------------------------------
+
+    def _put_buckets(self, buckets: List[PackedBucket], tag: str):
+        """Push bucket arrays to device (replicated) once; cache by identity."""
+        out = []
+        for b in buckets:
+            key = (tag, id(b))
+            if key not in self._device_buckets:
+                self._device_buckets[key] = (
+                    jax.device_put(b.inputs, self._repl),
+                    jax.device_put(b.targets, self._repl),
+                )
+            out.append(self._device_buckets[key])
+        return out
+
+    # --- training ------------------------------------------------------------
+
+    def fit(
+        self,
+        train_buckets: List[PackedBucket],
+        valid_buckets: List[PackedBucket],
+        epochs: Optional[int] = None,
+        log_fn=print,
+    ) -> Dict[str, list]:
+        hyper = self.config.hyper
+        epochs = epochs or hyper.epochs
+        if self._train_step is None:
+            self._make_steps()
+        if self.state is None:
+            self.init_state(
+                {k: v[:1] for k, v in train_buckets[0].inputs.items()}, hyper.seed
+            )
+
+        train_iter = BatchIterator(train_buckets, hyper.batch_size, shuffle=True,
+                                   seed=hyper.seed)
+        valid_iter = BatchIterator(valid_buckets, hyper.batch_size, shuffle=False)
+        steps_per_epoch = len(train_iter)
+
+        dev_train = self._put_buckets(train_buckets, "train")
+        dev_valid = self._put_buckets(valid_buckets, "valid")
+
+        sgdr = None
+        if hyper.scheduler == "sgdr":
+            sgdr = SGDRSchedule(lr_max=hyper.lr, lr_min=hyper.min_lr)
+            lr_fn = None
+        else:
+            lr_fn = make_cosine_lr(hyper.lr, hyper.min_lr, steps_per_epoch, epochs,
+                                   hyper.adam_decay)
+
+        os.makedirs(self.workdir, exist_ok=True)
+        from scann_tpu.config import save_config
+        save_config(self.config, os.path.join(self.workdir, "config.yaml"))
+
+        history = {"loss": [], "mae": [], "val_mae": [], "val_r2": [], "lr": [],
+                   "epoch_time": []}
+        best_val = math.inf
+        best_epoch = -1
+        patience = hyper.patience
+        rng = jax.random.PRNGKey(hyper.seed)
+        metrics_path = os.path.join(self.workdir, "metrics.jsonl")
+        step = int(self.state.step)
+
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            epoch_lr = sgdr.epoch_begin() if sgdr else None
+            losses, maes = [], []
+            for bi, idx, mask in train_iter.plans():
+                binputs, btargets = dev_train[bi]
+                if sgdr:
+                    lr = epoch_lr / (1.0 + hyper.adam_decay * step)
+                else:
+                    lr = lr_fn(step)
+                rng, sub = jax.random.split(rng)
+                idx_dev = jax.device_put(idx, self._bsh)
+                self.state, m = self._train_step(
+                    self.state, binputs, btargets, idx_dev,
+                    jnp.asarray(lr, jnp.float32), sub)
+                losses.append(m["loss"])
+                maes.append(m["mae"])
+                step += 1
+
+            train_loss = float(np.mean([np.asarray(x) for x in losses]))
+            train_mae = float(np.mean([np.asarray(x) for x in maes]))
+
+            val_mae, val_r2, _, _ = self._evaluate_buckets(valid_iter, dev_valid)
+            dt = time.perf_counter() - t0
+            lr_now = float(epoch_lr if sgdr else lr_fn(step))
+            if sgdr:
+                sgdr.epoch_end(val_mae)
+
+            history["loss"].append(train_loss)
+            history["mae"].append(train_mae)
+            history["val_mae"].append(val_mae)
+            history["val_r2"].append(val_r2)
+            history["lr"].append(lr_now)
+            history["epoch_time"].append(dt)
+
+            n_struct = train_iter.num_structures
+            rec = {"epoch": epoch, "loss": train_loss, "mae": train_mae,
+                   "val_mae": val_mae, "val_r2": val_r2, "lr": lr_now,
+                   "time_s": round(dt, 3),
+                   "structures_per_sec": round(n_struct / dt, 1)}
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            log_fn(f"epoch {epoch}: loss {train_loss:.5f} mae {train_mae:.5f} "
+                   f"val_mae {val_mae:.5f} val_r2 {val_r2:.4f} lr {lr_now:.2e} "
+                   f"({rec['structures_per_sec']:.0f} structs/s)")
+
+            if val_mae < best_val:
+                best_val = val_mae
+                best_epoch = epoch
+                self.save_checkpoint("best")
+            if epoch - best_epoch >= patience:
+                log_fn(f"early stopping at epoch {epoch} "
+                       f"(no val_mae improvement for {patience} epochs)")
+                break
+
+        self.history = history
+        return history
+
+    def _evaluate_buckets(self, it: BatchIterator, dev_buckets):
+        preds, ys, masks = [], [], []
+        for bi, idx, mask in it.plans():
+            binputs, btargets = dev_buckets[bi]
+            p, y, m = self._eval_step(self.state.params, binputs, btargets,
+                                      jax.device_put(idx, self._bsh),
+                                      jax.device_put(mask, self._bsh))
+            preds.append(np.asarray(p))
+            ys.append(np.asarray(y))
+            masks.append(np.asarray(m))
+        pred = np.concatenate(preds)
+        y = np.concatenate(ys)
+        m = np.concatenate(masks) > 0
+        pred, y = pred[m], y[m]
+        mae = float(np.mean(np.abs(pred - y)))
+        return mae, r2_score(y, pred), pred, y
+
+    # --- evaluation / prediction --------------------------------------------
+
+    def evaluate(self, test_buckets: List[PackedBucket], report: bool = True):
+        """Test-set evaluation; writes report.txt + hist_data.json like the
+        reference's ``evaluate`` (``scann_model.py:247-313``)."""
+        if self._eval_step is None:
+            self._make_steps()
+        it = BatchIterator(test_buckets, self.config.hyper.batch_size, shuffle=False)
+        dev = self._put_buckets(test_buckets, "test")
+        mae, r2, pred, y = self._evaluate_buckets(it, dev)
+        std = self.config.hyper.target_std
+        mean = self.config.hyper.target_mean
+        result = {
+            "test_mae": mae * std,
+            "test_r2": r2,
+            "target": self.config.hyper.target,
+        }
+        if report:
+            os.makedirs(self.workdir, exist_ok=True)
+            with open(os.path.join(self.workdir, "report.txt"), "w") as f:
+                if hasattr(self, "history"):
+                    f.write("Training MAE: " + str(min(self.history["mae"]) * std) + "\n")
+                    f.write("Val MAE: " + str(min(self.history["val_mae"]) * std) + "\n")
+                f.write(f"Test MAE: {result['test_mae']}, Test R2: {result['test_r2']}")
+            hist = {
+                "y_predict": (pred * std + mean).tolist(),
+                "y_true": (y * std + mean).tolist(),
+                "history": getattr(self, "history", {}),
+            }
+            with open(os.path.join(self.workdir, "hist_data.json"), "w") as f:
+                json.dump(hist, f)
+        return result
+
+    def predict(self, buckets: List[PackedBucket], batch_size: Optional[int] = None,
+                with_ga: bool = False):
+        """Predict (un-standardized) targets for packed structures, in the
+        original dataset order; optionally also per-atom GA scores."""
+        model = self.model
+        bs = batch_size or self.config.hyper.batch_size
+
+        @jax.jit
+        def fwd(params, batch):
+            out = model.apply({"params": params}, batch, deterministic=True)
+            return out["property"][:, 0], out["ga_score"][..., 0]
+
+        n_total = sum(b.num_structures for b in buckets)
+        preds = np.zeros(n_total, np.float32)
+        gas: Dict[int, np.ndarray] = {}
+        for b in buckets:
+            S = b.num_structures
+            for s0 in range(0, S, bs):
+                sl = slice(s0, min(s0 + bs, S))
+                batch = {k: v[sl] for k, v in b.inputs.items()}
+                p, ga = fwd(self.state.params, batch)
+                orig = b.indices[sl]
+                preds[orig] = np.asarray(p)
+                if with_ga:
+                    ga = np.asarray(ga)
+                    na = b.inputs["atom_mask"][sl, :, 0].sum(-1).astype(int)
+                    for j, oi in enumerate(orig):
+                        gas[int(oi)] = ga[j, : na[j]]
+        std, mean = self.config.hyper.target_std, self.config.hyper.target_mean
+        preds = preds * std + mean
+        if with_ga:
+            return preds, [gas[i] for i in range(n_total)]
+        return preds
+
+    # --- checkpointing -------------------------------------------------------
+
+    def save_checkpoint(self, name: str = "best"):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.workdir, "checkpoints", name))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.state.params,
+                          "opt_state": self.state.opt_state,
+                          "step": self.state.step}, force=True)
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, name: str = "best"):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.workdir, "checkpoints", name))
+        if self.state is None:
+            raise RuntimeError("call init_state (or fit) before restore: the "
+                               "checkpoint structure is taken from live state")
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.state.params, "opt_state": self.state.opt_state,
+                  "step": self.state.step}
+        restored = ckptr.restore(path, target)
+        self.state = TrainState(params=jax.device_put(restored["params"], self._repl),
+                                opt_state=jax.device_put(restored["opt_state"], self._repl),
+                                step=restored["step"])
+        return self.state
+
+

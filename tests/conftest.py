@@ -11,11 +11,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: repeated pytest runs reuse compiled XLA
-# executables instead of recompiling every model variant from scratch.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pytest_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,76 @@
+"""Multi-device tests on the simulated 8-device CPU mesh.
+
+Asserts the data-parallel sharded step computes the same result as single
+device, and that the dryrun entry point works (SURVEY.md §4 item 4).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from scann_tpu.config import HyperConfig, ModelConfig, ScannConfig
+from scann_tpu.data.pipeline import PackedBucket
+from scann_tpu.parallel import make_mesh
+from scann_tpu.train import Trainer
+
+import sys
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+from __graft_entry__ import _synthetic_inputs, dryrun_multichip  # noqa: E402
+
+
+def _tiny_cfg(workdir, batch_size):
+    return ScannConfig(
+        model=ModelConfig(n_attention=2, local_dim=32, num_head=4, global_dim=32,
+                          dense_out=16, embedding_dim=8, g_update=True, n_atoms=10),
+        hyper=HyperConfig(batch_size=batch_size, lr=1e-3, min_lr=1e-4,
+                          save_path=workdir, target="homo", seed=0),
+    )
+
+
+def _bucket(S=32, M=16, N=8):
+    inputs = _synthetic_inputs(B=S, M=M, N=N, seed=1)
+    targets = np.random.default_rng(1).normal(size=S).astype(np.float32)
+    return PackedBucket(inputs=inputs, targets=targets, indices=np.arange(S))
+
+
+def test_requires_8_devices():
+    assert len(jax.devices()) == 8, "conftest must set up the 8-device CPU mesh"
+
+
+def test_sharded_equals_single_device(tmp_path):
+    bucket = _bucket()
+
+    cfg1 = _tiny_cfg(str(tmp_path / "d1"), batch_size=16)
+    t1 = Trainer(cfg1, mesh=make_mesh(n_devices=1))
+    h1 = t1.fit([bucket], [bucket], epochs=2, log_fn=lambda s: None)
+
+    cfg8 = _tiny_cfg(str(tmp_path / "d8"), batch_size=16)
+    t8 = Trainer(cfg8, mesh=make_mesh(n_devices=8))
+    h8 = t8.fit([bucket], [bucket], epochs=2, log_fn=lambda s: None)
+
+    # same data order (same seed) -> numerically equal training trajectories
+    np.testing.assert_allclose(h1["loss"], h8["loss"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(h1["val_mae"], h8["val_mae"], rtol=1e-4, atol=1e-6)
+
+    p1 = jax.tree.map(np.asarray, t1.state.params)
+    p8 = jax.tree.map(np.asarray, t8.state.params)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_is_actually_sharded(tmp_path):
+    cfg = _tiny_cfg(str(tmp_path / "shard"), batch_size=16)
+    t = Trainer(cfg, mesh=make_mesh(n_devices=8))
+    bucket = _bucket()
+    t.fit([bucket], [bucket], epochs=1, log_fn=lambda s: None)
+    # params replicated over all 8 devices
+    leaf = jax.tree_util.tree_leaves(t.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dryrun_multichip_entry():
+    dryrun_multichip(8)

@@ -1,0 +1,144 @@
+"""Data pipeline tests: synthetic dataset -> load -> split -> pack -> iterate."""
+
+import numpy as np
+import pytest
+
+from scann_tpu.data.pipeline import (
+    BatchIterator,
+    choose_buckets,
+    load_dataset,
+    pack_dataset,
+    split_data,
+    subset_buckets,
+)
+from scann_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth_paths(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(str(out), n_structures=40, min_atoms=4,
+                                  max_atoms=14, seed=1, with_ring=True)
+
+
+class TestLoadDataset:
+    def test_load(self, synth_paths):
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        assert len(records) == len(neighbors) == 40
+        assert records[0]["atomic"].dtype == np.int32
+        assert isinstance(records[0]["target"], float)
+
+    def test_use_ref(self, synth_paths):
+        e, n = synth_paths
+        r1, _ = load_dataset(e, n, target="homo", use_ref=False)
+        r2, _ = load_dataset(e, n, target="homo", use_ref=True)
+        assert r2[0]["target"] == pytest.approx(r1[0]["target"] - 0.01)
+
+    def test_use_ring(self, synth_paths):
+        e, n = synth_paths
+        r, _ = load_dataset(e, n, target="homo", use_ring=True)
+        assert r[0]["ring"].shape == (len(r[0]["atomic"]), 2)
+
+
+class TestSplit:
+    def test_exact_sizes(self):
+        tr, va, te = split_data(100, train_size=70, test_size=20, seed=0)
+        assert len(tr) == 70 and len(te) == 20 and len(va) == 10
+        all_idx = np.sort(np.concatenate([tr, va, te]))
+        np.testing.assert_array_equal(all_idx, np.arange(100))
+
+    def test_percent(self):
+        tr, va, te = split_data(100, test_percent=0.1, seed=0)
+        assert len(tr) == 80 and len(te) == 10 and len(va) == 10
+
+    def test_oversize_raises(self):
+        with pytest.raises(ValueError):
+            split_data(10, train_size=9, test_size=5)
+
+
+class TestPack:
+    def test_choose_buckets_covers_all(self):
+        sizes = [(5, 3), (12, 6), (20, 9), (29, 12)]
+        buckets = choose_buckets(sizes, 8, 4, max_buckets=3)
+        for m, n in sizes:
+            assert any(m <= bm and n <= bn for bm, bn in buckets), (m, n, buckets)
+
+    def test_pack_shapes_and_masks(self, synth_paths):
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        buckets = pack_dataset(records, neighbors, g_update=True, max_buckets=2)
+        total = sum(b.num_structures for b in buckets)
+        assert total == 40
+        for b in buckets:
+            M, N = b.shape
+            assert M % 8 == 0 and N % 4 == 0
+            am = b.inputs["atom_mask"]
+            assert set(np.unique(am)) <= {0.0, 1.0}
+            # atoms outside mask are 0
+            assert np.all(b.inputs["atomic"][am[..., 0] == 0] == 0)
+            # neighbor indices point inside the structure's atoms
+            na = am[..., 0].sum(1)
+            nm = b.inputs["neighbor_mask"]
+            idx = b.inputs["neighbors"]
+            for s in range(b.num_structures):
+                valid = nm[s] > 0
+                assert idx[s][valid].max(initial=0) < na[s]
+
+    def test_weight_index_semantics(self, synth_paths):
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        b_plus = pack_dataset(records, neighbors, g_update=True, max_buckets=1)[0]
+        b_base = pack_dataset(records, neighbors, g_update=False, max_buckets=1)[0]
+        # SCANN (normalized weights) are <= 1; SCANN+ raw solid angles exceed 1
+        nm = b_base.inputs["neighbor_mask"] > 0
+        assert b_base.inputs["neighbor_weight"][nm].max() <= 1.0 + 1e-6
+        assert b_plus.inputs["neighbor_weight"][nm].max() > 1.0
+
+    def test_subset_buckets(self, synth_paths):
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        buckets = pack_dataset(records, neighbors, max_buckets=2)
+        tr, va, te = split_data(40, train_size=30, test_size=5, seed=0)
+        sub = subset_buckets(buckets, tr)
+        got = np.sort(np.concatenate([b.indices for b in sub]))
+        np.testing.assert_array_equal(got, np.sort(tr))
+
+    def test_cgcnn_packing(self, synth_paths):
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        b = pack_dataset(records, neighbors, feature="cgcnn", max_buckets=1)[0]
+        assert b.inputs["atomic"].shape[-1] == 92
+        # masked rows are all-zero features
+        am = b.inputs["atom_mask"][..., 0]
+        assert np.all(b.inputs["atomic"][am == 0] == 0)
+
+
+class TestBatchIterator:
+    def _buckets(self, synth_paths):
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        return pack_dataset(records, neighbors, max_buckets=2)
+
+    def test_eval_covers_each_exactly_once(self, synth_paths):
+        buckets = self._buckets(synth_paths)
+        it = BatchIterator(buckets, batch_size=16, shuffle=False)
+        seen = []
+        for bi, idx, mask in it.plans():
+            orig = buckets[bi].indices[idx]
+            seen.extend(orig[mask > 0].tolist())
+        assert sorted(seen) == list(range(40))
+
+    def test_train_batches_always_full(self, synth_paths):
+        buckets = self._buckets(synth_paths)
+        it = BatchIterator(buckets, batch_size=16, shuffle=True, seed=3)
+        for bi, idx, mask in it.plans():
+            assert len(idx) == 16
+            assert mask.sum() == 16
+
+    def test_shuffle_changes_order_between_epochs(self, synth_paths):
+        buckets = self._buckets(synth_paths)
+        it = BatchIterator(buckets, batch_size=8, shuffle=True, seed=0)
+        e1 = [idx.tolist() for _, idx, _ in it.plans()]
+        e2 = [idx.tolist() for _, idx, _ in it.plans()]
+        assert e1 != e2
