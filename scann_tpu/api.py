@@ -1,0 +1,221 @@
+"""High-level user API.
+
+``Scann`` mirrors the reference orchestrator class (reference
+``scann/models/scann_model.py:42-319``): config in, ``prepare_dataset`` /
+``train`` / ``evaluate`` / ``predict_data`` lifecycle, pretrained-checkpoint
+loading (both the reference's published Keras H5 files, via
+``scann_tpu.compat``, and this framework's orbax checkpoints), and the
+infer-mode GA-score output (``scann_model.py:79-91``).
+
+Single-structure inference (``prepare_input``) mirrors the reference
+``prepare_input_pmt`` (``scann/utils/general.py:206-246``) including its
+weight-channel selection: the raw solid angle when ``angle=True`` (SCANN+),
+the max-normalized angle otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from scann_tpu.config import ScannConfig, load_config, save_config
+from scann_tpu.data.pipeline import (
+    load_dataset,
+    pack_dataset,
+    split_data,
+    subset_buckets,
+)
+from scann_tpu.data.structure import Structure
+from scann_tpu.data.voronoi import compute_voronoi_neighbors
+from scann_tpu.models import ScannModel
+from scann_tpu.train import Trainer
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def prepare_input(
+    struct: Structure,
+    d_t: float = 4.0,
+    w_t: float = 0.4,
+    angle: bool = True,
+    cutoff: float = 7.0,
+    atoms_multiple: int = 8,
+    neighbors_multiple: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Featurize one structure into a padded model-input dict (batch of 1)."""
+    neighbors = compute_voronoi_neighbors(
+        struct.as_periodic(), cutoff=cutoff, d_thresh=d_t, w_thresh=w_t
+    )
+    n_atoms = len(struct)
+    max_nbr = max((len(a) for a in neighbors), default=1)
+    M = _round_up(n_atoms, atoms_multiple)
+    N = _round_up(max(max_nbr, 1), neighbors_multiple)
+
+    inputs = {
+        "atomic": np.zeros((1, M), np.int32),
+        "atom_mask": np.zeros((1, M, 1), np.float32),
+        "neighbors": np.zeros((1, M, N), np.int32),
+        "neighbor_mask": np.zeros((1, M, N), np.float32),
+        "neighbor_weight": np.zeros((1, M, N), np.float32),
+        "neighbor_distance": np.zeros((1, M, N), np.float32),
+    }
+    inputs["atomic"][0, :n_atoms] = struct.atomic_numbers
+    inputs["atom_mask"][0, :n_atoms, 0] = 1.0
+    w_col = 2 if angle else 3
+    for a, lst in enumerate(neighbors):
+        for j, rec in enumerate(lst):
+            inputs["neighbors"][0, a, j] = int(rec[1])
+            inputs["neighbor_mask"][0, a, j] = 1.0
+            inputs["neighbor_weight"][0, a, j] = float(rec[w_col])
+            inputs["neighbor_distance"][0, a, j] = float(rec[-1])
+    return inputs
+
+
+class Scann:
+    """Train / eval / infer lifecycle for one config, like the reference
+    ``SCANN`` class."""
+
+    def __init__(self, config: Union[ScannConfig, dict, str], pretrained: str = "",
+                 mode: str = "train", mesh=None):
+        if isinstance(config, str):
+            config = load_config(config)
+        elif isinstance(config, dict):
+            config = ScannConfig.from_dict(config)
+        self.config = config
+        self.mode = mode
+        self.trainer = Trainer(config, mesh=mesh)
+        self.model: ScannModel = self.trainer.model
+        self._buckets = None
+
+        if pretrained:
+            self.load_pretrained(pretrained)
+            self.config.hyper.pretrained = pretrained
+
+    # --- checkpoint loading ---------------------------------------------------
+
+    def load_pretrained(self, path: str):
+        """Load a reference Keras H5 file or an orbax checkpoint directory."""
+        if path.endswith(".h5") or path.endswith(".hdf5"):
+            from scann_tpu.compat import load_h5_params
+
+            self.trainer.load_params(load_h5_params(path, self.config.model))
+        else:
+            # orbax directory: need a state skeleton first
+            example = self._example_inputs()
+            self.trainer.init_state(example, self.config.hyper.seed)
+            workdir, name = os.path.split(os.path.normpath(path))
+            if os.path.basename(workdir) == "checkpoints":
+                self.trainer.workdir = os.path.dirname(workdir)
+                self.trainer.restore_checkpoint(name)
+            else:
+                self.trainer.workdir = path
+                self.trainer.restore_checkpoint("best")
+
+    @classmethod
+    def load_model_infer(cls, workdir: str) -> "Scann":
+        """Restore an inference-ready model from a training run directory
+        (contains config.yaml + checkpoints/best), like the reference's
+        ``SCANN.load_model_infer`` (``scann_model.py:85-91``)."""
+        config = load_config(os.path.join(workdir, "config.yaml"))
+        obj = cls(config, mode="infer")
+        obj.trainer.workdir = workdir
+        obj.trainer.init_state(obj._example_inputs(), config.hyper.seed)
+        obj.trainer.restore_checkpoint("best")
+        return obj
+
+    def _example_inputs(self) -> Dict[str, np.ndarray]:
+        M, N = 8, 4
+        ex = {
+            "atomic": np.zeros((1, M), np.int32),
+            "atom_mask": np.ones((1, M, 1), np.float32),
+            "neighbors": np.zeros((1, M, N), np.int32),
+            "neighbor_mask": np.ones((1, M, N), np.float32),
+            "neighbor_weight": np.ones((1, M, N), np.float32),
+            "neighbor_distance": np.ones((1, M, N), np.float32),
+        }
+        if self.config.model.feature == "cgcnn":
+            ex["atomic"] = np.zeros((1, M, 92), np.float32)
+        if self.config.model.use_ring:
+            ex["ring_aromatic"] = np.zeros((1, M, 2), np.float32)
+        return ex
+
+    # --- dataset --------------------------------------------------------------
+
+    def prepare_dataset(self, split: bool = True):
+        hyper = self.config.hyper
+        cfm = self.config.model
+        records, neighbors = load_dataset(
+            hyper.data_energy_path, hyper.data_nei_path, hyper.target,
+            use_ref=hyper.use_ref, use_ring=cfm.use_ring,
+        )
+
+        if hyper.scaler:
+            ys = np.array([r["target"] for r in records], np.float64)
+            mean, std = float(ys.mean()), float(ys.std())
+            print(f"Standardizing target: mean {mean:.6f}, std {std:.6f}")
+            for r in records:
+                r["target"] = (r["target"] - mean) / std
+            hyper.target_mean, hyper.target_std = mean, std
+
+        hyper.data_size = len(records)
+        buckets = pack_dataset(
+            records, neighbors,
+            g_update=cfm.g_update, feature=cfm.feature, use_ring=cfm.use_ring,
+            atoms_multiple=self.config.tpu.atoms_pad_multiple,
+            neighbors_multiple=self.config.tpu.neighbors_pad_multiple,
+            max_buckets=self.config.tpu.max_buckets,
+        )
+        if not split:
+            self._buckets = buckets
+            return buckets
+
+        tr, va, te = split_data(
+            len(records), test_percent=hyper.test_percent,
+            train_size=hyper.train_size, test_size=hyper.test_size,
+            seed=hyper.seed,
+        )
+        print(f"Split: {len(tr)} train / {len(va)} valid / {len(te)} test")
+        self.train_buckets = subset_buckets(buckets, tr)
+        self.valid_buckets = subset_buckets(buckets, va)
+        self.test_buckets = subset_buckets(buckets, te)
+        return tr, va, te
+
+    # --- lifecycle ------------------------------------------------------------
+
+    def train(self, epochs: Optional[int] = None):
+        return self.trainer.fit(self.train_buckets, self.valid_buckets,
+                                epochs=epochs)
+
+    def evaluate(self):
+        self.trainer.restore_checkpoint("best")
+        result = self.trainer.evaluate(
+            self._buckets if self._buckets is not None else self.test_buckets
+        )
+        print(f"Test {self.config.hyper.target}: "
+              f"MAE {result['test_mae']:.6f}, R2 {result['test_r2']:.5f}")
+        return result
+
+    def predict_data(self, buckets=None, with_ga: bool = False):
+        """Predict over packed buckets (defaults to prepare_dataset(split=False)
+        buckets), un-standardized, in dataset order."""
+        if buckets is None:
+            buckets = self._buckets
+        return self.trainer.predict(buckets, with_ga=with_ga)
+
+    def predict_structure(self, struct: Structure, d_t: float = 4.0,
+                          w_t: float = 0.4) -> Tuple[float, np.ndarray]:
+        """Predict (value, per-atom GA scores) for one structure."""
+        import jax
+
+        inputs = prepare_input(struct, d_t=d_t, w_t=w_t,
+                               angle=self.config.model.g_update)
+        out = self.model.apply({"params": self.trainer.state.params}, inputs,
+                               deterministic=True)
+        hyper = self.config.hyper
+        value = float(out["property"][0, 0]) * hyper.target_std + hyper.target_mean
+        ga = np.asarray(out["ga_score"])[0, : len(struct), 0]
+        return value, ga

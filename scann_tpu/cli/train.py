@@ -1,0 +1,70 @@
+"""Training CLI — same UX as the reference ``train.py``:
+
+    python -m scann_tpu.cli.train <target> <config.yaml> \
+        [--use_ring] [--use_ref] [--use_drop] [--feature atomic|cgcnn] \
+        [--pretrained PATH] [--mode train|eval] [--epochs N]
+
+Flags merge into the config exactly like reference ``train.py:37-43``.
+"""
+
+import argparse
+import os
+import random
+import time
+
+import numpy as np
+
+
+def set_seed(seed: int = 0):
+    random.seed(seed)
+    np.random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a SCANN model on TPU")
+    parser.add_argument("target", type=str, help="target property (e.g. homo)")
+    parser.add_argument("dataset", type=str, help="path to config YAML")
+    parser.add_argument("--use_ring", action="store_true",
+                        help="use ring/aromatic extra embedding")
+    parser.add_argument("--use_ref", action="store_true",
+                        help="subtract reference energy from the target")
+    parser.add_argument("--use_drop", action="store_true",
+                        help="attention dropout during training")
+    parser.add_argument("--feature", type=str, default="atomic",
+                        choices=["atomic", "cgcnn"])
+    parser.add_argument("--pretrained", type=str, default="",
+                        help="H5 or orbax checkpoint to start from")
+    parser.add_argument("--mode", type=str, default="train",
+                        choices=["train", "eval"])
+    parser.add_argument("--epochs", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from scann_tpu.api import Scann
+    from scann_tpu.config import load_config
+
+    set_seed(0)
+    config = load_config(args.dataset)
+    config.model.feature = args.feature
+    config.model.use_ring = args.use_ring
+    config.model.use_drop = args.use_drop
+    config.hyper.use_ref = args.use_ref
+    config.hyper.target = args.target
+    config.hyper.pretrained = args.pretrained
+
+    scann = Scann(config, pretrained=args.pretrained, mode=args.mode)
+    print(f"Loading dataset for target {args.target}")
+    scann.prepare_dataset()
+
+    if args.mode == "train":
+        print("Training")
+        t0 = time.time()
+        scann.train(args.epochs)
+        print(f"Training time: {time.time() - t0:.1f}s")
+
+    print("Evaluating")
+    scann.evaluate()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""MD-trajectory dataset builders: fullerene, Pt/graphene, SmFe12.
+
+All three are zenodo zips of (multi-frame) xyz files whose comment lines
+carry the targets (reference ``fullerene.py``, ``pt_graphene.py``,
+``smfe.py``):
+
+- fullerene: ``homo lumo total_energy`` on the comment line; ring/aromatic
+  flags included (used for transfer from QM9),
+- ptgp: ``total_energy Ref_energy`` (enables ``use_ref`` training),
+- smfe: extended-xyz with ``Lattice="..."`` and the formation energy as the
+  last quoted field.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import zipfile
+from typing import Callable, List
+
+import numpy as np
+
+from scann_tpu.data.atomic_data import atomic_numbers
+from scann_tpu.data.builders.bonds import ring_aromatic_flags
+from scann_tpu.data.builders.common import download, save_dataset
+
+FULLERENE_URL = "https://zenodo.org/record/8435481/files/fullerene.zip?download=1"
+PTGP_URL = "https://zenodo.org/record/8435481/files/pt_graphene.zip?download=1"
+SMFE_URL = "https://zenodo.org/record/8435481/files/smfe12.zip?download=1"
+
+
+def iter_xyz_frames(path: str):
+    """Yield (comment, species, coords) for every frame in a multi-xyz file."""
+    with open(path) as f:
+        lines = f.readlines()
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        n = int(lines[i].split()[0])
+        comment = lines[i + 1].rstrip("\n")
+        species, coords = [], []
+        for ln in lines[i + 2 : i + 2 + n]:
+            parts = ln.split()
+            species.append(parts[0])
+            coords.append([float(x) for x in parts[1:4]])
+        yield comment, species, np.asarray(coords, dtype=np.float32)
+        i += 2 + n
+
+
+def _base_record(idx, species, coords, properties):
+    return {
+        "id": idx,
+        "Properties": properties,
+        "Atoms": list(species),
+        "Atomic": [atomic_numbers[s] for s in species],
+        "Coords": coords,
+        "Cartesian": True,
+    }
+
+
+def fullerene_record(idx, comment, species, coords):
+    vals = comment.split()
+    rec = _base_record(idx, species, coords, {
+        "homo": float(vals[0]), "lumo": float(vals[1]),
+        "total_energy": float(vals[2]),
+    })
+    ring, aromatic = ring_aromatic_flags(species, coords)
+    rec["Features"] = {"Ring": ring.tolist(), "Aromatic": aromatic.tolist()}
+    return rec
+
+
+def ptgp_record(idx, comment, species, coords):
+    vals = comment.split()
+    return _base_record(idx, species, coords, {
+        "total_energy": float(vals[0]), "Ref_energy": float(vals[1]),
+    })
+
+
+def smfe_record(idx, comment, species, coords):
+    parts = comment.split('"')
+    lattice = np.array(parts[1].split(), np.float32).reshape(3, 3)
+    rec = _base_record(idx, species, coords, {"e_f": float(parts[-2])})
+    rec["Lattice"] = lattice
+    del rec["Cartesian"]  # smfe records carry Lattice + cartesian coords
+    return rec
+
+
+def _process_zip(url: str, dataset: str, glob_pat: str,
+                 make_record: Callable, save_path: str,
+                 sort_by_size: bool = False):
+    tmpdir = tempfile.mkdtemp(dataset)
+    try:
+        zip_path = download(url, os.path.join(tmpdir, f"{dataset}.zip"), dataset)
+        zipfile.ZipFile(zip_path).extractall(tmpdir)
+        files = sorted(glob.glob(os.path.join(tmpdir, glob_pat)))
+        print(f"  {len(files)} xyz files")
+        records: List[dict] = []
+        idx = 0
+        for f in files:
+            for comment, species, coords in iter_xyz_frames(f):
+                records.append(make_record(idx, comment, species, coords))
+                idx += 1
+        return save_dataset(records, save_path, dataset, sort_by_size=sort_by_size)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def process_fullerene(save_path: str = ""):
+    return _process_zip(FULLERENE_URL, "fullerene", "*/*.xyz",
+                        fullerene_record, save_path)
+
+
+def process_ptgp(save_path: str = ""):
+    return _process_zip(PTGP_URL, "ptgp", "*/*.xyz", ptgp_record, save_path)
+
+
+def process_smfe(save_path: str = ""):
+    return _process_zip(SMFE_URL, "smfe", "*/*/*.xyz", smfe_record, save_path)
