@@ -69,6 +69,40 @@ class ResidualNorm(nn.Module):
         return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm")(x)
 
 
+class SplitDense(nn.Module):
+    """Dense over a concatenation, computed as partial matmuls.
+
+    ``concat(parts, -1) @ W == sum_i parts[i] @ W_i`` with W row-sliced.
+    Parts of rank 3 ([B, M, D], e.g. the center representation broadcast over
+    neighbors in the reference at ``attention.py:145``) are multiplied once
+    and broadcast into the rank-4 [B, M, N, D] sum — saving the N-fold
+    redundant matmul and the [B, M, N, 3D] concat materialization in HBM.
+    Parameter names/shapes are identical to a fused Dense (kernel [sum_D, F]),
+    so H5 checkpoint mapping is unaffected.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        in_dim = sum(p.shape[-1] for p in parts)
+        kernel = self.param("kernel", dense_init, (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.dtype)
+        out_rank = max(p.ndim for p in parts)
+        out = bias.astype(self.dtype)
+        off = 0
+        for p in parts:
+            w = kernel[off:off + p.shape[-1]]
+            term = p @ w
+            if term.ndim < out_rank:  # broadcast [B,M,F] over the N axis
+                term = jnp.expand_dims(term, -2)
+            out = out + term
+            off += p.shape[-1]
+        return out
+
+
 class LocalAttention(nn.Module):
     """Attention over Voronoi neighbors (reference ``attention.py:53-231``).
 
@@ -99,19 +133,20 @@ class LocalAttention(nn.Module):
 
         neighbor_states = gather_neighbor_states(centers, neighbor_idx)  # [B,M,N,D]
 
-        filter_geo = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype, name="filter_geo")
+        filter_geo = SplitDense(self.dim, dtype=self.dtype, name="filter_geo")
 
         if self.g_update:
-            # SCANN+ self-consistent geometry update (attention.py:141-153)
-            centers_b = jnp.broadcast_to(centers[:, :, None, :], (B, M, N, D))
-            update = swish(filter_geo(jnp.concatenate([centers_b, geometry, neighbor_states], axis=-1)))
+            # SCANN+ self-consistent geometry update (attention.py:141-153);
+            # the reference concats [center-broadcast, geometry, neighbor] —
+            # SplitDense computes the identical affine map without the concat
+            update = swish(filter_geo([centers, geometry, neighbor_states]))
             geometry = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm_g")(
                 update + geometry
             )
         else:
             # SCANN: filter the distance RBF, weight by Voronoi solid angle
             # (attention.py:155)
-            geometry = swish(filter_geo(geometry)) * neighbor_weight
+            geometry = swish(filter_geo([geometry])) * neighbor_weight
 
         key = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype, name="key")(
             neighbor_states * geometry
