@@ -155,6 +155,53 @@ def choose_buckets(
     return buckets
 
 
+class CsrDataset:
+    """Flat CSR view of the ragged dataset (built once, then packed natively).
+
+    Arrays: ``atom_offsets [S+1]``, ``nbr_offsets [total_atoms+1]``,
+    ``atomic [total_atoms]``, ``nbr_index/weight_raw/weight_norm/dist
+    [total_nbrs]``, ``targets [S]``, optional ``ring [total_atoms, 2]``.
+    """
+
+    def __init__(self, records, neighbors):
+        S = len(records)
+        atom_counts = np.fromiter((len(r["atomic"]) for r in records),
+                                  np.int64, count=S)
+        for i, (rec, nbr) in enumerate(zip(records, neighbors)):
+            if len(rec["atomic"]) != len(nbr):
+                raise ValueError(
+                    f"structure {i} has {len(rec['atomic'])} atoms but "
+                    f"{len(nbr)} neighbor lists")
+        self.atom_offsets = np.zeros(S + 1, np.int64)
+        np.cumsum(atom_counts, out=self.atom_offsets[1:])
+
+        nbr_counts = np.fromiter(
+            (len(lc) for p in neighbors for lc in p), np.int64,
+            count=int(self.atom_offsets[-1]))
+        self.nbr_offsets = np.zeros(len(nbr_counts) + 1, np.int64)
+        np.cumsum(nbr_counts, out=self.nbr_offsets[1:])
+
+        self.atomic = np.concatenate(
+            [np.asarray(r["atomic"], np.int32) for r in records]
+        ) if S else np.zeros(0, np.int32)
+        flat = [x for p in neighbors for lc in p for x in lc]
+        self.nbr_index = np.fromiter((int(x[1]) for x in flat), np.int32,
+                                     count=len(flat))
+        self.weight_raw = np.fromiter((float(x[2]) for x in flat), np.float32,
+                                      count=len(flat))
+        self.weight_norm = np.fromiter((float(x[3]) for x in flat), np.float32,
+                                       count=len(flat))
+        self.nbr_dist = np.fromiter((float(x[-1]) for x in flat), np.float32,
+                                    count=len(flat))
+        self.targets = np.fromiter((float(r["target"]) for r in records),
+                                   np.float32, count=S)
+        self.ring = None
+        if records and "ring" in records[0]:
+            self.ring = np.concatenate(
+                [np.asarray(r["ring"], np.float32).reshape(len(r["atomic"]), -1)
+                 for r in records])
+
+
 def pack_dataset(
     records: List[dict],
     neighbors: List[list],
@@ -168,87 +215,62 @@ def pack_dataset(
 ) -> List[PackedBucket]:
     """Pad every structure into its (M, N) bucket and return the buckets.
 
-    ``converter`` mirrors the reference's optional eV->meV factor
-    (``datagenerator.py:54-57``).
+    The ragged->padded fill runs in the native C++ packer
+    (``native/packer.cc``) when available. ``converter`` mirrors the
+    reference's optional eV->meV factor (``datagenerator.py:54-57``).
     """
-    sizes = []
-    for rec, nbr in zip(records, neighbors):
-        n_atoms = len(rec["atomic"])
-        if n_atoms != len(nbr):
-            raise ValueError(
-                f"structure has {n_atoms} atoms but {len(nbr)} neighbor lists"
-            )
-        max_nbr = max((len(a) for a in nbr), default=0)
-        sizes.append((n_atoms, max_nbr))
+    from scann_tpu.data.native import pack_bucket_native, structure_sizes_native
 
+    csr = CsrDataset(records, neighbors)
+    n_atoms_arr, max_nbrs_arr = structure_sizes_native(csr.atom_offsets,
+                                                       csr.nbr_offsets)
+    sizes = list(zip(n_atoms_arr.tolist(), max_nbrs_arr.tolist()))
     buckets = choose_buckets(sizes, atoms_multiple, neighbors_multiple, max_buckets)
 
-    def bucket_of(m, n):
-        for bi, (bm, bn) in enumerate(buckets):
-            if m <= bm and n <= bn:
-                return bi
-        raise AssertionError(f"no bucket for size ({m}, {n}) in {buckets}")
+    bucket_m = np.asarray([bm for bm, _ in buckets])
+    bucket_n = np.asarray([bn for _, bn in buckets])
+    # first bucket that fits both dims
+    fits = (n_atoms_arr[:, None] <= bucket_m) & (max_nbrs_arr[:, None] <= bucket_n)
+    assign_idx = np.argmax(fits, axis=1)
+    if not fits[np.arange(len(sizes)), assign_idx].all():
+        bad = int(np.nonzero(~fits.any(axis=1))[0][0])
+        raise AssertionError(f"no bucket for size {sizes[bad]} in {buckets}")
 
-    assign: List[List[int]] = [[] for _ in buckets]
-    for i, (m, n) in enumerate(sizes):
-        assign[bucket_of(m, n)].append(i)
+    # SCANN+ uses the raw solid angle, SCANN the normalized one
+    # (reference datagenerator.py:48-50: weight_index 2 vs 3)
+    weights = csr.weight_raw if g_update else csr.weight_norm
+    feat_table = None
+    if feature == "cgcnn":
+        table = get_atomic_features()
+        max_z = max(int(k) for k in table)
+        feat_table = np.zeros((max_z + 1, 92), np.float32)
+        for k, v in table.items():
+            feat_table[int(k)] = v
 
-    atomic_features = get_atomic_features() if feature == "cgcnn" else None
     packed = []
-    for (bm, bn), idxs in zip(buckets, assign):
-        if not idxs:
+    for bi, (bm, bn) in enumerate(buckets):
+        rows = np.nonzero(assign_idx == bi)[0]
+        if len(rows) == 0:
             continue
-        S = len(idxs)
+        inputs = pack_bucket_native(rows, csr.atom_offsets, csr.nbr_offsets,
+                                    csr.atomic, csr.nbr_index, weights,
+                                    csr.nbr_dist, bm, bn)
         if feature == "cgcnn":
-            atomic = np.zeros((S, bm, 92), np.float32)
-        else:
-            atomic = np.zeros((S, bm), np.int32)
-        atom_mask = np.zeros((S, bm, 1), np.float32)
-        nbr_idx = np.zeros((S, bm, bn), np.int32)
-        nbr_mask = np.zeros((S, bm, bn), np.float32)
-        nbr_weight = np.zeros((S, bm, bn), np.float32)
-        nbr_dist = np.zeros((S, bm, bn), np.float32)
-        ring = np.zeros((S, bm, 2), np.float32) if use_ring else None
-        targets = np.zeros((S,), np.float32)
-
-        # SCANN+ uses the raw solid angle, SCANN the normalized one
-        # (reference datagenerator.py:48-50: weight_index 2 vs 3)
-        w_col = 2 if g_update else 3
-
-        for row, i in enumerate(idxs):
-            rec, nbr = records[i], neighbors[i]
-            na = len(rec["atomic"])
-            if feature == "cgcnn":
-                for a, z in enumerate(rec["atomic"]):
-                    atomic[row, a] = atomic_features[str(int(z))]
-            else:
-                atomic[row, :na] = rec["atomic"]
-            atom_mask[row, :na, 0] = 1.0
-            targets[row] = rec["target"] * converter
-            if use_ring:
-                r = rec["ring"]
-                ring[row, :na] = r[:na]
-            for a, lst in enumerate(nbr):
-                k = len(lst)
-                if k == 0:
-                    continue
-                nbr_idx[row, a, :k] = [int(x[1]) for x in lst]
-                nbr_mask[row, a, :k] = 1.0
-                nbr_weight[row, a, :k] = [float(x[w_col]) for x in lst]
-                nbr_dist[row, a, :k] = [float(x[-1]) for x in lst]
-
-        inputs = {
-            "atomic": atomic,
-            "atom_mask": atom_mask,
-            "neighbors": nbr_idx,
-            "neighbor_mask": nbr_mask,
-            "neighbor_weight": nbr_weight,
-            "neighbor_distance": nbr_dist,
-        }
+            am = inputs["atom_mask"][..., 0] > 0
+            inputs["atomic"] = feat_table[inputs["atomic"]] * am[..., None]
         if use_ring:
+            if csr.ring is None:
+                raise ValueError("use_ring=True but records have no 'ring' data")
+            ring = np.zeros((len(rows), bm, csr.ring.shape[1]), np.float32)
+            for r, s in enumerate(rows):
+                a0, a1 = csr.atom_offsets[s], csr.atom_offsets[s + 1]
+                ring[r, : a1 - a0] = csr.ring[a0:a1]
             inputs["ring_aromatic"] = ring
-        packed.append(PackedBucket(inputs=inputs, targets=targets,
-                                   indices=np.asarray(idxs)))
+        packed.append(PackedBucket(
+            inputs=inputs,
+            targets=csr.targets[rows] * converter,
+            indices=rows,
+        ))
     return packed
 
 

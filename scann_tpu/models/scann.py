@@ -69,38 +69,29 @@ class ResidualNorm(nn.Module):
         return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm")(x)
 
 
-class SplitDense(nn.Module):
-    """Dense over a concatenation, computed as partial matmuls.
+class DenseParams(nn.Module):
+    """Parameter container with a Dense-compatible pytree (kernel/bias)."""
 
-    ``concat(parts, -1) @ W == sum_i parts[i] @ W_i`` with W row-sliced.
-    Parts of rank 3 ([B, M, D], e.g. the center representation broadcast over
-    neighbors in the reference at ``attention.py:145``) are multiplied once
-    and broadcast into the rank-4 [B, M, N, D] sum — saving the N-fold
-    redundant matmul and the [B, M, N, 3D] concat materialization in HBM.
-    Parameter names/shapes are identical to a fused Dense (kernel [sum_D, F]),
-    so H5 checkpoint mapping is unaffected.
-    """
-
+    in_dim: int
     features: int
-    dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, parts):
-        in_dim = sum(p.shape[-1] for p in parts)
-        kernel = self.param("kernel", dense_init, (in_dim, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        kernel = kernel.astype(self.dtype)
-        out_rank = max(p.ndim for p in parts)
-        out = bias.astype(self.dtype)
-        off = 0
-        for p in parts:
-            w = kernel[off:off + p.shape[-1]]
-            term = p @ w
-            if term.ndim < out_rank:  # broadcast [B,M,F] over the N axis
-                term = jnp.expand_dims(term, -2)
-            out = out + term
-            off += p.shape[-1]
-        return out
+    def __call__(self):
+        k = self.param("kernel", dense_init, (self.in_dim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return {"kernel": k, "bias": b}
+
+
+class LayerNormParams(nn.Module):
+    """Parameter container with a LayerNorm-compatible pytree (scale/bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return {"scale": s, "bias": b}
 
 
 class LocalAttention(nn.Module):
@@ -109,6 +100,13 @@ class LocalAttention(nn.Module):
     The reference model always builds this with v_proj=False, kq_proj=True
     (``scann_model.py:395-403``): values are the projected keys and the
     residual stream is the projected query.
+
+    Two execution paths over one parameter set:
+    - ``use_pallas=True``: the fused single-kernel TPU path
+      (``scann_tpu.kernels.local_attention``),
+    - otherwise the pure-jnp composition, with the SCANN+ geometry update
+      computed as split partial matmuls (no [B,M,N,3D] concat; the center
+      term is computed once per atom, not once per neighbor).
     """
 
     dim: int
@@ -117,6 +115,7 @@ class LocalAttention(nn.Module):
     g_update: bool = False
     dropout: bool = False
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -128,30 +127,22 @@ class LocalAttention(nn.Module):
         neighbor_weight: Optional[jnp.ndarray] = None,  # [B, M, N, 1] (no g_update)
         deterministic: bool = True,
     ):
-        B, M, D = centers.shape
-        N = neighbor_idx.shape[2]
-
-        neighbor_states = gather_neighbor_states(centers, neighbor_idx)  # [B,M,N,D]
-
-        filter_geo = SplitDense(self.dim, dtype=self.dtype, name="filter_geo")
-
-        if self.g_update:
-            # SCANN+ self-consistent geometry update (attention.py:141-153);
-            # the reference concats [center-broadcast, geometry, neighbor] —
-            # SplitDense computes the identical affine map without the concat
-            update = swish(filter_geo([centers, geometry, neighbor_states]))
-            geometry = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm_g")(
-                update + geometry
-            )
-        else:
-            # SCANN: filter the distance RBF, weight by Voronoi solid angle
-            # (attention.py:155)
-            geometry = swish(filter_geo([geometry])) * neighbor_weight
-
-        key = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype, name="key")(
-            neighbor_states * geometry
+        from scann_tpu.kernels.local_attention import (
+            fused_local_attention,
+            reference_local_attention,
         )
-        query = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype, name="query")(centers)
+
+        B, M, D = centers.shape
+        fg_in = 3 * D if self.g_update else geometry.shape[-1]
+        params = {
+            "filter_geo": DenseParams(fg_in, self.dim, name="filter_geo")(),
+            "key": DenseParams(self.dim, self.dim, name="key")(),
+            "query": DenseParams(self.dim, self.dim, name="query")(),
+            "layer_norm": LayerNormParams(self.dim, name="layer_norm")(),
+        }
+        if self.g_update:
+            params["layer_norm_g"] = LayerNormParams(self.dim, name="layer_norm_g")()
+        params = jax.tree.map(lambda x: x.astype(self.dtype), params)
 
         drop_rng = None
         rate = 0.0
@@ -159,17 +150,22 @@ class LocalAttention(nn.Module):
             drop_rng = self.make_rng("dropout")
             rate = 0.05
 
-        attn, context = local_attention_core(
-            query, key, key, neighbor_mask,
-            num_head=self.num_head, scale=self.scale,
-            dropout_rate=rate, dropout_rng=drop_rng,
-        )
+        weight_in = None if neighbor_weight is None else neighbor_weight[..., 0]
+        if self.use_pallas and rate == 0.0:
+            out, geo_out, attn = fused_local_attention(
+                centers, neighbor_idx, geometry, neighbor_mask, weight_in,
+                params, self.num_head, self.scale, self.g_update)
+        else:
+            out, geo_out, attn = reference_local_attention(
+                centers, neighbor_idx, geometry, neighbor_mask, weight_in,
+                params, self.num_head, self.scale, self.g_update,
+                dropout_rate=rate, dropout_rng=drop_rng)
 
-        # residual with the projected query, then LayerNorm (attention.py:212-214)
-        context = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm")(
-            context + query
-        )
-        return attn, context, geometry
+        # public attn layout [B, H, M, N] (matches the reference's energy
+        # layout at attention.py:183)
+        attn = jnp.transpose(attn, (0, 3, 1, 2))
+        geometry_out = geo_out if self.g_update else geometry
+        return attn, out, geometry_out
 
 
 class GlobalAttention(nn.Module):
@@ -191,6 +187,7 @@ class ScannModel(nn.Module):
 
     config: ModelConfig
     mrelu_head: bool = False  # reference: activation=mrelu iff target == "e_b"
+    use_pallas: bool = False  # fused TPU kernels for the attention stack
 
     @nn.compact
     def __call__(
@@ -264,6 +261,7 @@ class ScannModel(nn.Module):
                 g_update=cfm.g_update,
                 dropout=cfm.use_drop,
                 dtype=dtype,
+                use_pallas=self.use_pallas,
                 name=f"local_attention_{i}",
             )(centers, neighbor_idx, geometry, neighbor_mask, weight_in, deterministic)
 

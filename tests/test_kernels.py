@@ -1,0 +1,134 @@
+"""Pallas kernel parity tests (interpret mode on the CPU suite).
+
+The fused kernel must match the pure-jnp reference layer bitwise-closely for
+both SCANN+ (g_update) and SCANN variants, including gradient flow through
+the custom VJP.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import scann_tpu.kernels.local_attention as kla
+from scann_tpu.kernels.local_attention import (
+    _pallas_forward,
+    reference_local_attention,
+)
+
+
+def make_layer_inputs(rng, B=4, M=16, N=8, D=32, g_update=True, n_rbf=20):
+    centers = rng.normal(size=(B, M, D)).astype(np.float32)
+    idx = rng.integers(0, M, size=(B, M, N)).astype(np.int32)
+    mask = (rng.uniform(size=(B, M, N)) > 0.25).astype(np.float32)
+    mask[..., 0] = 1.0
+    geometry = rng.normal(size=(B, M, N, D if g_update else n_rbf)).astype(np.float32)
+    weight = rng.uniform(0.3, 3.0, size=(B, M, N)).astype(np.float32)
+
+    fg_in = 3 * D if g_update else n_rbf
+    params = {
+        "filter_geo": {"kernel": rng.normal(size=(fg_in, D)).astype(np.float32) * 0.1,
+                       "bias": rng.normal(size=(D,)).astype(np.float32) * 0.1},
+        "key": {"kernel": rng.normal(size=(D, D)).astype(np.float32) * 0.1,
+                "bias": rng.normal(size=(D,)).astype(np.float32) * 0.1},
+        "query": {"kernel": rng.normal(size=(D, D)).astype(np.float32) * 0.1,
+                  "bias": rng.normal(size=(D,)).astype(np.float32) * 0.1},
+        "layer_norm": {"scale": np.ones(D, np.float32),
+                       "bias": np.zeros(D, np.float32)},
+    }
+    if g_update:
+        params["layer_norm_g"] = {"scale": np.ones(D, np.float32),
+                                  "bias": np.zeros(D, np.float32)}
+    return centers, idx, geometry, mask, weight, params
+
+
+@pytest.mark.parametrize("g_update", [True, False])
+def test_kernel_matches_reference(rng, g_update):
+    centers, idx, geometry, mask, weight, params = make_layer_inputs(
+        rng, g_update=g_update)
+    H, scale = 4, 0.5
+
+    out_k, geo_k, attn_k = _pallas_forward(
+        jnp.asarray(centers), jnp.asarray(idx), jnp.asarray(geometry),
+        jnp.asarray(mask), jnp.asarray(weight), params, H, scale, g_update,
+        interpret=True)
+    out_r, geo_r, attn_r = reference_local_attention(
+        jnp.asarray(centers), jnp.asarray(idx), jnp.asarray(geometry),
+        jnp.asarray(mask), jnp.asarray(weight), params, H, scale, g_update)
+
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(attn_k), np.asarray(attn_r),
+                               rtol=1e-4, atol=1e-6)
+    if g_update:
+        np.testing.assert_allclose(np.asarray(geo_k), np.asarray(geo_r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("g_update", [True, False])
+def test_custom_vjp_matches_reference_grad(rng, g_update, monkeypatch):
+    centers, idx, geometry, mask, weight, params = make_layer_inputs(
+        rng, B=2, M=8, N=4, D=16, g_update=g_update)
+    H, scale = 2, 0.5
+
+    # run the fused op in interpret mode on CPU
+    monkeypatch.setattr(
+        kla, "_pallas_forward",
+        functools.partial(kla._pallas_forward.__wrapped__, interpret=True)
+        if hasattr(kla._pallas_forward, "__wrapped__")
+        else functools.partial(kla._pallas_forward, interpret=True),
+    )
+
+    def loss_fused(c, g, p):
+        out, geo, attn = kla.fused_local_attention(
+            c, jnp.asarray(idx), g, jnp.asarray(mask), jnp.asarray(weight),
+            p, H, scale, g_update)
+        return jnp.sum(out ** 2) + jnp.sum(geo ** 2)
+
+    def loss_ref(c, g, p):
+        out, geo, attn = reference_local_attention(
+            c, jnp.asarray(idx), g, jnp.asarray(mask), jnp.asarray(weight),
+            p, H, scale, g_update)
+        if geo is None:
+            geo = g
+        return jnp.sum(out ** 2) + jnp.sum(geo ** 2)
+
+    args = (jnp.asarray(centers), jnp.asarray(geometry),
+            jax.tree.map(jnp.asarray, params))
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_model_with_pallas_matches_without(rng):
+    """Full model forward: pallas path == jnp path (interpret mode)."""
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.models import ScannModel
+    from conftest import make_synthetic_batch
+    import scann_tpu.kernels.local_attention as kmod
+
+    orig = kmod._pallas_forward
+    kmod_interp = functools.partial(orig, interpret=True)
+    kmod._pallas_forward = kmod_interp
+    try:
+        cfg = ModelConfig(n_attention=2, local_dim=32, num_head=4, global_dim=32,
+                          dense_out=16, embedding_dim=8, g_update=True, n_atoms=10)
+        inputs = make_synthetic_batch(rng, B=3, M=8, N=4)
+        m_ref = ScannModel(config=cfg, use_pallas=False)
+        params = m_ref.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+        out_ref = m_ref.apply(params, inputs, deterministic=True)
+        m_pl = ScannModel(config=cfg, use_pallas=True)
+        out_pl = m_pl.apply(params, inputs, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out_pl["property"]),
+                                   np.asarray(out_ref["property"]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_pl["ga_score"]),
+                                   np.asarray(out_ref["ga_score"]),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        kmod._pallas_forward = orig
