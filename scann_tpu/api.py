@@ -213,8 +213,8 @@ class Scann:
 
         inputs = prepare_input(struct, d_t=d_t, w_t=w_t,
                                angle=self.config.model.g_update)
-        out = self.model.apply({"params": self.trainer.state.params}, inputs,
-                               deterministic=True)
+        out = self.trainer.eval_model.apply(
+            {"params": self.trainer.state.params}, inputs, deterministic=True)
         hyper = self.config.hyper
         value = float(out["property"][0, 0]) * hyper.target_std + hyper.target_mean
         ga = np.asarray(out["ga_score"])[0, : len(struct), 0]

@@ -63,6 +63,18 @@ class Trainer:
         self.model = model or ScannModel(
             config=config.model, mrelu_head=(config.hyper.target == "e_b")
         )
+        # Inference/eval path uses the fused Pallas kernels on TPU (1.9x
+        # faster forward); training keeps the XLA path until the fused
+        # backward kernel lands (the custom-VJP rematerialization would
+        # otherwise cost an extra forward per step).
+        use_pallas = (config.tpu.use_pallas
+                      and jax.default_backend() == "tpu"
+                      and not self.model.use_pallas)
+        self.eval_model = (
+            ScannModel(config=self.model.config,
+                       mrelu_head=self.model.mrelu_head, use_pallas=True)
+            if use_pallas else self.model
+        )
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices=(config.tpu.mesh_shape[0] if config.tpu.mesh_shape else None)
         )
@@ -103,6 +115,7 @@ class Trainer:
 
     def _make_steps(self):
         model = self.model
+        eval_model = self.eval_model
         tx = self.tx
         l2 = self.config.hyper.l2_reg
 
@@ -135,7 +148,7 @@ class Trainer:
         def eval_step(params, binputs, btargets, idx, sample_mask):
             batch = jax.tree.map(lambda x: x[idx], binputs)
             y = btargets[idx]
-            out = model.apply({"params": params}, batch, deterministic=True)
+            out = eval_model.apply({"params": params}, batch, deterministic=True)
             pred = out["property"][:, 0]
             return pred, y, sample_mask
 
@@ -208,7 +221,8 @@ class Trainer:
             def body(_, idx):
                 idx = jax.lax.with_sharding_constraint(idx, bsh)
                 batch = jax.tree.map(lambda x: x[idx], binputs)
-                out = model.apply({"params": params}, batch, deterministic=True)
+                out = eval_model.apply({"params": params}, batch,
+                                       deterministic=True)
                 return None, out["property"][:, 0]
 
             _, preds = jax.lax.scan(body, None, idx_plan)
@@ -377,7 +391,7 @@ class Trainer:
                 with_ga: bool = False):
         """Predict (un-standardized) targets for packed structures, in the
         original dataset order; optionally also per-atom GA scores."""
-        model = self.model
+        model = self.eval_model
         bs = batch_size or self.config.hyper.batch_size
 
         @jax.jit
