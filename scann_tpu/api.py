@@ -45,8 +45,16 @@ def prepare_input(
     cutoff: float = 7.0,
     atoms_multiple: int = 8,
     neighbors_multiple: int = 4,
+    use_ring: bool = False,
+    feature: str = "atomic",
 ) -> Dict[str, np.ndarray]:
-    """Featurize one structure into a padded model-input dict (batch of 1)."""
+    """Featurize one structure into a padded model-input dict (batch of 1).
+
+    ``use_ring`` adds the [ring, aromatic] channel (bond-graph derived, see
+    ``builders.bonds``); ``feature="cgcnn"`` expands atomic numbers into the
+    92-dim CGCNN descriptors — both go beyond the reference
+    ``prepare_input_pmt``, which only supports the 6 base inputs.
+    """
     neighbors = compute_voronoi_neighbors(
         struct.as_periodic(), cutoff=cutoff, d_thresh=d_t, w_thresh=w_t
     )
@@ -72,6 +80,24 @@ def prepare_input(
             inputs["neighbor_mask"][0, a, j] = 1.0
             inputs["neighbor_weight"][0, a, j] = float(rec[w_col])
             inputs["neighbor_distance"][0, a, j] = float(rec[-1])
+
+    if use_ring:
+        from scann_tpu.data.builders.bonds import ring_aromatic_flags
+
+        ring, aromatic = ring_aromatic_flags(list(struct.species), struct.coords)
+        ra = np.zeros((1, M, 2), np.float32)
+        ra[0, :n_atoms, 0] = ring
+        ra[0, :n_atoms, 1] = aromatic
+        inputs["ring_aromatic"] = ra
+
+    if feature == "cgcnn":
+        from scann_tpu.data.atomic_data import get_atomic_features
+
+        table = get_atomic_features()
+        feat = np.zeros((1, M, 92), np.float32)
+        for a, z in enumerate(struct.atomic_numbers):
+            feat[0, a] = table[str(int(z))]
+        inputs["atomic"] = feat
     return inputs
 
 
@@ -212,7 +238,9 @@ class Scann:
         import jax
 
         inputs = prepare_input(struct, d_t=d_t, w_t=w_t,
-                               angle=self.config.model.g_update)
+                               angle=self.config.model.g_update,
+                               use_ring=self.config.model.use_ring,
+                               feature=self.config.model.feature)
         out = self.trainer.eval_model.apply(
             {"params": self.trainer.state.params}, inputs, deterministic=True)
         hyper = self.config.hyper

@@ -38,6 +38,9 @@ def main(argv=None):
     parser.add_argument("--mode", type=str, default="train",
                         choices=["train", "eval"])
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
+                        help="capture a jax.profiler trace of training into "
+                             "LOGDIR (TensorBoard-loadable)")
     args = parser.parse_args(argv)
 
     from scann_tpu.api import Scann
@@ -59,7 +62,13 @@ def main(argv=None):
     if args.mode == "train":
         print("Training")
         t0 = time.time()
-        scann.train(args.epochs)
+        if args.profile:
+            from scann_tpu.utils import trace
+
+            with trace(args.profile):
+                scann.train(args.epochs)
+        else:
+            scann.train(args.epochs)
         print(f"Training time: {time.time() - t0:.1f}s")
 
     print("Evaluating")
