@@ -1,0 +1,298 @@
+"""Whole-model fused Pallas forward: the entire SCANN graph in ONE kernel.
+
+The SCANN model is launch-latency-bound: its tensors are tiny (M<=64 atoms,
+D=128) but the unfused graph is hundreds of XLA ops. This kernel runs the
+full forward — atom embedding, Gaussian RBF geometry, all n_attention
+LocalAttention(+ResidualNorm) layers, the GlobalAttention readout and the
+property head (reference graph at ``scann_model.py:329-453``) — inside a
+single Pallas program per batch row, with every intermediate in VMEM:
+
+- atom embedding and neighbor gather are one-hot matmuls on the MXU,
+- per-layer parameters are stacked [L, ...] and sliced inside the kernel
+  (static python loop over layers -> fully unrolled),
+- per-head attention reductions are 0/1 segment matmuls (no lane reshapes),
+- the GA readout uses the O(M D) diagonal-excluded row-sum identity
+  (see ``ops/attention.py``).
+
+Supported config subset (the flagship paths): feature="atomic",
+use_attn_norm=True, optional g_update / use_ga_norm / mrelu head, no ring
+features, no dropout (inference). Unsupported configs fall back to the flax
+model automatically (see ``supports_config``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scann_tpu.config import ModelConfig
+from scann_tpu.ops.activations import swish
+from scann_tpu.ops.rbf import make_centers
+
+
+def _ln(x, gamma, beta, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def supports_config(cfm: ModelConfig) -> bool:
+    return (cfm.feature == "atomic" and not cfm.use_ring and cfm.use_attn_norm
+            and not cfm.use_drop)
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot3(x, w):
+    return jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _kernel(
+    atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
+    embed_ref, wde_ref, bde_ref,
+    wnd_ref, bnd_ref, wnw_ref, bnw_ref,          # g_update geometry embeds
+    wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
+    ln_s_ref, ln_b_ref, lng_s_ref, lng_b_ref,
+    wr1_ref, br1_ref, wr2_ref, br2_ref, rln_s_ref, rln_b_ref,
+    wal_ref, bal_ref,                             # after_Lc
+    wgq_ref, bgq_ref, wgk_ref, bgk_ref,           # global attention
+    wbf_ref, bbf_ref, wp_ref, bp_ref,             # property head
+    dist_centers_ref, angle_centers_ref,
+    out_ref, ga_ref,
+    *, n_layers: int, num_head: int, scale: float, g_update: bool,
+    ga_norm: bool, mrelu: bool, rbf_width: float,
+):
+    M = atomic_ref.shape[1]
+    N = idx_ref.shape[2]
+    vocab = embed_ref.shape[0]
+    D = wk_ref.shape[2]
+    H = num_head
+    hd = D // H
+
+    atomic = atomic_ref[0]                                     # [M, 1] int32
+    am = atom_mask_ref[0]                                      # [M, 1]
+    idx = idx_ref[0]                                           # [M, N]
+    nmask = nmask_ref[0]                                       # [M, N]
+
+    # --- atom embedding as one-hot matmul --------------------------------
+    zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
+    z_oh = (zcols == atomic).astype(jnp.float32)
+    centers = _mm(z_oh, embed_ref[:])                          # [M, E]
+    centers = swish(_mm(centers, wde_ref[:]) + bde_ref[:])     # [M, D]
+
+    # --- geometry features ------------------------------------------------
+    K = dist_centers_ref.shape[1]
+    d3 = dist_ref[0][:, :, None]                               # [M, N, 1]
+    rbf_d = jnp.exp(-jnp.square(d3 - dist_centers_ref[0]) / rbf_width)  # [M,N,K]
+    if g_update:
+        w3 = weight_ref[0][:, :, None]
+        rbf_w = jnp.exp(-jnp.square(w3 - angle_centers_ref[0]) / rbf_width)
+        d_emb = swish(_dot3(rbf_d, wnd_ref[:]) + bnd_ref[:])
+        w_emb = swish(_dot3(rbf_w, wnw_ref[:]) + bnw_ref[:])
+        geometry = d_emb * w_emb                               # [M, N, D]
+
+    # one-hot neighbor map, reused by every layer
+    ncols = jax.lax.broadcasted_iota(jnp.int32, (M, N, M), dimension=2)
+    n_oh = (ncols == idx[:, :, None]).astype(jnp.float32)
+
+    # head-segment matmul maps
+    lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=1)
+    seg_sum = (lane // hd == head).astype(jnp.float32)         # [D, H]
+    seg_expand = jnp.transpose(seg_sum)                        # [H, D]
+    dk = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
+
+    # --- attention stack (static unroll) ----------------------------------
+    for l in range(n_layers):
+        ns = _dot3(n_oh, centers)                              # [M, N, D]
+        if g_update:
+            wfg = wfg_ref[l]
+            cw = _mm(centers, wfg[0:D, :])
+            u = (jnp.broadcast_to(cw.reshape(M, 1, D), (M, N, D))
+                 + _dot3(geometry, wfg[D:2 * D, :])
+                 + _dot3(ns, wfg[2 * D:3 * D, :])
+                 + bfg_ref[l])
+            geometry = _ln(swish(u) + geometry, lng_s_ref[l], lng_b_ref[l])
+            geo_term = geometry
+        else:
+            u = swish(_dot3(rbf_d, wfg_ref[l]) + bfg_ref[l])
+            geo_term = u * weight_ref[0][:, :, None]
+
+        key = _dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]      # [M, N, D]
+        query = _mm(centers, wq_ref[l]) + bq_ref[l]            # [M, D]
+
+        prod = jnp.broadcast_to((query * dk).reshape(M, 1, D), (M, N, D)) * key
+        energy = _dot3(prod, seg_sum)                          # [M, N, H]
+        energy = energy + (1.0 - nmask)[:, :, None] * (-1e9)
+        energy = energy - jnp.max(energy, axis=1, keepdims=True)
+        e = jnp.exp(energy)
+        attn = e / jnp.sum(e, axis=1, keepdims=True)
+
+        a_lanes = _dot3(attn, seg_expand)                      # [M, N, D]
+        ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
+        out = _ln(ctx + query, ln_s_ref[l], ln_b_ref[l])
+
+        # ResidualNorm FFN (reference attention.py:19-50)
+        h = swish(_mm(out, wr1_ref[l]) + br1_ref[l])
+        h = _mm(h, wr2_ref[l]) + br2_ref[l]
+        centers = _ln(out + h, rln_s_ref[l], rln_b_ref[l])
+
+    # --- readout ----------------------------------------------------------
+    centers = swish(_mm(centers, wal_ref[:]) + bal_ref[:])     # [M, G]
+    gq = _mm(centers, wgq_ref[:]) + bgq_ref[:]
+    gk = _mm(centers, wgk_ref[:]) + bgk_ref[:]
+    mq = am * gq
+    mk = am * gk
+    qsum = jnp.sum(mq, axis=0, keepdims=True)                  # [1, G]
+    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)         # [M, 1]
+    diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
+    agg = am * (cross - diag)
+    if ga_norm:
+        nrm = jnp.sqrt(jnp.sum(agg * agg, axis=0, keepdims=True))
+        agg = agg / jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+    agg = agg + (1.0 - am) * (-1e9)
+    agg = agg - jnp.max(agg, axis=0, keepdims=True)
+    e = jnp.exp(agg)
+    ga = e / jnp.sum(e, axis=0, keepdims=True)                 # [M, 1]
+
+    struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)       # [1, G]
+    struc = swish(_mm(struc, wbf_ref[:]) + bbf_ref[:])         # [1, O]
+    pred = _mm(struc, wp_ref[:]) + bp_ref[:]                   # [1, 1]
+    if mrelu:
+        pred = jnp.maximum(pred, 0.0)
+
+    out_ref[0] = pred                                          # [1, 1]
+    ga_ref[0] = ga                                             # [M, 1]
+
+
+def stack_layer_params(params: dict, n_layers: int, g_update: bool):
+    """Stack per-layer LocalAttention/ResidualNorm params along a new leading
+    [L] axis for the fused kernel."""
+    def stack(getter):
+        return jnp.stack([getter(i) for i in range(n_layers)])
+
+    la = lambda i: params[f"local_attention_{i}"]
+    rn = lambda i: params[f"residual_norm_{i}"]
+    out = dict(
+        wfg=stack(lambda i: la(i)["filter_geo"]["kernel"]),
+        bfg=stack(lambda i: la(i)["filter_geo"]["bias"]),
+        wk=stack(lambda i: la(i)["key"]["kernel"]),
+        bk=stack(lambda i: la(i)["key"]["bias"]),
+        wq=stack(lambda i: la(i)["query"]["kernel"]),
+        bq=stack(lambda i: la(i)["query"]["bias"]),
+        ln_s=stack(lambda i: la(i)["layer_norm"]["scale"]),
+        ln_b=stack(lambda i: la(i)["layer_norm"]["bias"]),
+        wr1=stack(lambda i: rn(i)["dense_1"]["kernel"]),
+        br1=stack(lambda i: rn(i)["dense_1"]["bias"]),
+        wr2=stack(lambda i: rn(i)["dense_2"]["kernel"]),
+        br2=stack(lambda i: rn(i)["dense_2"]["bias"]),
+        rln_s=stack(lambda i: rn(i)["layer_norm"]["scale"]),
+        rln_b=stack(lambda i: rn(i)["layer_norm"]["bias"]),
+    )
+    if g_update:
+        out["lng_s"] = stack(lambda i: la(i)["layer_norm_g"]["scale"])
+        out["lng_b"] = stack(lambda i: la(i)["layer_norm_g"]["bias"])
+    else:
+        D = out["wk"].shape[-1]
+        out["lng_s"] = jnp.ones((n_layers, D), jnp.float32)
+        out["lng_b"] = jnp.zeros((n_layers, D), jnp.float32)
+    return out
+
+
+def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
+                        mrelu_head: bool = False,
+                        interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the full SCANN forward in one Pallas kernel.
+
+    Returns (property [B, 1], ga_score [B, M, 1]); f32.
+    """
+    assert supports_config(cfm), "config not supported by the fused forward"
+    params = params.get("params", params)
+
+    B, M = inputs["atomic"].shape[:2]
+    N = inputs["neighbors"].shape[2]
+    L = cfm.n_attention
+    D = cfm.local_dim
+    G = cfm.global_dim
+    O = cfm.dense_out
+
+    sp = stack_layer_params(params, L, cfm.g_update)
+    dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
+    angle_centers = jnp.asarray(make_centers(2 * np.pi, cfm.num_gaussian))[None]
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    if cfm.g_update:
+        wnd, bnd = params["neighbor_d"]["kernel"], params["neighbor_d"]["bias"]
+        wnw, bnw = params["neighbor_w"]["kernel"], params["neighbor_w"]["bias"]
+    else:
+        K = cfm.num_gaussian
+        wnd = jnp.zeros((K, D), jnp.float32)
+        bnd = jnp.zeros((D,), jnp.float32)
+        wnw, bnw = wnd, bnd
+
+    operands = [
+        # batched rank-2 arrays carry a trailing singleton so every block's
+        # last two dims equal the array dims (Mosaic block-shape rule)
+        jnp.asarray(inputs["atomic"], jnp.int32)[..., None],
+        f32(inputs["atom_mask"]),
+        jnp.asarray(inputs["neighbors"], jnp.int32),
+        f32(inputs["neighbor_mask"]),
+        f32(inputs["neighbor_weight"]),
+        f32(inputs["neighbor_distance"]),
+        f32(params["embed_atom"]["embedding"]),
+        f32(params["dense_embed"]["kernel"]), f32(params["dense_embed"]["bias"]),
+        f32(wnd), f32(bnd), f32(wnw), f32(bnw),
+        f32(sp["wfg"]), f32(sp["bfg"]), f32(sp["wk"]), f32(sp["bk"]),
+        f32(sp["wq"]), f32(sp["bq"]),
+        f32(sp["ln_s"]), f32(sp["ln_b"]), f32(sp["lng_s"]), f32(sp["lng_b"]),
+        f32(sp["wr1"]), f32(sp["br1"]), f32(sp["wr2"]), f32(sp["br2"]),
+        f32(sp["rln_s"]), f32(sp["rln_b"]),
+        f32(params["after_Lc"]["kernel"]), f32(params["after_Lc"]["bias"]),
+        f32(params["global_attention"]["query"]["kernel"]),
+        f32(params["global_attention"]["query"]["bias"]),
+        f32(params["global_attention"]["key"]["kernel"]),
+        f32(params["global_attention"]["key"]["bias"]),
+        f32(params["bf_property"]["kernel"]), f32(params["bf_property"]["bias"]),
+        f32(params["predict_property"]["kernel"]), f32(params["predict_property"]["bias"]),
+        dist_centers, angle_centers,
+    ]
+
+    def spec_for(x, batched):
+        if batched:
+            blk = (1,) + x.shape[1:]
+            idx_map = lambda b, nd=x.ndim: (b,) + (0,) * (nd - 1)
+        else:
+            blk = x.shape
+            idx_map = lambda b, nd=x.ndim: (0,) * nd
+        return pl.BlockSpec(blk, idx_map, memory_space=pltpu.VMEM)
+
+    in_specs = [spec_for(x, i < 6) for i, x in enumerate(operands)]
+
+    out, ga = pl.pallas_call(
+        functools.partial(
+            _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
+            g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
+            rbf_width=0.25,
+        ),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return out[:, :, 0], ga

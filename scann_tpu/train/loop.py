@@ -63,18 +63,22 @@ class Trainer:
         self.model = model or ScannModel(
             config=config.model, mrelu_head=(config.hyper.target == "e_b")
         )
-        # Inference/eval path uses the fused Pallas kernels on TPU (1.9x
-        # faster forward); training keeps the XLA path until the fused
-        # backward kernel lands (the custom-VJP rematerialization would
-        # otherwise cost an extra forward per step).
-        use_pallas = (config.tpu.use_pallas
-                      and jax.default_backend() == "tpu"
-                      and not self.model.use_pallas)
+        # Inference/eval path uses the fused Pallas kernels on TPU (2x faster
+        # per-layer; the whole-model single-kernel forward where the config
+        # allows it); training keeps the XLA path until the fused backward
+        # kernel lands (the custom-VJP rematerialization would otherwise cost
+        # an extra forward per step).
+        pallas_ok = (config.tpu.use_pallas
+                     and jax.default_backend() == "tpu"
+                     and not self.model.use_pallas)
         self.eval_model = (
             ScannModel(config=self.model.config,
                        mrelu_head=self.model.mrelu_head, use_pallas=True)
-            if use_pallas else self.model
+            if pallas_ok else self.model
         )
+        from scann_tpu.kernels.scann_forward import supports_config
+
+        self._use_fused_eval = pallas_ok and supports_config(config.model)
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices=(config.tpu.mesh_shape[0] if config.tpu.mesh_shape else None)
         )
@@ -113,9 +117,20 @@ class Trainer:
 
     # --- jitted steps --------------------------------------------------------
 
+    def forward_eval(self, params, batch):
+        """Deterministic forward -> (property [B,1], ga_score [B,M,1]),
+        through the fastest available path (whole-model fused kernel >
+        per-layer kernels > XLA)."""
+        if self._use_fused_eval:
+            from scann_tpu.kernels.scann_forward import fused_scann_forward
+
+            return fused_scann_forward(params, batch, self.config.model,
+                                       mrelu_head=self.model.mrelu_head)
+        out = self.eval_model.apply({"params": params}, batch, deterministic=True)
+        return out["property"], out["ga_score"]
+
     def _make_steps(self):
         model = self.model
-        eval_model = self.eval_model
         tx = self.tx
         l2 = self.config.hyper.l2_reg
 
@@ -148,9 +163,8 @@ class Trainer:
         def eval_step(params, binputs, btargets, idx, sample_mask):
             batch = jax.tree.map(lambda x: x[idx], binputs)
             y = btargets[idx]
-            out = eval_model.apply({"params": params}, batch, deterministic=True)
-            pred = out["property"][:, 0]
-            return pred, y, sample_mask
+            pred, _ = self.forward_eval(params, batch)
+            return pred[:, 0], y, sample_mask
 
         self._train_step = train_step
         self._eval_step = eval_step
@@ -221,9 +235,8 @@ class Trainer:
             def body(_, idx):
                 idx = jax.lax.with_sharding_constraint(idx, bsh)
                 batch = jax.tree.map(lambda x: x[idx], binputs)
-                out = eval_model.apply({"params": params}, batch,
-                                       deterministic=True)
-                return None, out["property"][:, 0]
+                pred, _ = self.forward_eval(params, batch)
+                return None, pred[:, 0]
 
             _, preds = jax.lax.scan(body, None, idx_plan)
             return preds.reshape(-1)
@@ -391,13 +404,12 @@ class Trainer:
                 with_ga: bool = False):
         """Predict (un-standardized) targets for packed structures, in the
         original dataset order; optionally also per-atom GA scores."""
-        model = self.eval_model
         bs = batch_size or self.config.hyper.batch_size
 
         @jax.jit
         def fwd(params, batch):
-            out = model.apply({"params": params}, batch, deterministic=True)
-            return out["property"][:, 0], out["ga_score"][..., 0]
+            pred, ga = self.forward_eval(params, batch)
+            return pred[:, 0], ga[..., 0]
 
         n_total = sum(b.num_structures for b in buckets)
         preds = np.zeros(n_total, np.float32)

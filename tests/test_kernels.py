@@ -132,3 +132,38 @@ def test_model_with_pallas_matches_without(rng):
                                    rtol=1e-4, atol=1e-5)
     finally:
         kmod._pallas_forward = orig
+
+
+@pytest.mark.parametrize("g_update,ga_norm,mrelu", [
+    (True, True, False), (False, False, True), (True, False, False),
+])
+def test_fused_whole_model_forward(rng, g_update, ga_norm, mrelu):
+    """The single-kernel whole-model forward == flax model (interpret mode)."""
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_forward import fused_scann_forward, supports_config
+    from scann_tpu.models import ScannModel
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2, local_dim=32,
+                      num_head=4, global_dim=32, dense_out=16,
+                      g_update=g_update, use_ga_norm=ga_norm)
+    assert supports_config(cfg)
+    inputs = make_synthetic_batch(rng, B=3, M=12, N=6)
+    model = ScannModel(config=cfg, mrelu_head=mrelu)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    ref = model.apply(params, inputs, deterministic=True)
+    pred, ga = fused_scann_forward(params, inputs, cfg, mrelu_head=mrelu,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ref["ga_score"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_forward_rejects_unsupported_config():
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_forward import supports_config
+
+    assert not supports_config(ModelConfig(feature="cgcnn"))
+    assert not supports_config(ModelConfig(use_ring=True))
+    assert not supports_config(ModelConfig(use_drop=True))
