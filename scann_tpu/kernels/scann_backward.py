@@ -1,0 +1,577 @@
+"""Whole-model fused Pallas backward: all parameter gradients in ONE kernel.
+
+Pairs with ``scann_forward.fused_scann_forward``. Given the output cotangents
+(d pred, d ga_score), one Pallas program per batch row recomputes the forward
+(stashing only each layer's *inputs* — the center stream and, for SCANN+,
+the geometry stream) and then walks the graph in reverse, producing the full
+parameter-gradient pytree. Gradients accumulate across the sequential TPU
+grid directly into the output refs (zeroed at program 0).
+
+Notes:
+- inputs (atom/neighbor tensors) need no gradients — only params do — which
+  keeps the backward much leaner than a general VJP;
+- ``mrelu`` is the reference's straight-through ReLU
+  (``custom_layers.py:6-15``): its backward is the identity, so the head max
+  simply disappears in reverse mode;
+- matmul transposes are expressed as ``dot_general`` contractions (never
+  explicit transposes of big operands);
+- ``scann_apply`` wraps forward+backward into a ``jax.custom_vjp`` so
+  ``jax.grad`` of any scalar loss of (pred, ga) flows through the kernels.
+
+Supported configs: same subset as the fused forward (``supports_config``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scann_tpu.config import ModelConfig
+from scann_tpu.kernels.scann_forward import (
+    fused_scann_forward,
+    stack_layer_params,
+    supports_config,
+)
+from scann_tpu.ops.rbf import make_centers
+
+
+def _mm(a, b):  # [R, X] @ [X, C]
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _mm_tA(a, b):  # a^T @ b : [R, X],[R, C] -> [X, C]
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mm_tB(a, b):  # a @ b^T : [R, X],[C, X] -> [R, C]
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot3(x, w):  # [M, N, X] @ [X, C]
+    return jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot3_tB(x, w):  # [M, N, X] @ w^T with w [C, X]
+    return jax.lax.dot_general(x, w, (((2,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mm3_tA(x, dy):  # sum_{m,n} x[m,n,:]^T dy[m,n,:] -> [X, C]
+    M, N, X = x.shape
+    return _mm_tA(x.reshape(M * N, X), dy.reshape(M * N, dy.shape[-1]))
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _swish_grad(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _ln_fwd(x, gamma, beta, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mu) * inv
+    return xhat * gamma + beta, (xhat, inv)
+
+
+def _ln_bwd(dy, xhat, inv, gamma):
+    """Returns (dx, dgamma_rows, dbeta_rows); caller sums rows for dparams."""
+    dgamma = dy * xhat
+    dxhat = dy * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = inv * (dxhat - m1 - xhat * m2)
+    return dx, dgamma, dy
+
+
+def _kernel(
+    # batched inputs
+    atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
+    ct_pred_ref, ct_ga_ref, seed_ref,
+    # params (same order as forward kernel)
+    embed_ref, wde_ref, bde_ref,
+    wnd_ref, bnd_ref, wnw_ref, bnw_ref,
+    wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
+    ln_s_ref, ln_b_ref, lng_s_ref, lng_b_ref,
+    wr1_ref, br1_ref, wr2_ref, br2_ref, rln_s_ref, rln_b_ref,
+    wal_ref, bal_ref, wgq_ref, bgq_ref, wgk_ref, bgk_ref,
+    wbf_ref, bbf_ref, wp_ref, bp_ref,
+    dist_centers_ref, angle_centers_ref,
+    # grad outputs (accumulated across the grid)
+    d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
+    d_wfg, d_bfg, d_wk, d_bk, d_wq, d_bq,
+    d_ln_s, d_ln_b, d_lng_s, d_lng_b,
+    d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
+    d_wal, d_bal, d_wgq, d_bgq, d_wgk, d_bgk,
+    d_wbf, d_bbf, d_wp, d_bp,
+    *, n_layers: int, num_head: int, scale: float, g_update: bool,
+    ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
+):
+    b = pl.program_id(0)
+    grads = [d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
+             d_wfg, d_bfg, d_wk, d_bk, d_wq, d_bq,
+             d_ln_s, d_ln_b, d_lng_s, d_lng_b,
+             d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
+             d_wal, d_bal, d_wgq, d_bgq, d_wgk, d_bgk,
+             d_wbf, d_bbf, d_wp, d_bp]
+
+    @pl.when(b == 0)
+    def _zero():
+        for g in grads:
+            g[...] = jnp.zeros_like(g)
+
+    M = atomic_ref.shape[1]
+    N = idx_ref.shape[2]
+    vocab = embed_ref.shape[0]
+    D = wk_ref.shape[2]
+    H = num_head
+    hd = D // H
+    L = n_layers
+
+    atomic = atomic_ref[0]          # [M, 1]
+    am = atom_mask_ref[0]           # [M, 1]
+    idx = idx_ref[0]                # [M, N]
+    nmask = nmask_ref[0]            # [M, N]
+
+    zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
+    z_oh = (zcols == atomic).astype(jnp.float32)
+    ncols = jax.lax.broadcasted_iota(jnp.int32, (M, N, M), dimension=2)
+    n_oh = (ncols == idx[:, :, None]).astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=1)
+    seg_sum = (lane // hd == head).astype(jnp.float32)
+    seg_expand = jnp.transpose(seg_sum)
+    dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
+
+    # dropout masks: identical stream/order as the forward kernel
+    if dropout_rate > 0.0:
+        from scann_tpu.kernels.scann_forward import make_dropout_masks
+
+        embed_mask, layer_masks = make_dropout_masks(
+            seed_ref[0, 0], b, (M, D), L, dropout_rate)
+
+    # ---------------- forward (stash per-layer inputs) --------------------
+    emb = _mm(z_oh, embed_ref[:])                              # [M, E]
+    s_de = _mm(emb, wde_ref[:]) + bde_ref[:]
+    centers = _swish(s_de)                                     # [M, D]
+    if dropout_rate > 0.0:
+        centers = centers * embed_mask
+
+    d3 = dist_ref[0][:, :, None]
+    rbf_d = jnp.exp(-jnp.square(d3 - dist_centers_ref[0]) / rbf_width)
+    if g_update:
+        w3 = weight_ref[0][:, :, None]
+        rbf_w = jnp.exp(-jnp.square(w3 - angle_centers_ref[0]) / rbf_width)
+        s_nd = _dot3(rbf_d, wnd_ref[:]) + bnd_ref[:]
+        s_nw = _dot3(rbf_w, wnw_ref[:]) + bnw_ref[:]
+        d_emb_v = _swish(s_nd)
+        w_emb_v = _swish(s_nw)
+        geometry = d_emb_v * w_emb_v
+
+    c_stash = [None] * (L + 1)
+    g_stash = [None] * (L + 1)
+    c_stash[0] = centers
+    if g_update:
+        g_stash[0] = geometry
+
+    def layer_fwd(l, c, g):
+        """Forward one layer from its inputs; returns (c_out, g_out)."""
+        ns = _dot3(n_oh, c)
+        if g_update:
+            wfg = wfg_ref[l]
+            cw = _mm(c, wfg[0:D, :])
+            u_pre = (jnp.broadcast_to(cw.reshape(M, 1, D), (M, N, D))
+                     + _dot3(g, wfg[D:2 * D, :]) + _dot3(ns, wfg[2 * D:3 * D, :])
+                     + bfg_ref[l])
+            r = _swish(u_pre) + g
+            g_out, (g_xhat, g_inv) = _ln_fwd(r, lng_s_ref[l], lng_b_ref[l])
+            geo_term = g_out
+        else:
+            u_pre = _dot3(rbf_d, wfg_ref[l]) + bfg_ref[l]
+            geo_term = _swish(u_pre) * weight_ref[0][:, :, None]
+            g_out, g_xhat, g_inv = g, None, None
+        key = _dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]
+        query = _mm(c, wq_ref[l]) + bq_ref[l]
+        prod = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D), (M, N, D)) * key
+        energy = _dot3(prod, seg_sum)
+        energy = energy + (1.0 - nmask)[:, :, None] * (-1e9)
+        energy = energy - jnp.max(energy, axis=1, keepdims=True)
+        e = jnp.exp(energy)
+        attn = e / jnp.sum(e, axis=1, keepdims=True)
+        a_lanes = _dot3(attn, seg_expand)
+        ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
+        o1, (o_xhat, o_inv) = _ln_fwd(ctx + query, ln_s_ref[l], ln_b_ref[l])
+        s1 = _mm(o1, wr1_ref[l]) + br1_ref[l]
+        h1 = _swish(s1)
+        h2 = _mm(h1, wr2_ref[l]) + br2_ref[l]
+        if dropout_rate > 0.0:
+            h2 = h2 * layer_masks[l]
+        c_out, (c_xhat, c_inv) = _ln_fwd(o1 + h2, rln_s_ref[l], rln_b_ref[l])
+        acts = dict(ns=ns, u_pre=u_pre, geo_term=geo_term, g_xhat=g_xhat,
+                    g_inv=g_inv, key=key, query=query, attn=attn,
+                    o1=o1, o_xhat=o_xhat, o_inv=o_inv, s1=s1, h1=h1,
+                    c_xhat=c_xhat, c_inv=c_inv)
+        return c_out, g_out, acts
+
+    for l in range(L):
+        c_out, g_out, _ = layer_fwd(l, c_stash[l], g_stash[l])
+        c_stash[l + 1] = c_out
+        g_stash[l + 1] = g_out
+
+    cL = c_stash[L]
+    s_al = _mm(cL, wal_ref[:]) + bal_ref[:]
+    cg = _swish(s_al)                                          # [M, G]
+    gq = _mm(cg, wgq_ref[:]) + bgq_ref[:]
+    gk = _mm(cg, wgk_ref[:]) + bgk_ref[:]
+    mq = am * gq
+    mk = am * gk
+    qsum = jnp.sum(mq, axis=0, keepdims=True)
+    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)
+    diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
+    agg0 = am * (cross - diag)                                 # [M, 1]
+    if ga_norm:
+        nrm = jnp.sqrt(jnp.sum(agg0 * agg0, axis=0, keepdims=True))
+        nrm_safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+        agg = agg0 / nrm_safe
+    else:
+        agg = agg0
+    aggm = agg + (1.0 - am) * (-1e9)
+    aggm = aggm - jnp.max(aggm, axis=0, keepdims=True)
+    e = jnp.exp(aggm)
+    ga = e / jnp.sum(e, axis=0, keepdims=True)                 # [M, 1]
+    struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)       # [1, G]
+    s_bf = _mm(struc, wbf_ref[:]) + bbf_ref[:]
+    sb = _swish(s_bf)                                          # [1, O]
+    # pred = sb @ wp + bp  (mrelu: identity gradient)
+
+    # ---------------- backward -------------------------------------------
+    ct_pred = ct_pred_ref[0]                                   # [1, 1]
+    ct_ga = ct_ga_ref[0]                                       # [M, 1]
+
+    d_wp[...] += _mm_tA(sb, ct_pred)
+    d_bp[...] += jnp.sum(ct_pred, axis=0)
+    dsb = _mm_tB(ct_pred, wp_ref[:])                           # [1, O]
+    ds_bf = dsb * _swish_grad(s_bf)
+    d_wbf[...] += _mm_tA(struc, ds_bf)
+    d_bbf[...] += jnp.sum(ds_bf, axis=0)
+    dstruc = _mm_tB(ds_bf, wbf_ref[:])                         # [1, G]
+
+    dga = jnp.sum(am * gk * dstruc, axis=-1, keepdims=True) + ct_ga   # [M, 1]
+    dgk = am * ga * dstruc                                     # [M, G]
+
+    # softmax over M
+    dagg = ga * (dga - jnp.sum(ga * dga, axis=0, keepdims=True))
+    if ga_norm:
+        dagg0 = (dagg / nrm_safe
+                 - agg0 * (jnp.sum(agg0 * dagg, axis=0, keepdims=True)
+                           / (nrm_safe * nrm_safe * nrm_safe)))
+    else:
+        dagg0 = dagg
+    dcd = dagg0 * am                                           # d(cross - diag) [M,1]
+    dmk = dcd * qsum - dcd * mq
+    dmq = -dcd * mk
+    dqsum = jnp.sum(dcd * mk, axis=0, keepdims=True)           # [1, G]
+    dmq = dmq + jnp.broadcast_to(dqsum, mq.shape)
+    dgq = am * dmq
+    dgk = dgk + am * dmk
+
+    d_wgq[...] += _mm_tA(cg, dgq)
+    d_bgq[...] += jnp.sum(dgq, axis=0)
+    d_wgk[...] += _mm_tA(cg, dgk)
+    d_bgk[...] += jnp.sum(dgk, axis=0)
+    dcg = _mm_tB(dgq, wgq_ref[:]) + _mm_tB(dgk, wgk_ref[:])
+    ds_al = dcg * _swish_grad(s_al)
+    d_wal[...] += _mm_tA(cL, ds_al)
+    d_bal[...] += jnp.sum(ds_al, axis=0)
+    dc = _mm_tB(ds_al, wal_ref[:])                             # [M, D]
+
+    dg = jnp.zeros((M, N, D), jnp.float32) if g_update else None
+
+    for l in range(L - 1, -1, -1):
+        _, _, a = layer_fwd(l, c_stash[l], g_stash[l])
+        c_in = c_stash[l]
+        g_in = g_stash[l]
+        ns, key, query, attn = a["ns"], a["key"], a["query"], a["attn"]
+
+        # ResidualNorm
+        dsum, dgam, dbet = _ln_bwd(dc, a["c_xhat"], a["c_inv"], rln_s_ref[l])
+        d_rln_s[l] += jnp.sum(dgam, axis=0)
+        d_rln_b[l] += jnp.sum(dbet, axis=0)
+        dh2 = dsum * layer_masks[l] if dropout_rate > 0.0 else dsum
+        d_wr2[l] += _mm_tA(a["h1"], dh2)
+        d_br2[l] += jnp.sum(dh2, axis=0)
+        dh1 = _mm_tB(dh2, wr2_ref[l])
+        ds1 = dh1 * _swish_grad(a["s1"])
+        d_wr1[l] += _mm_tA(a["o1"], ds1)
+        d_br1[l] += jnp.sum(ds1, axis=0)
+        do1 = dsum + _mm_tB(ds1, wr1_ref[l])
+
+        # attention LayerNorm -> d(ctx + query)
+        dcq, dgam, dbet = _ln_bwd(do1, a["o_xhat"], a["o_inv"], ln_s_ref[l])
+        d_ln_s[l] += jnp.sum(dgam, axis=0)
+        d_ln_b[l] += jnp.sum(dbet, axis=0)
+        dctx = dcq                                             # [M, D]
+        dquery = dcq
+
+        # ctx = sum_N a_lanes * nmask * key
+        dctx3 = jnp.broadcast_to(dctx.reshape(M, 1, D), (M, N, D))
+        a_lanes = _dot3(attn, seg_expand)
+        nm3 = nmask[:, :, None]
+        dal3 = dctx3 * nm3 * key
+        dkey = dctx3 * a_lanes * nm3
+        dattn = _dot3(dal3, seg_sum)                           # [M, N, H]
+
+        # softmax over N
+        de = attn * (dattn - jnp.sum(attn * dattn, axis=1, keepdims=True))
+        dprod = _dot3(de, seg_expand)                          # [M, N, D]
+        qs = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D), (M, N, D))
+        dkey = dkey + dprod * qs
+        dquery = dquery + jnp.sum(dprod * key, axis=1) * dk_scale
+
+        # key = (ns * geo_term) @ wk + bk
+        kin = ns * a["geo_term"]
+        d_wk[l] += _mm3_tA(kin, dkey)
+        d_bk[l] += jnp.sum(jnp.sum(dkey, axis=0), axis=0)
+        dkin = _dot3_tB(dkey, wk_ref[l])
+        dns = dkin * a["geo_term"]
+        dgeo_term = dkin * ns
+
+        # query = c @ wq + bq
+        d_wq[l] += _mm_tA(c_in, dquery)
+        d_bq[l] += jnp.sum(dquery, axis=0)
+        dc_new = _mm_tB(dquery, wq_ref[l])
+
+        if g_update:
+            dgout = dgeo_term + dg                             # [M, N, D]
+            dr, dgam3, dbet3 = _ln_bwd(dgout, a["g_xhat"], a["g_inv"],
+                                       lng_s_ref[l])
+            d_lng_s[l] += jnp.sum(jnp.sum(dgam3, axis=0), axis=0)
+            d_lng_b[l] += jnp.sum(jnp.sum(dbet3, axis=0), axis=0)
+            du_pre = dr * _swish_grad(a["u_pre"])
+            dg_new = dr                                        # residual into g
+            wfg = wfg_ref[l]
+            # u_pre = cw(+)broadcast + g@Wg + ns@Wn + b
+            dcw = jnp.sum(du_pre, axis=1)                      # [M, D]
+            d_wfg[l, 0:D, :] += _mm_tA(c_in, dcw)
+            d_wfg[l, D:2 * D, :] += _mm3_tA(g_in, du_pre)
+            d_wfg[l, 2 * D:3 * D, :] += _mm3_tA(ns, du_pre)
+            d_bfg[l] += jnp.sum(jnp.sum(du_pre, axis=0), axis=0)
+            dc_new = dc_new + _mm_tB(dcw, wfg[0:D, :])
+            dg_new = dg_new + _dot3_tB(du_pre, wfg[D:2 * D, :])
+            dns = dns + _dot3_tB(du_pre, wfg[2 * D:3 * D, :])
+            dg = dg_new
+        else:
+            # geo_term = swish(rbf_d @ wfg + b) * weight
+            du = dgeo_term * weight_ref[0][:, :, None]
+            du_pre = du * _swish_grad(a["u_pre"])
+            d_wfg[l] += _mm3_tA(rbf_d, du_pre)
+            d_bfg[l] += jnp.sum(jnp.sum(du_pre, axis=0), axis=0)
+
+        # ns = n_oh . c   ->  dc += sum_{m,n} onehot[m,n,:] dns[m,n,:]
+        dc_new = dc_new + _mm_tA(n_oh.reshape(M * N, M), dns.reshape(M * N, D))
+        dc = dc_new
+
+    # embedding backward
+    if dropout_rate > 0.0:
+        dc = dc * embed_mask
+    ds_de = dc * _swish_grad(s_de)
+    d_wde[...] += _mm_tA(emb, ds_de)
+    d_bde[...] += jnp.sum(ds_de, axis=0)
+    demb = _mm_tB(ds_de, wde_ref[:])
+    d_embed[...] += _mm_tA(z_oh, demb)
+
+    if g_update:
+        # geometry_0 = swish(s_nd) * swish(s_nw)
+        dd_emb = dg * w_emb_v
+        dw_emb = dg * d_emb_v
+        ds_nd = dd_emb * _swish_grad(s_nd)
+        ds_nw = dw_emb * _swish_grad(s_nw)
+        d_wnd[...] += _mm3_tA(rbf_d, ds_nd)
+        d_bnd[...] += jnp.sum(jnp.sum(ds_nd, axis=0), axis=0)
+        d_wnw[...] += _mm3_tA(rbf_w, ds_nw)
+        d_bnw[...] += jnp.sum(jnp.sum(ds_nw, axis=0), axis=0)
+
+
+def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
+                     ct_pred, ct_ga, interpret: bool = False,
+                     dropout_rate: float = 0.0, dropout_seed=None) -> dict:
+    """Parameter gradients of (pred, ga) contracted with (ct_pred, ct_ga)."""
+    assert supports_config(cfm)
+    params = params.get("params", params)
+
+    B, M = inputs["atomic"].shape[:2]
+    N = inputs["neighbors"].shape[2]
+    L, D = cfm.n_attention, cfm.local_dim
+
+    sp = stack_layer_params(params, L, cfm.g_update)
+    dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
+    angle_centers = jnp.asarray(make_centers(2 * np.pi, cfm.num_gaussian))[None]
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    if cfm.g_update:
+        wnd, bnd = params["neighbor_d"]["kernel"], params["neighbor_d"]["bias"]
+        wnw, bnw = params["neighbor_w"]["kernel"], params["neighbor_w"]["bias"]
+    else:
+        K = cfm.num_gaussian
+        wnd = jnp.zeros((K, D), jnp.float32)
+        bnd = jnp.zeros((D,), jnp.float32)
+        wnw, bnw = wnd, bnd
+
+    param_operands = [
+        f32(params["embed_atom"]["embedding"]),
+        f32(params["dense_embed"]["kernel"]), f32(params["dense_embed"]["bias"]),
+        f32(wnd), f32(bnd), f32(wnw), f32(bnw),
+        f32(sp["wfg"]), f32(sp["bfg"]), f32(sp["wk"]), f32(sp["bk"]),
+        f32(sp["wq"]), f32(sp["bq"]),
+        f32(sp["ln_s"]), f32(sp["ln_b"]), f32(sp["lng_s"]), f32(sp["lng_b"]),
+        f32(sp["wr1"]), f32(sp["br1"]), f32(sp["wr2"]), f32(sp["br2"]),
+        f32(sp["rln_s"]), f32(sp["rln_b"]),
+        f32(params["after_Lc"]["kernel"]), f32(params["after_Lc"]["bias"]),
+        f32(params["global_attention"]["query"]["kernel"]),
+        f32(params["global_attention"]["query"]["bias"]),
+        f32(params["global_attention"]["key"]["kernel"]),
+        f32(params["global_attention"]["key"]["bias"]),
+        f32(params["bf_property"]["kernel"]), f32(params["bf_property"]["bias"]),
+        f32(params["predict_property"]["kernel"]), f32(params["predict_property"]["bias"]),
+    ]
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1, 1), jnp.int32)
+    else:
+        dropout_seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
+    operands = [
+        jnp.asarray(inputs["atomic"], jnp.int32)[..., None],
+        f32(inputs["atom_mask"]),
+        jnp.asarray(inputs["neighbors"], jnp.int32),
+        f32(inputs["neighbor_mask"]),
+        f32(inputs["neighbor_weight"]),
+        f32(inputs["neighbor_distance"]),
+        f32(ct_pred)[..., None],          # [B, 1, 1]
+        f32(ct_ga),                       # [B, M, 1]
+        dropout_seed,
+    ] + param_operands + [dist_centers, angle_centers]
+
+    def spec_for(x, batched):
+        if batched:
+            blk = (1,) + x.shape[1:]
+            idx_map = lambda bb, nd=x.ndim: (bb,) + (0,) * (nd - 1)
+        else:
+            blk = x.shape
+            idx_map = lambda bb, nd=x.ndim: (0,) * nd
+        return pl.BlockSpec(blk, idx_map, memory_space=pltpu.VMEM)
+
+    in_specs = [spec_for(x, i < 8) for i, x in enumerate(operands)]
+
+    grad_templates = param_operands  # same order as the d_* kernel args
+    out_specs = [spec_for(x, False) for x in grad_templates]
+    out_shape = [jax.ShapeDtypeStruct(x.shape, jnp.float32)
+                 for x in grad_templates]
+
+    grads_flat = pl.pallas_call(
+        functools.partial(
+            _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
+            g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
+            dropout_rate=dropout_rate,
+        ),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+
+    (g_embed, g_wde, g_bde, g_wnd, g_bnd, g_wnw, g_bnw,
+     g_wfg, g_bfg, g_wk, g_bk, g_wq, g_bq,
+     g_ln_s, g_ln_b, g_lng_s, g_lng_b,
+     g_wr1, g_br1, g_wr2, g_br2, g_rln_s, g_rln_b,
+     g_wal, g_bal, g_wgq, g_bgq, g_wgk, g_bgk,
+     g_wbf, g_bbf, g_wp, g_bp) = grads_flat
+
+    out = {
+        "embed_atom": {"embedding": g_embed},
+        "dense_embed": {"kernel": g_wde, "bias": g_bde},
+        "after_Lc": {"kernel": g_wal, "bias": g_bal},
+        "global_attention": {
+            "query": {"kernel": g_wgq, "bias": g_bgq},
+            "key": {"kernel": g_wgk, "bias": g_bgk},
+        },
+        "bf_property": {"kernel": g_wbf, "bias": g_bbf},
+        "predict_property": {"kernel": g_wp, "bias": g_bp},
+    }
+    if cfm.g_update:
+        out["neighbor_d"] = {"kernel": g_wnd, "bias": g_bnd}
+        out["neighbor_w"] = {"kernel": g_wnw, "bias": g_bnw}
+    for i in range(L):
+        la = {
+            "filter_geo": {"kernel": g_wfg[i], "bias": g_bfg[i]},
+            "key": {"kernel": g_wk[i], "bias": g_bk[i]},
+            "query": {"kernel": g_wq[i], "bias": g_bq[i]},
+            "layer_norm": {"scale": g_ln_s[i], "bias": g_ln_b[i]},
+        }
+        if cfm.g_update:
+            la["layer_norm_g"] = {"scale": g_lng_s[i], "bias": g_lng_b[i]}
+        out[f"local_attention_{i}"] = la
+        out[f"residual_norm_{i}"] = {
+            "dense_1": {"kernel": g_wr1[i], "bias": g_br1[i]},
+            "dense_2": {"kernel": g_wr2[i], "bias": g_br2[i]},
+            "layer_norm": {"scale": g_rln_s[i], "bias": g_rln_b[i]},
+        }
+    return out
+
+
+# ---------------- differentiable wrapper -------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def scann_apply(params, inputs, cfm: ModelConfig, mrelu_head: bool = False,
+                interpret: bool = False, dropout_rate: float = 0.0,
+                dropout_seed=None):
+    """Differentiable fused SCANN forward: returns (pred [B,1], ga [B,M,1]).
+
+    ``jax.grad`` through this runs the fused backward kernel (parameter
+    gradients only — inputs get zero cotangents). ``dropout_rate > 0``
+    applies the reference's training dropout with identical masks in forward
+    and backward (same PRNG stream)."""
+    return fused_scann_forward(params, inputs, cfm, mrelu_head=mrelu_head,
+                               interpret=interpret, dropout_rate=dropout_rate,
+                               dropout_seed=dropout_seed)
+
+
+def _sa_fwd(params, inputs, cfm, mrelu_head, interpret, dropout_rate,
+            dropout_seed):
+    out = scann_apply(params, inputs, cfm, mrelu_head, interpret,
+                      dropout_rate, dropout_seed)
+    return out, (params, inputs, dropout_seed)
+
+
+def _sa_bwd(cfm, mrelu_head, interpret, dropout_rate, res, cts):
+    params, inputs, dropout_seed = res
+    ct_pred, ct_ga = cts
+    # mrelu head: straight-through gradient (identity) — nothing to do
+    dparams = fused_scann_grad(params, inputs, cfm, ct_pred, ct_ga,
+                               interpret=interpret,
+                               dropout_rate=dropout_rate,
+                               dropout_seed=dropout_seed)
+    if isinstance(params, dict) and "params" in params:
+        dparams = {"params": dparams}
+    dinputs = jax.tree.map(jnp.zeros_like,
+                           {k: jnp.asarray(v) for k, v in inputs.items()})
+    dseed = None if dropout_seed is None else jnp.zeros_like(
+        jnp.asarray(dropout_seed))
+    return dparams, dinputs, dseed
+
+
+scann_apply.defvjp(_sa_fwd, _sa_bwd)

@@ -56,8 +56,31 @@ def _dot3(x, w):
                                preferred_element_type=jnp.float32)
 
 
+def make_dropout_masks(seed, program_id, shape, n_layers, rate):
+    """Draw the embed mask + per-layer residual masks in a fixed order.
+
+    Shared by the forward and backward kernels: seeding with (seed, program)
+    and drawing in this exact order reproduces identical masks in both, so
+    the backward pass needs no mask storage. Returns (embed_mask, [layer
+    masks]), each already scaled by 1/keep_prob.
+    """
+    keep_prob = 1.0 - rate
+    pltpu.prng_seed(seed + program_id)
+    threshold = jnp.uint32(int(keep_prob * (2 ** 32 - 1)))
+    inv = jnp.float32(1.0 / keep_prob)
+
+    def draw():
+        bits = pltpu.prng_random_bits(shape)
+        return (pltpu.bitcast(bits, jnp.uint32) < threshold).astype(jnp.float32) * inv
+
+    embed_mask = draw()
+    layer_masks = [draw() for _ in range(n_layers)]
+    return embed_mask, layer_masks
+
+
 def _kernel(
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
+    seed_ref,
     embed_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,          # g_update geometry embeds
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
@@ -69,7 +92,7 @@ def _kernel(
     dist_centers_ref, angle_centers_ref,
     out_ref, ga_ref,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
-    ga_norm: bool, mrelu: bool, rbf_width: float,
+    ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
 ):
     M = atomic_ref.shape[1]
     N = idx_ref.shape[2]
@@ -84,10 +107,16 @@ def _kernel(
     nmask = nmask_ref[0]                                       # [M, N]
 
     # --- atom embedding as one-hot matmul --------------------------------
+    if dropout_rate > 0.0:
+        embed_mask, layer_masks = make_dropout_masks(
+            seed_ref[0, 0], pl.program_id(0), (M, D), n_layers, dropout_rate)
+
     zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
     z_oh = (zcols == atomic).astype(jnp.float32)
     centers = _mm(z_oh, embed_ref[:])                          # [M, E]
     centers = swish(_mm(centers, wde_ref[:]) + bde_ref[:])     # [M, D]
+    if dropout_rate > 0.0:
+        centers = centers * embed_mask
 
     # --- geometry features ------------------------------------------------
     K = dist_centers_ref.shape[1]
@@ -141,9 +170,12 @@ def _kernel(
         ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
         out = _ln(ctx + query, ln_s_ref[l], ln_b_ref[l])
 
-        # ResidualNorm FFN (reference attention.py:19-50)
+        # ResidualNorm FFN (reference attention.py:19-50; Dropout(0.1) after
+        # the second Dense when training)
         h = swish(_mm(out, wr1_ref[l]) + br1_ref[l])
         h = _mm(h, wr2_ref[l]) + br2_ref[l]
+        if dropout_rate > 0.0:
+            h = h * layer_masks[l]
         centers = _ln(out + h, rln_s_ref[l], rln_b_ref[l])
 
     # --- readout ----------------------------------------------------------
@@ -210,10 +242,14 @@ def stack_layer_params(params: dict, n_layers: int, g_update: bool):
 
 def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
                         mrelu_head: bool = False,
-                        interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        interpret: bool = False,
+                        dropout_rate: float = 0.0,
+                        dropout_seed=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the full SCANN forward in one Pallas kernel.
 
     Returns (property [B, 1], ga_score [B, M, 1]); f32.
+    ``dropout_rate > 0`` enables the training-time embed/residual dropout
+    (in-kernel PRNG streamed from ``dropout_seed`` + program id).
     """
     assert supports_config(cfm), "config not supported by the fused forward"
     params = params.get("params", params)
@@ -239,6 +275,11 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
         bnd = jnp.zeros((D,), jnp.float32)
         wnw, bnw = wnd, bnd
 
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1, 1), jnp.int32)
+    else:
+        dropout_seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
     operands = [
         # batched rank-2 arrays carry a trailing singleton so every block's
         # last two dims equal the array dims (Mosaic block-shape rule)
@@ -248,6 +289,7 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
         f32(inputs["neighbor_mask"]),
         f32(inputs["neighbor_weight"]),
         f32(inputs["neighbor_distance"]),
+        dropout_seed,
         f32(params["embed_atom"]["embedding"]),
         f32(params["dense_embed"]["kernel"]), f32(params["dense_embed"]["bias"]),
         f32(wnd), f32(bnd), f32(wnw), f32(bnw),
@@ -281,7 +323,7 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
         functools.partial(
             _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
-            rbf_width=0.25,
+            rbf_width=0.25, dropout_rate=dropout_rate,
         ),
         grid=(B,),
         in_specs=in_specs,

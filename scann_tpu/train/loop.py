@@ -82,6 +82,12 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices=(config.tpu.mesh_shape[0] if config.tpu.mesh_shape else None)
         )
+        # Fused training (single-kernel forward + single-kernel backward,
+        # 1.7x over the XLA step) — single-chip for now: the kernels would
+        # need a shard_map wrapper to partition over a data mesh.
+        self._use_fused_train = (
+            self._use_fused_eval and len(self.mesh.devices.flat) == 1
+        )
         self.workdir = workdir or "{}_{}".format(config.hyper.save_path, config.hyper.target)
         # Keras Adam defaults: b1=0.9, b2=0.999, eps=1e-7 (scann_model.py:212);
         # lr is applied separately per step so SGDR can drive it from the host.
@@ -203,9 +209,20 @@ class Trainer:
                 y = btargets[idx]
 
                 def loss_fn(params):
-                    out = model.apply({"params": params}, batch,
-                                      deterministic=False, rngs={"dropout": rng})
-                    pred = out["property"][:, 0]
+                    if self._use_fused_train:
+                        from scann_tpu.kernels.scann_backward import scann_apply
+
+                        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                                                  dtype=jnp.int32)
+                        pred, _ = scann_apply(params, batch, self.config.model,
+                                              self.model.mrelu_head, False,
+                                              0.1, seed)
+                        pred = pred[:, 0]
+                    else:
+                        out = model.apply({"params": params}, batch,
+                                          deterministic=False,
+                                          rngs={"dropout": rng})
+                        pred = out["property"][:, 0]
                     rmse = jnp.sqrt(jnp.mean(jnp.square(pred - y)))
                     loss = rmse + l2_penalty(params, l2)
                     mae = jnp.mean(jnp.abs(pred - y))

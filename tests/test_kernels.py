@@ -167,3 +167,44 @@ def test_fused_forward_rejects_unsupported_config():
     assert not supports_config(ModelConfig(feature="cgcnn"))
     assert not supports_config(ModelConfig(use_ring=True))
     assert not supports_config(ModelConfig(use_drop=True))
+
+
+@pytest.mark.parametrize("g_update,ga_norm", [(True, True), (False, False)])
+def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm):
+    """The hand-written whole-model backward kernel == jax.grad of the flax
+    model, for every parameter (interpret mode)."""
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import scann_apply
+    from scann_tpu.models import ScannModel
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2, local_dim=32,
+                      num_head=4, global_dim=32, dense_out=16,
+                      g_update=g_update, use_ga_norm=ga_norm)
+    inputs = make_synthetic_batch(rng, B=3, M=12, N=6)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))
+
+    def loss_ref(p):
+        out = model.apply(p, inputs, deterministic=True)
+        return (jnp.sqrt(jnp.mean((out["property"][:, 0] - y) ** 2))
+                + 0.1 * jnp.sum(out["ga_score"] ** 2))
+
+    def loss_fused(p):
+        pred, ga = scann_apply(p, inputs, cfg, False, True)
+        return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+                + 0.1 * jnp.sum(ga ** 2))
+
+    l1, g1 = jax.value_and_grad(loss_ref)(params)
+    l2, g2 = jax.value_and_grad(loss_fused)(params)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(g2)[0]
+    assert len(flat1) == len(flat2)
+    for (p1, v1), (p2, v2) in zip(flat1, flat2):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        scale_ref = np.abs(np.asarray(v1)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), rtol=0, atol=2e-4 * scale_ref,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
