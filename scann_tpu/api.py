@@ -194,6 +194,7 @@ class Scann:
             atoms_multiple=self.config.tpu.atoms_pad_multiple,
             neighbors_multiple=self.config.tpu.neighbors_pad_multiple,
             max_buckets=self.config.tpu.max_buckets,
+            csr_cache_path=hyper.data_nei_path + ".csr.npz",
         )
         if not split:
             self._buckets = buckets
@@ -212,12 +213,20 @@ class Scann:
 
     # --- lifecycle ------------------------------------------------------------
 
-    def train(self, epochs: Optional[int] = None):
+    def train(self, epochs: Optional[int] = None, resume: bool = False):
         return self.trainer.fit(self.train_buckets, self.valid_buckets,
-                                epochs=epochs)
+                                epochs=epochs, resume=resume)
 
     def evaluate(self):
-        self.trainer.restore_checkpoint("best")
+        # After training in this session, evaluate the best-val checkpoint
+        # (reference behavior, scann_model.py:249-258); in pretrained/eval
+        # mode keep the already-loaded weights.
+        ckpt = os.path.join(self.trainer.workdir, "checkpoints", "best")
+        if hasattr(self.trainer, "history") and os.path.exists(ckpt):
+            self.trainer.restore_checkpoint("best")
+        elif self.trainer.state is None:
+            raise RuntimeError(
+                "no parameters to evaluate: train first or pass pretrained=")
         result = self.trainer.evaluate(
             self._buckets if self._buckets is not None else self.test_buckets
         )

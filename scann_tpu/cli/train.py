@@ -41,6 +41,8 @@ def main(argv=None):
     parser.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
                         help="capture a jax.profiler trace of training into "
                              "LOGDIR (TensorBoard-loadable)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the run's 'last' checkpoint")
     args = parser.parse_args(argv)
 
     from scann_tpu.api import Scann
@@ -66,9 +68,9 @@ def main(argv=None):
             from scann_tpu.utils import trace
 
             with trace(args.profile):
-                scann.train(args.epochs)
+                scann.train(args.epochs, resume=args.resume)
         else:
-            scann.train(args.epochs)
+            scann.train(args.epochs, resume=args.resume)
         print(f"Training time: {time.time() - t0:.1f}s")
 
     print("Evaluating")

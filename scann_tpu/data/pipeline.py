@@ -201,6 +201,47 @@ class CsrDataset:
                 [np.asarray(r["ring"], np.float32).reshape(len(r["atomic"]), -1)
                  for r in records])
 
+    _CACHE_FIELDS = ("atom_offsets", "nbr_offsets", "atomic", "nbr_index",
+                     "weight_raw", "weight_norm", "nbr_dist", "ring")
+
+    def save(self, path: str) -> None:
+        data = {k: getattr(self, k) for k in self._CACHE_FIELDS
+                if getattr(self, k) is not None}
+        np.savez_compressed(path, **data)
+
+    @classmethod
+    def from_cache(cls, path: str, records) -> "CsrDataset":
+        obj = cls.__new__(cls)
+        with np.load(path) as data:
+            for k in cls._CACHE_FIELDS:
+                setattr(obj, k, data[k] if k in data.files else None)
+        # targets are run-dependent (target property / use_ref / scaling) —
+        # always taken from the records, never the cache
+        obj.targets = np.fromiter((float(r["target"]) for r in records),
+                                  np.float32, count=len(records))
+        if len(obj.atom_offsets) != len(records) + 1:
+            raise ValueError("CSR cache does not match the dataset size")
+        return obj
+
+
+def build_csr(records, neighbors, cache_path: Optional[str] = None) -> "CsrDataset":
+    """CsrDataset with an optional on-disk cache.
+
+    The Python flattening pass over the ragged object arrays is the slowest
+    host step for big datasets (~minutes for full QM9); the cache reduces it
+    to an npz load."""
+    import os
+
+    if cache_path and os.path.exists(cache_path):
+        try:
+            return CsrDataset.from_cache(cache_path, records)
+        except Exception as e:  # stale/corrupt cache: rebuild
+            print(f"CSR cache {cache_path} unusable ({e}); rebuilding")
+    csr = CsrDataset(records, neighbors)
+    if cache_path:
+        csr.save(cache_path)
+    return csr
+
 
 def pack_dataset(
     records: List[dict],
@@ -212,6 +253,7 @@ def pack_dataset(
     neighbors_multiple: int = 4,
     max_buckets: int = 4,
     converter: float = 1.0,
+    csr_cache_path: Optional[str] = None,
 ) -> List[PackedBucket]:
     """Pad every structure into its (M, N) bucket and return the buckets.
 
@@ -221,7 +263,7 @@ def pack_dataset(
     """
     from scann_tpu.data.native import pack_bucket_native, structure_sizes_native
 
-    csr = CsrDataset(records, neighbors)
+    csr = build_csr(records, neighbors, csr_cache_path)
     n_atoms_arr, max_nbrs_arr = structure_sizes_native(csr.atom_offsets,
                                                        csr.nbr_offsets)
     sizes = list(zip(n_atoms_arr.tolist(), max_nbrs_arr.tolist()))

@@ -284,7 +284,11 @@ class Trainer:
         valid_buckets: List[PackedBucket],
         epochs: Optional[int] = None,
         log_fn=print,
+        resume: bool = False,
     ) -> Dict[str, list]:
+        """Train; ``resume=True`` continues from the 'last' checkpoint in the
+        workdir (full train state incl. optimizer — the reference has no
+        resume at all, SURVEY.md §5.4)."""
         hyper = self.config.hyper
         epochs = epochs or hyper.epochs
 
@@ -317,13 +321,32 @@ class Trainer:
                    "epoch_time": []}
         best_val = math.inf
         best_epoch = -1
+        start_epoch = 0
         patience = hyper.patience
-        rng = jax.random.PRNGKey(hyper.seed)
         metrics_path = os.path.join(self.workdir, "metrics.jsonl")
+
+        if resume:
+            last = os.path.join(self.workdir, "checkpoints", "last")
+            if os.path.exists(last):
+                meta = self.restore_checkpoint("last")
+                start_epoch = int(np.asarray(meta.get("epoch", -1))) + 1
+                best_val = float(np.asarray(meta.get("best_val", math.inf)))
+                best_epoch = int(np.asarray(meta.get("best_epoch", -1)))
+                log_fn(f"resumed from epoch {start_epoch} "
+                       f"(best val_mae {best_val:.5f})")
+                if sgdr and start_epoch > 0:
+                    # fast-forward the warm-restart cycle (approximation: the
+                    # val-mae trigger fires immediately with standardized
+                    # targets, see schedules.py)
+                    sgdr.triggered = True
+                    for _ in range(start_epoch):
+                        sgdr.epoch_begin()
+
+        rng = jax.random.fold_in(jax.random.PRNGKey(hyper.seed), start_epoch)
         step = int(self.state.step)
 
         n_train = sum(b.num_structures for b in train_buckets)
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
             epoch_lr = sgdr.epoch_begin() if sgdr else 0.0
             losses, maes = [], []
@@ -366,6 +389,9 @@ class Trainer:
                 best_val = val_mae
                 best_epoch = epoch
                 self.save_checkpoint("best")
+            self.save_checkpoint("last", meta={"epoch": epoch,
+                                               "best_val": best_val,
+                                               "best_epoch": best_epoch})
             if epoch - best_epoch >= patience:
                 log_fn(f"early stopping at epoch {epoch} "
                        f"(no val_mae improvement for {patience} epochs)")
@@ -452,17 +478,22 @@ class Trainer:
 
     # --- checkpointing -------------------------------------------------------
 
-    def save_checkpoint(self, name: str = "best"):
+    def save_checkpoint(self, name: str = "best", meta: Optional[dict] = None):
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.workdir, "checkpoints", name))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": self.state.params,
-                          "opt_state": self.state.opt_state,
-                          "step": self.state.step}, force=True)
+        payload = {"params": self.state.params,
+                   "opt_state": self.state.opt_state,
+                   "step": self.state.step}
+        if meta:
+            payload["meta"] = {k: jnp.asarray(v) for k, v in meta.items()}
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
-    def restore_checkpoint(self, name: str = "best"):
+    def restore_checkpoint(self, name: str = "best") -> dict:
+        """Restore train state; returns the checkpoint's meta dict (epoch,
+        best_val, ... for 'last' checkpoints; empty otherwise)."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.workdir, "checkpoints", name))
@@ -472,10 +503,16 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         target = {"params": self.state.params, "opt_state": self.state.opt_state,
                   "step": self.state.step}
-        restored = ckptr.restore(path, target)
+        try:  # 'last' checkpoints carry a meta block; 'best' may not
+            restored = ckptr.restore(path, dict(target, meta={
+                "epoch": jnp.zeros((), jnp.int32),
+                "best_val": jnp.zeros((), jnp.float32),
+                "best_epoch": jnp.zeros((), jnp.int32)}))
+        except Exception:
+            restored = ckptr.restore(path, target)
         self.state = TrainState(params=jax.device_put(restored["params"], self._repl),
                                 opt_state=jax.device_put(restored["opt_state"], self._repl),
-                                step=restored["step"])
-        return self.state
+                                step=jax.device_put(restored["step"], self._repl))
+        return restored.get("meta", {})
 
 

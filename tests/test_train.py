@@ -124,3 +124,29 @@ class TestSchedules:
         # a restart happened (lr jumps back up)
         jumped = any(lrs[i + 1] > lrs[i] * 5 for i in range(len(lrs) - 1))
         assert jumped
+
+
+class TestResume:
+    def test_resume_continues_from_last(self, packed, tmp_path):
+        train_b, val_b, _, _, _ = packed
+        cfg = tiny_config(str(tmp_path / "resume"))
+        tr = Trainer(cfg)
+        h1 = tr.fit(train_b, val_b, epochs=3, log_fn=lambda s: None)
+        step_after_3 = int(tr.state.step)
+
+        # fresh trainer, same workdir: resume and run 2 more epochs
+        tr2 = Trainer(cfg)
+        msgs = []
+        h2 = tr2.fit(train_b, val_b, epochs=5, log_fn=msgs.append,
+                     resume=True)
+        assert any("resumed from epoch 3" in m for m in msgs), msgs
+        # only epochs 3..4 were run
+        assert len(h2["loss"]) == 2
+        assert int(tr2.state.step) > step_after_3
+
+    def test_resume_without_checkpoint_starts_fresh(self, packed, tmp_path):
+        train_b, val_b, _, _, _ = packed
+        cfg = tiny_config(str(tmp_path / "fresh"))
+        tr = Trainer(cfg)
+        h = tr.fit(train_b, val_b, epochs=2, log_fn=lambda s: None, resume=True)
+        assert len(h["loss"]) == 2
