@@ -575,3 +575,39 @@ def _sa_bwd(cfm, mrelu_head, interpret, dropout_rate, res, cts):
 
 
 scann_apply.defvjp(_sa_fwd, _sa_bwd)
+
+
+def make_sharded_scann_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
+                             interpret: bool = False, dropout_rate: float = 0.0):
+    """Data-parallel wrapper: run the fused forward/backward per shard.
+
+    Params are replicated (spec P()), every batched input and both outputs
+    are sharded over the 'data' axis. Under ``jax.grad`` shard_map transposes
+    the replicated param spec into the gradient ``psum`` over ICI — the same
+    collective layout as the XLA path. The dropout seed is offset by the
+    shard index so shards draw independent masks.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def fn(params, inputs, seed):
+        ax = jax.lax.axis_index("data")
+        shard_seed = None if seed is None else seed + ax.astype(jnp.int32)
+        return scann_apply(params, inputs, cfm, mrelu_head, interpret,
+                           dropout_rate, shard_seed)
+
+    batch_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
+                  "neighbor_weight", "neighbor_distance")
+    in_specs = (P(), {k: P("data") for k in batch_keys}, P())
+    sharded = shard_map(fn, mesh=mesh,
+                        in_specs=in_specs,
+                        out_specs=(P("data"), P("data")),
+                        check_rep=False)
+
+    def wrapper(params, inputs, seed):
+        extra = set(inputs) - set(batch_keys)
+        if extra:
+            raise ValueError(f"unsupported inputs for the fused kernels: {extra}")
+        return sharded(params, {k: inputs[k] for k in batch_keys}, seed)
+
+    return wrapper

@@ -82,12 +82,17 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices=(config.tpu.mesh_shape[0] if config.tpu.mesh_shape else None)
         )
-        # Fused training (single-kernel forward + single-kernel backward,
-        # 1.7x over the XLA step) — single-chip for now: the kernels would
-        # need a shard_map wrapper to partition over a data mesh.
-        self._use_fused_train = (
-            self._use_fused_eval and len(self.mesh.devices.flat) == 1
-        )
+        # Fused training: single-kernel forward + single-kernel backward
+        # (1.7x over the XLA step); on multi-chip meshes the kernels run
+        # per-shard under shard_map with the gradient psum over ICI.
+        self._use_fused_train = self._use_fused_eval
+        self._sharded_apply = None
+        if self._use_fused_train and len(self.mesh.devices.flat) > 1:
+            from scann_tpu.kernels.scann_backward import make_sharded_scann_apply
+
+            self._sharded_apply = make_sharded_scann_apply(
+                self.mesh, config.model, self.model.mrelu_head,
+                dropout_rate=0.1)
         self.workdir = workdir or "{}_{}".format(config.hyper.save_path, config.hyper.target)
         # Keras Adam defaults: b1=0.9, b2=0.999, eps=1e-7 (scann_model.py:212);
         # lr is applied separately per step so SGDR can drive it from the host.
@@ -214,9 +219,13 @@ class Trainer:
 
                         seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
                                                   dtype=jnp.int32)
-                        pred, _ = scann_apply(params, batch, self.config.model,
-                                              self.model.mrelu_head, False,
-                                              0.1, seed)
+                        if self._sharded_apply is not None:
+                            pred, _ = self._sharded_apply(params, batch, seed)
+                        else:
+                            pred, _ = scann_apply(params, batch,
+                                                  self.config.model,
+                                                  self.model.mrelu_head, False,
+                                                  0.1, seed)
                         pred = pred[:, 0]
                     else:
                         out = model.apply({"params": params}, batch,

@@ -208,3 +208,42 @@ def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm):
         np.testing.assert_allclose(
             np.asarray(v2), np.asarray(v1), rtol=0, atol=2e-4 * scale_ref,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
+
+
+def test_sharded_fused_apply_matches_single_device(rng):
+    """shard_map-wrapped fused kernels over the 8-device mesh == single
+    device, including the psum'd parameter gradients (interpret mode)."""
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import (
+        make_sharded_scann_apply,
+        scann_apply,
+    )
+    from scann_tpu.models import ScannModel
+    from scann_tpu.parallel import make_mesh
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2, local_dim=32,
+                      num_head=4, global_dim=32, dense_out=16, g_update=True)
+    inputs = make_synthetic_batch(rng, B=16, M=12, N=6)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    y = jnp.asarray(np.linspace(-1, 1, 16, dtype=np.float32))
+    mesh = make_mesh(n_devices=8)
+    f8 = make_sharded_scann_apply(mesh, cfg, interpret=True)
+
+    def loss8(p):
+        pred, _ = f8(p, {k: jnp.asarray(v) for k, v in inputs.items()},
+                     jnp.int32(0))
+        return jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+
+    def loss1(p):
+        pred, _ = scann_apply(p, inputs, cfg, False, True, 0.0, None)
+        return jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+
+    l8, g8 = jax.jit(jax.value_and_grad(loss8))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss1))(params)
+    assert float(l8) == pytest.approx(float(l1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        scale = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=5e-5 * scale)
