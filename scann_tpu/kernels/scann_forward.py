@@ -47,6 +47,24 @@ def supports_config(cfm: ModelConfig) -> bool:
             and not cfm.use_drop)
 
 
+def fits_vmem(cfm: ModelConfig, M: int, N: int,
+              budget_bytes: int = 8 * 1024 * 1024) -> bool:
+    """Rough VMEM feasibility check for one Pallas program at bucket (M, N).
+
+    Large crystal buckets (MP2018 can exceed 100 atoms) blow the per-program
+    working set (geometry stash is (L+1)*M*N*D floats; the one-hot gather map
+    is M*N*M); callers fall back to the XLA path when this fails — resolved
+    statically per bucket shape at trace time.
+    """
+    D = cfm.local_dim
+    L = cfm.n_attention
+    stash = (L + 1) * M * N * D * 4 if cfm.g_update else (L + 1) * M * D * 4
+    onehot = M * N * M * 4
+    params = L * (3 * D * D + 4 * D * D) * 4
+    work = 6 * M * N * D * 4
+    return stash + onehot + params + work < budget_bytes
+
+
 def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 

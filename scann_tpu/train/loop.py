@@ -128,11 +128,19 @@ class Trainer:
 
     # --- jitted steps --------------------------------------------------------
 
+    def _batch_fits_fused(self, batch) -> bool:
+        from scann_tpu.kernels.scann_forward import fits_vmem
+
+        M = batch["atomic"].shape[1]
+        N = batch["neighbors"].shape[2]
+        return fits_vmem(self.config.model, M, N)
+
     def forward_eval(self, params, batch):
         """Deterministic forward -> (property [B,1], ga_score [B,M,1]),
         through the fastest available path (whole-model fused kernel >
-        per-layer kernels > XLA)."""
-        if self._use_fused_eval:
+        per-layer kernels > XLA). Shape-dependent choices resolve statically
+        per bucket at trace time."""
+        if self._use_fused_eval and self._batch_fits_fused(batch):
             from scann_tpu.kernels.scann_forward import fused_scann_forward
 
             return fused_scann_forward(params, batch, self.config.model,
@@ -214,7 +222,7 @@ class Trainer:
                 y = btargets[idx]
 
                 def loss_fn(params):
-                    if self._use_fused_train:
+                    if self._use_fused_train and self._batch_fits_fused(batch):
                         from scann_tpu.kernels.scann_backward import scann_apply
 
                         seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
