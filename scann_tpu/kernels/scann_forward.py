@@ -112,44 +112,56 @@ def _kernel(
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
 ):
+    BT = atomic_ref.shape[0]                                   # molecules/program
     M = atomic_ref.shape[1]
     N = idx_ref.shape[2]
+    R = BT * M                                                 # total atom rows
     vocab = embed_ref.shape[0]
     D = wk_ref.shape[2]
     H = num_head
     hd = D // H
 
-    atomic = atomic_ref[0]                                     # [M, 1] int32
-    am = atom_mask_ref[0]                                      # [M, 1]
-    idx = idx_ref[0]                                           # [M, N]
-    nmask = nmask_ref[0]                                       # [M, N]
+    # batch-tiled layout: molecules are concatenated along the row axis; all
+    # row-wise ops (projections, LayerNorm, per-atom softmax over N) are
+    # molecule-oblivious; only the neighbor gather (per-molecule index space)
+    # and the GA readout (reductions over each molecule's atoms, via
+    # [R, .] <-> [BT, M, .] reshapes) know about BT.
+    atomic = atomic_ref[...].reshape(R, 1)                     # int32
+    am = atom_mask_ref[...].reshape(R, 1)
+    nmask = nmask_ref[...].reshape(R, N)
 
     # --- atom embedding as one-hot matmul --------------------------------
     if dropout_rate > 0.0:
         embed_mask, layer_masks = make_dropout_masks(
-            seed_ref[0, 0], pl.program_id(0), (M, D), n_layers, dropout_rate)
+            seed_ref[0, 0], pl.program_id(0), (R, D), n_layers, dropout_rate)
 
-    zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
+    zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
     z_oh = (zcols == atomic).astype(jnp.float32)
-    centers = _mm(z_oh, embed_ref[:])                          # [M, E]
-    centers = swish(_mm(centers, wde_ref[:]) + bde_ref[:])     # [M, D]
+    centers = _mm(z_oh, embed_ref[:])                          # [R, E]
+    centers = swish(_mm(centers, wde_ref[:]) + bde_ref[:])     # [R, D]
     if dropout_rate > 0.0:
         centers = centers * embed_mask
 
     # --- geometry features ------------------------------------------------
-    K = dist_centers_ref.shape[1]
-    d3 = dist_ref[0][:, :, None]                               # [M, N, 1]
-    rbf_d = jnp.exp(-jnp.square(d3 - dist_centers_ref[0]) / rbf_width)  # [M,N,K]
+    d3 = dist_ref[...].reshape(R, N)[:, :, None]               # [R, N, 1]
+    rbf_d = jnp.exp(-jnp.square(d3 - dist_centers_ref[0]) / rbf_width)
+    weight_rows = weight_ref[...].reshape(R, N)
     if g_update:
-        w3 = weight_ref[0][:, :, None]
+        w3 = weight_rows[:, :, None]
         rbf_w = jnp.exp(-jnp.square(w3 - angle_centers_ref[0]) / rbf_width)
         d_emb = swish(_dot3(rbf_d, wnd_ref[:]) + bnd_ref[:])
         w_emb = swish(_dot3(rbf_w, wnw_ref[:]) + bnw_ref[:])
-        geometry = d_emb * w_emb                               # [M, N, D]
+        geometry = d_emb * w_emb                               # [R, N, D]
 
-    # one-hot neighbor map, reused by every layer
-    ncols = jax.lax.broadcasted_iota(jnp.int32, (M, N, M), dimension=2)
-    n_oh = (ncols == idx[:, :, None]).astype(jnp.float32)
+    # per-molecule one-hot neighbor maps, reused by every layer
+    ncols = jax.lax.broadcasted_iota(jnp.int32, (BT, M, N, M), dimension=3)
+    n_oh4 = (ncols == idx_ref[...][:, :, :, None]).astype(jnp.float32)
+
+    def gather(c_rows):
+        """ns[t*M+m, n] = centers of molecule t at idx[t, m, n] -> [R, N, D]."""
+        c4 = c_rows.reshape(BT, M, D)
+        parts = [_dot3(n_oh4[t], c4[t]) for t in range(BT)]
+        return jnp.concatenate(parts, axis=0) if BT > 1 else parts[0]
 
     # head-segment matmul maps
     lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=0)
@@ -160,11 +172,11 @@ def _kernel(
 
     # --- attention stack (static unroll) ----------------------------------
     for l in range(n_layers):
-        ns = _dot3(n_oh, centers)                              # [M, N, D]
+        ns = gather(centers)                                   # [R, N, D]
         if g_update:
             wfg = wfg_ref[l]
             cw = _mm(centers, wfg[0:D, :])
-            u = (jnp.broadcast_to(cw.reshape(M, 1, D), (M, N, D))
+            u = (jnp.broadcast_to(cw.reshape(R, 1, D), (R, N, D))
                  + _dot3(geometry, wfg[D:2 * D, :])
                  + _dot3(ns, wfg[2 * D:3 * D, :])
                  + bfg_ref[l])
@@ -172,19 +184,19 @@ def _kernel(
             geo_term = geometry
         else:
             u = swish(_dot3(rbf_d, wfg_ref[l]) + bfg_ref[l])
-            geo_term = u * weight_ref[0][:, :, None]
+            geo_term = u * weight_rows[:, :, None]
 
-        key = _dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]      # [M, N, D]
-        query = _mm(centers, wq_ref[l]) + bq_ref[l]            # [M, D]
+        key = _dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]      # [R, N, D]
+        query = _mm(centers, wq_ref[l]) + bq_ref[l]            # [R, D]
 
-        prod = jnp.broadcast_to((query * dk).reshape(M, 1, D), (M, N, D)) * key
-        energy = _dot3(prod, seg_sum)                          # [M, N, H]
+        prod = jnp.broadcast_to((query * dk).reshape(R, 1, D), (R, N, D)) * key
+        energy = _dot3(prod, seg_sum)                          # [R, N, H]
         energy = energy + (1.0 - nmask)[:, :, None] * (-1e9)
         energy = energy - jnp.max(energy, axis=1, keepdims=True)
         e = jnp.exp(energy)
         attn = e / jnp.sum(e, axis=1, keepdims=True)
 
-        a_lanes = _dot3(attn, seg_expand)                      # [M, N, D]
+        a_lanes = _dot3(attn, seg_expand)                      # [R, N, D]
         ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
         out = _ln(ctx + query, ln_s_ref[l], ln_b_ref[l])
 
@@ -196,32 +208,34 @@ def _kernel(
             h = h * layer_masks[l]
         centers = _ln(out + h, rln_s_ref[l], rln_b_ref[l])
 
-    # --- readout ----------------------------------------------------------
-    centers = swish(_mm(centers, wal_ref[:]) + bal_ref[:])     # [M, G]
-    gq = _mm(centers, wgq_ref[:]) + bgq_ref[:]
-    gk = _mm(centers, wgk_ref[:]) + bgk_ref[:]
-    mq = am * gq
-    mk = am * gk
-    qsum = jnp.sum(mq, axis=0, keepdims=True)                  # [1, G]
-    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)         # [M, 1]
+    # --- readout (per-molecule reductions via [BT, M, .] views) -----------
+    centers = swish(_mm(centers, wal_ref[:]) + bal_ref[:])     # [R, G]
+    G = centers.shape[-1]
+    gq = (_mm(centers, wgq_ref[:]) + bgq_ref[:]).reshape(BT, M, G)
+    gk = (_mm(centers, wgk_ref[:]) + bgk_ref[:]).reshape(BT, M, G)
+    am3 = am.reshape(BT, M, 1)
+    mq = am3 * gq
+    mk = am3 * gk
+    qsum = jnp.sum(mq, axis=1, keepdims=True)                  # [BT, 1, G]
+    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)         # [BT, M, 1]
     diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
-    agg = am * (cross - diag)
+    agg = am3 * (cross - diag)
     if ga_norm:
-        nrm = jnp.sqrt(jnp.sum(agg * agg, axis=0, keepdims=True))
+        nrm = jnp.sqrt(jnp.sum(agg * agg, axis=1, keepdims=True))
         agg = agg / jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
-    agg = agg + (1.0 - am) * (-1e9)
-    agg = agg - jnp.max(agg, axis=0, keepdims=True)
+    agg = agg + (1.0 - am3) * (-1e9)
+    agg = agg - jnp.max(agg, axis=1, keepdims=True)
     e = jnp.exp(agg)
-    ga = e / jnp.sum(e, axis=0, keepdims=True)                 # [M, 1]
+    ga = e / jnp.sum(e, axis=1, keepdims=True)                 # [BT, M, 1]
 
-    struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)       # [1, G]
-    struc = swish(_mm(struc, wbf_ref[:]) + bbf_ref[:])         # [1, O]
-    pred = _mm(struc, wp_ref[:]) + bp_ref[:]                   # [1, 1]
+    struc = jnp.sum(am3 * ga * gk, axis=1)                     # [BT, G]
+    struc = swish(_mm(struc, wbf_ref[:]) + bbf_ref[:])         # [BT, O]
+    pred = _mm(struc, wp_ref[:]) + bp_ref[:]                   # [BT, 1]
     if mrelu:
         pred = jnp.maximum(pred, 0.0)
 
-    out_ref[0] = pred                                          # [1, 1]
-    ga_ref[0] = ga                                             # [M, 1]
+    out_ref[...] = pred[:, :, None]                            # [BT, 1, 1]
+    ga_ref[...] = ga                                           # [BT, M, 1]
 
 
 def stack_layer_params(params: dict, n_layers: int, g_update: bool):
@@ -258,16 +272,34 @@ def stack_layer_params(params: dict, n_layers: int, g_update: bool):
     return out
 
 
+def pick_batch_tile(cfm: ModelConfig, B: int, M: int, N: int,
+                    budget_bytes: int = 10 * 1024 * 1024) -> int:
+    """Molecules per Pallas program: larger tiles feed the MXU bigger
+    matmuls ([BT*M*N, D] rows); bounded by VMEM working set."""
+    D = cfm.local_dim
+    for bt in (16, 8, 4, 2, 1):
+        if B % bt:
+            continue
+        onehot = bt * M * N * M * 4
+        work = 8 * bt * M * N * D * 4
+        if onehot + work < budget_bytes:
+            return bt
+    return 1
+
+
 def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
                         mrelu_head: bool = False,
                         interpret: bool = False,
                         dropout_rate: float = 0.0,
-                        dropout_seed=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        dropout_seed=None,
+                        batch_tile: int = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the full SCANN forward in one Pallas kernel.
 
     Returns (property [B, 1], ga_score [B, M, 1]); f32.
     ``dropout_rate > 0`` enables the training-time embed/residual dropout
     (in-kernel PRNG streamed from ``dropout_seed`` + program id).
+    ``batch_tile`` molecules are processed per Pallas program (auto-picked
+    by VMEM budget when None).
     """
     assert supports_config(cfm), "config not supported by the fused forward"
     params = params.get("params", params)
@@ -278,6 +310,9 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
     D = cfm.local_dim
     G = cfm.global_dim
     O = cfm.dense_out
+    BT = batch_tile if batch_tile is not None else pick_batch_tile(cfm, B, M, N)
+    if B % BT:
+        raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
 
     sp = stack_layer_params(params, L, cfm.g_update)
     dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
@@ -328,7 +363,7 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
 
     def spec_for(x, batched):
         if batched:
-            blk = (1,) + x.shape[1:]
+            blk = (BT,) + x.shape[1:]
             idx_map = lambda b, nd=x.ndim: (b,) + (0,) * (nd - 1)
         else:
             blk = x.shape
@@ -343,11 +378,11 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
             rbf_width=0.25, dropout_rate=dropout_rate,
         ),
-        grid=(B,),
+        grid=(B // BT,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, M, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
