@@ -244,15 +244,51 @@ class Scann:
     def predict_structure(self, struct: Structure, d_t: float = 4.0,
                           w_t: float = 0.4) -> Tuple[float, np.ndarray]:
         """Predict (value, per-atom GA scores) for one structure."""
-        import jax
-
         inputs = prepare_input(struct, d_t=d_t, w_t=w_t,
                                angle=self.config.model.g_update,
                                use_ring=self.config.model.use_ring,
                                feature=self.config.model.feature)
-        out = self.trainer.eval_model.apply(
-            {"params": self.trainer.state.params}, inputs, deterministic=True)
+        pred, ga = self.trainer.forward_eval(self.trainer.state.params, inputs)
         hyper = self.config.hyper
-        value = float(out["property"][0, 0]) * hyper.target_std + hyper.target_mean
-        ga = np.asarray(out["ga_score"])[0, : len(struct), 0]
-        return value, ga
+        value = float(pred[0, 0]) * hyper.target_std + hyper.target_mean
+        return value, np.asarray(ga)[0, : len(struct), 0]
+
+    def predict_structures(self, structs: List[Structure], d_t: float = 4.0,
+                           w_t: float = 0.4,
+                           featurize_pool: int = 0) -> List[Tuple[float, np.ndarray]]:
+        """Batched inference over many structures (the serving path).
+
+        Structures are featurized (optionally in a process pool), grouped by
+        padded (M, N) shape, and run through the fused forward in shape
+        batches — one compile and one kernel launch per shape group instead
+        of per structure. Returns [(value, ga_scores)] in input order.
+        """
+        cfm = self.config.model
+        kw = dict(d_t=d_t, w_t=w_t, angle=cfm.g_update, use_ring=cfm.use_ring,
+                  feature=cfm.feature)
+        if featurize_pool > 1:
+            from concurrent.futures import ProcessPoolExecutor
+            from functools import partial
+
+            with ProcessPoolExecutor(featurize_pool) as ex:
+                all_inputs = list(ex.map(partial(prepare_input, **kw), structs))
+        else:
+            all_inputs = [prepare_input(s, **kw) for s in structs]
+
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, inp in enumerate(all_inputs):
+            key = (inp["atomic"].shape[1], inp["neighbors"].shape[2])
+            groups.setdefault(key, []).append(i)
+
+        hyper = self.config.hyper
+        results: List[Optional[Tuple[float, np.ndarray]]] = [None] * len(structs)
+        for (M, N), idxs in groups.items():
+            batch = {k: np.concatenate([all_inputs[i][k] for i in idxs])
+                     for k in all_inputs[idxs[0]]}
+            pred, ga = self.trainer.forward_eval(self.trainer.state.params, batch)
+            pred = np.asarray(pred)[:, 0] * hyper.target_std + hyper.target_mean
+            ga = np.asarray(ga)
+            for row, i in enumerate(idxs):
+                na = len(structs[i])
+                results[i] = (float(pred[row]), ga[row, :na, 0])
+        return results

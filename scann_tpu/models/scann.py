@@ -34,21 +34,16 @@ import numpy as np
 
 from scann_tpu.config import ModelConfig
 from scann_tpu.ops.activations import mrelu, swish
-from scann_tpu.ops.attention import (
-    gather_neighbor_states,
-    global_attention_core,
-    local_attention_core,
-)
+from scann_tpu.ops.attention import global_attention_core
 from scann_tpu.ops.rbf import gaussian_expansion, make_centers
 
 # Keras Dense default init (glorot_uniform) — kept for matching reference
 # training dynamics; flax's default would be lecun_normal.
 dense_init = nn.initializers.glorot_uniform()
-# Keras Embedding default init: RandomUniform(-0.05, 0.05).
-embed_init = nn.initializers.uniform(scale=0.1)  # handled via shift below
 
 
 def _embed_uniform_init(key, shape, dtype=jnp.float32):
+    """Keras Embedding default init: RandomUniform(-0.05, 0.05)."""
     return jax.random.uniform(key, shape, dtype, minval=-0.05, maxval=0.05)
 
 

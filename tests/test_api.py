@@ -123,3 +123,22 @@ class TestPrepareInput:
         # carbon feature row non-zero only on valid atoms
         assert np.abs(inp["atomic"][0, :4]).sum() > 0
         assert np.abs(inp["atomic"][0, 4:]).sum() == 0
+
+
+class TestBatchedInference:
+    def test_predict_structures_matches_single(self, synth, tmp_path):
+        e, n = synth
+        scann = Scann(small_config(str(tmp_path / "bi"), e, n))
+        scann.prepare_dataset()
+        scann.train(epochs=1)
+        mols = [
+            Structure(["O", "H", "H"], [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]]),
+            Structure(["C", "O"], [[0, 0, 0], [1.2, 0, 0]]),
+            Structure(["N", "H", "H", "H"],
+                      [[0, 0, 0], [1.0, 0, 0], [-0.3, 0.95, 0], [-0.3, -0.4, 0.85]]),
+        ]
+        batched = scann.predict_structures(mols)
+        for mol, (v_b, ga_b) in zip(mols, batched):
+            v_s, ga_s = scann.predict_structure(mol)
+            assert v_b == pytest.approx(v_s, rel=1e-4)
+            np.testing.assert_allclose(ga_b, ga_s, rtol=1e-4, atol=1e-6)
