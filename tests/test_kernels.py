@@ -247,3 +247,17 @@ def test_sharded_fused_apply_matches_single_device(rng):
         scale = np.abs(np.asarray(a)).max() + 1e-8
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=0, atol=5e-5 * scale)
+
+
+def test_vmem_guards():
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_forward import fits_vmem, pick_batch_tile
+
+    qm9 = ModelConfig(n_attention=7, local_dim=128, g_update=True)
+    assert fits_vmem(qm9, M=32, N=16)          # flagship shapes fit
+    assert not fits_vmem(qm9, M=256, N=32)     # big crystals fall back to XLA
+    bt = pick_batch_tile(qm9, B=128, M=32, N=16)
+    assert bt >= 2 and 128 % bt == 0
+    assert pick_batch_tile(qm9, B=128, M=128, N=32) == 1
+    # odd batch sizes only admit divisors
+    assert pick_batch_tile(qm9, B=7, M=32, N=16) == 1
