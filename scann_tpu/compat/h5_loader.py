@@ -241,3 +241,87 @@ def _load_weights_only(layers, config: ModelConfig) -> dict:
                 "key": _dense(var(g["proj_k"], 0), var(g["proj_k"], 1)),
             }
     return params
+
+
+# --- export: Flax pytree -> reference-layout H5 weights -----------------------
+
+def save_h5_weights(params: dict, config: ModelConfig, path: str) -> None:
+    """Write params as an H5 file in the reference's ``model_weights`` layout
+    (the inverse of ``load_h5_params`` for the full-model format), so weights
+    trained here can be inspected/consumed by reference-ecosystem tooling.
+
+    Keras layer/variable naming follows the reference graph's creation order
+    (``scann_model.py:362-447``, ``attention.py:95-116``): LayerNorms get
+    globally-counted ``layer_normalization[_k]`` names, ResidualNorm Denses
+    get global ``dense[_k]`` names.
+    """
+    params = params.get("params", params)
+    ln_counter = [0]
+    dense_counter = [0]
+
+    def ln_name():
+        k = ln_counter[0]
+        ln_counter[0] += 1
+        return "layer_normalization" + (f"_{k}" if k else "")
+
+    def dense_name():
+        k = dense_counter[0]
+        dense_counter[0] += 1
+        return "dense" + (f"_{k}" if k else "")
+
+    def suffixed(base, i):
+        return base + (f"_{i}" if i else "")
+
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+
+        def put(layer, inner, name, arr):
+            mw.create_dataset(f"{layer}/{inner}/{name}:0",
+                              data=np.asarray(arr, np.float32))
+
+        def put_dense(layer, inner, p):
+            put(layer, inner, "kernel", p["kernel"])
+            put(layer, inner, "bias", p["bias"])
+
+        if "embedding" in params["embed_atom"]:
+            put("embed_atom", "embed_atom", "embeddings",
+                params["embed_atom"]["embedding"])
+        else:
+            put_dense("embed_atom", "embed_atom", params["embed_atom"])
+        if "extra_embed" in params:
+            put_dense("extra_embed", "extra_embed", params["extra_embed"])
+        put_dense("dense_embed", "dense_embed", params["dense_embed"])
+        if config.g_update:
+            put_dense("neighbor_d", "neighbor_d", params["neighbor_d"])
+            put_dense("neighbor_w", "neighbor_w", params["neighbor_w"])
+
+        # creation order per layer i: LocalAttention (LN, then LN_g) then
+        # ResidualNorm (two denses + LN)
+        for i in range(config.n_attention):
+            la = params[f"local_attention_{i}"]
+            lname = suffixed("local_attention", i)
+            put_dense(lname, f"{lname}/query", la["query"])
+            put_dense(lname, f"{lname}/key", la["key"])
+            put_dense(lname, f"{lname}/filter_geo", la["filter_geo"])
+            n1 = ln_name()
+            put(lname, f"{lname}/{n1}", "gamma", la["layer_norm"]["scale"])
+            put(lname, f"{lname}/{n1}", "beta", la["layer_norm"]["bias"])
+            if config.g_update:
+                n2 = ln_name()
+                put(lname, f"{lname}/{n2}", "gamma", la["layer_norm_g"]["scale"])
+                put(lname, f"{lname}/{n2}", "beta", la["layer_norm_g"]["bias"])
+            if config.use_attn_norm and f"residual_norm_{i}" in params:
+                rn = params[f"residual_norm_{i}"]
+                rname = suffixed("residual_norm", i)
+                put_dense(rname, dense_name(), rn["dense_1"])
+                put_dense(rname, dense_name(), rn["dense_2"])
+                n3 = ln_name()
+                put(rname, f"{rname}/{n3}", "gamma", rn["layer_norm"]["scale"])
+                put(rname, f"{rname}/{n3}", "beta", rn["layer_norm"]["bias"])
+
+        put_dense("after_Lc", "after_Lc", params["after_Lc"])
+        ga = params["global_attention"]
+        put_dense("global_attention", "global_attention/query", ga["query"])
+        put_dense("global_attention", "global_attention/key", ga["key"])
+        put_dense("bf_property", "bf_property", params["bf_property"])
+        put_dense("predict_property", "predict_property", params["predict_property"])

@@ -150,3 +150,17 @@ class TestResume:
         tr = Trainer(cfg)
         h = tr.fit(train_b, val_b, epochs=2, log_fn=lambda s: None, resume=True)
         assert len(h["loss"]) == 2
+
+
+def test_training_is_deterministic(packed, tmp_path):
+    """Same seed -> bit-identical training trajectory (the reference needs
+    TF_DETERMINISTIC_OPS env gymnastics for this, train.py:16-28; JAX gives
+    it by construction)."""
+    train_b, val_b, _, _, _ = packed
+    hists = []
+    for run in range(2):
+        cfg = tiny_config(str(tmp_path / f"det{run}"))
+        tr = Trainer(cfg)
+        hists.append(tr.fit(train_b, val_b, epochs=3, log_fn=lambda s: None))
+    np.testing.assert_array_equal(hists[0]["loss"], hists[1]["loss"])
+    np.testing.assert_array_equal(hists[0]["val_mae"], hists[1]["val_mae"])
