@@ -24,9 +24,23 @@ import numpy as np
 BASELINE_STRUCTURES_PER_SEC = 1500.0  # documented TF-GPU reference estimate
 
 
+def _ensure_backend():
+    """The axon TPU plugin occasionally fails to register while
+    JAX_PLATFORMS=axon is set; fall back to auto-selection."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _ensure_backend()
 
     from __graft_entry__ import _flagship_config, _synthetic_inputs
     from scann_tpu.data.pipeline import PackedBucket
