@@ -142,3 +142,57 @@ class TestBatchIterator:
         e1 = [idx.tolist() for _, idx, _ in it.plans()]
         e2 = [idx.tolist() for _, idx, _ in it.plans()]
         assert e1 != e2
+
+
+class TestBatchIteratorMaterialized:
+    def test_iter_yields_host_batches(self, synth_paths):
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        buckets = pack_dataset(records, neighbors, max_buckets=1)
+        it = BatchIterator(buckets, batch_size=8, shuffle=False)
+        count = 0
+        for bi, inputs, targets, mask in it:
+            assert inputs["atomic"].shape[0] == 8
+            assert targets.shape == (8,)
+            count += 1
+        assert count == len(it)
+
+
+class TestCsrCache:
+    def test_cache_roundtrip(self, synth_paths, tmp_path):
+        from scann_tpu.data.pipeline import CsrDataset, build_csr
+
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        cache = str(tmp_path / "csr.npz")
+        c1 = build_csr(records, neighbors, cache)
+        import os
+        assert os.path.exists(cache)
+        c2 = build_csr(records, neighbors, cache)  # from cache
+        np.testing.assert_array_equal(c1.nbr_index, c2.nbr_index)
+        np.testing.assert_array_equal(c1.atom_offsets, c2.atom_offsets)
+        np.testing.assert_array_equal(c1.targets, c2.targets)
+
+    def test_cache_targets_follow_records(self, synth_paths, tmp_path):
+        from scann_tpu.data.pipeline import build_csr
+
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        cache = str(tmp_path / "csr2.npz")
+        build_csr(records, neighbors, cache)
+        for r in records:
+            r["target"] = r["target"] * 2.0
+        c = build_csr(records, neighbors, cache)
+        assert c.targets[0] == pytest.approx(records[0]["target"])
+
+    def test_stale_cache_rejected(self, synth_paths, tmp_path):
+        from scann_tpu.data.pipeline import build_csr
+
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        cache = str(tmp_path / "csr3.npz")
+        build_csr(records, neighbors, cache)
+        # different dataset size -> cache must be rebuilt, not misused
+        c = build_csr(records[:10], neighbors[:10], cache)
+        assert len(c.targets) == 10
+        assert len(c.atom_offsets) == 11
