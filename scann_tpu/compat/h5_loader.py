@@ -65,7 +65,31 @@ def load_h5_params(path: str, config: ModelConfig) -> dict:
             params = _load_weights_only(f["layers"], config)
         else:
             raise ValueError(f"unrecognized H5 layout in {path}: {list(f.keys())}")
+    _check_against_config(params, config, path)
     return {"params": params}
+
+
+def _check_against_config(params: dict, config: ModelConfig, path: str) -> None:
+    """Catch config/checkpoint mismatches with actionable errors instead of
+    shape failures deep inside jit."""
+    missing = [f"local_attention_{i}" for i in range(config.n_attention)
+               if f"local_attention_{i}" not in params]
+    if missing:
+        found = sorted(k for k in params if k.startswith("local_attention"))
+        raise ValueError(
+            f"{path}: config expects n_attention={config.n_attention} but the "
+            f"checkpoint provides {len(found)} LocalAttention layers ({found}); "
+            "fix the config's model.n_attention")
+    kq = params["local_attention_0"]["query"]["kernel"].shape[-1]
+    if kq != config.local_dim:
+        raise ValueError(
+            f"{path}: checkpoint local_dim {kq} != config local_dim "
+            f"{config.local_dim}")
+    if config.g_update and "neighbor_d" not in params:
+        raise ValueError(
+            f"{path}: config has g_update=True (SCANN+) but the checkpoint "
+            "has no neighbor_d/neighbor_w geometry embeddings — it is a "
+            "plain SCANN model; set model.g_update=False")
 
 
 # --- full-model H5 (model_weights/...) ---------------------------------------

@@ -31,7 +31,7 @@ import numpy as np
 import optax
 
 from scann_tpu.config import ScannConfig
-from scann_tpu.data.pipeline import BatchIterator, PackedBucket
+from scann_tpu.data.pipeline import PackedBucket
 from scann_tpu.models import ScannModel
 from scann_tpu.models.scann import l2_penalty
 from scann_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
@@ -63,11 +63,10 @@ class Trainer:
         self.model = model or ScannModel(
             config=config.model, mrelu_head=(config.hyper.target == "e_b")
         )
-        # Inference/eval path uses the fused Pallas kernels on TPU (2x faster
-        # per-layer; the whole-model single-kernel forward where the config
-        # allows it); training keeps the XLA path until the fused backward
-        # kernel lands (the custom-VJP rematerialization would otherwise cost
-        # an extra forward per step).
+        # On TPU, supported configs run the fused single-kernel forward for
+        # eval/inference and the fused forward+backward pair for training;
+        # everything else (CPU, unsupported configs, oversized buckets) uses
+        # the XLA paths below.
         pallas_ok = (config.tpu.use_pallas
                      and jax.default_backend() == "tpu"
                      and not self.model.use_pallas)

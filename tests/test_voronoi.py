@@ -145,3 +145,61 @@ Direct
         d1 = np.linalg.norm(mol.coords[1] - mol.coords[0])
         d2 = np.linalg.norm(boxed.coords[1] - boxed.coords[0])
         assert d1 == pytest.approx(d2)
+
+
+class TestNonOrthorhombicLattices:
+    def test_hexagonal_lattice_facets_sum_to_4pi(self):
+        # hcp-like hexagonal cell (graphite-ish lattice vectors)
+        a, c = 2.46, 6.7
+        lattice = np.array([[a, 0, 0],
+                            [-a / 2, a * np.sqrt(3) / 2, 0],
+                            [0, 0, c]])
+        s = Structure.from_frac(["C", "C"], [[0, 0, 0], [1/3, 2/3, 0.5]], lattice)
+        facets = _voronoi_facets(s.coords, s.lattice, 2, 7.0)
+        for f in facets:
+            assert sum(x[1] for x in f) == pytest.approx(4 * np.pi, rel=1e-8)
+
+    def test_triclinic_lattice(self):
+        lattice = np.array([[4.0, 0.0, 0.0],
+                            [1.2, 3.8, 0.0],
+                            [0.7, 1.1, 3.5]])
+        fr = np.array([[0.1, 0.2, 0.3], [0.6, 0.7, 0.8], [0.3, 0.9, 0.1]])
+        s = Structure.from_frac(["Si", "O", "O"], fr, lattice)
+        facets = _voronoi_facets(s.coords, s.lattice, 2 + 1, 7.0)
+        for f in facets:
+            assert sum(x[1] for x in f) == pytest.approx(4 * np.pi, rel=1e-6)
+        nbrs = compute_voronoi_neighbors(s, d_thresh=4.0, w_thresh=0.2)
+        assert all(len(a) > 0 for a in nbrs)
+
+    def test_hexagonal_graphite_in_plane_neighbors(self):
+        # in-plane C-C distance a/sqrt(3) = 1.42 A: each C has 3 nearest
+        a, c = 2.46, 6.7
+        lattice = np.array([[a, 0, 0],
+                            [-a / 2, a * np.sqrt(3) / 2, 0],
+                            [0, 0, c]])
+        s = Structure.from_frac(["C", "C"], [[0, 0, 0], [1/3, 2/3, 0.0]], lattice)
+        nbrs = compute_voronoi_neighbors(s, d_thresh=1.6, w_thresh=0.0)
+        for atom_nbrs in nbrs:
+            dists = [n[4] for n in atom_nbrs]
+            assert len(dists) == 3
+            for d in dists:
+                assert d == pytest.approx(a / np.sqrt(3), rel=1e-6)
+
+
+class TestCellParameterLattice:
+    def test_cif_lattice_volume(self):
+        from scann_tpu.data.builders.cif import _lattice_from_parameters
+
+        a, b, c = 5.0, 6.0, 7.0
+        al, be, ga = 80.0, 95.0, 103.0
+        lat = _lattice_from_parameters(a, b, c, al, be, ga)
+        ca, cb, cg = (np.cos(np.radians(x)) for x in (al, be, ga))
+        vol_expect = a * b * c * np.sqrt(
+            1 - ca**2 - cb**2 - cg**2 + 2 * ca * cb * cg)
+        assert abs(np.linalg.det(lat)) == pytest.approx(vol_expect, rel=1e-9)
+        # vector lengths and angles round-trip
+        assert np.linalg.norm(lat[0]) == pytest.approx(a)
+        assert np.linalg.norm(lat[1]) == pytest.approx(b)
+        assert np.linalg.norm(lat[2]) == pytest.approx(c)
+        cos_al = lat[1] @ lat[2] / (b * c)
+        assert cos_al == pytest.approx(ca, abs=1e-9)
