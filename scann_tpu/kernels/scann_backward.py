@@ -119,6 +119,7 @@ def _kernel(
     d_wbf, d_bbf, d_wp, d_bp,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
+    attn_dropout: float = 0.0,
 ):
     b = pl.program_id(0)
     grads = [d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
@@ -158,11 +159,12 @@ def _kernel(
     dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
 
     # dropout masks: identical stream/order as the forward kernel
-    if dropout_rate > 0.0:
+    if dropout_rate > 0.0 or attn_dropout > 0.0:
         from scann_tpu.kernels.scann_forward import make_dropout_masks
 
-        embed_mask, layer_masks = make_dropout_masks(
-            seed_ref[0, 0], b, (M, D), L, dropout_rate)
+        embed_mask, layer_masks, attn_masks = make_dropout_masks(
+            seed_ref[0, 0], b, (M, D), L, dropout_rate,
+            attn_shape=(M, N, H), attn_rate=attn_dropout)
 
     # ---------------- forward (stash per-layer inputs) --------------------
     emb = _mm(z_oh, embed_ref[:])                              # [M, E]
@@ -212,7 +214,8 @@ def _kernel(
         energy = energy - jnp.max(energy, axis=1, keepdims=True)
         e = jnp.exp(energy)
         attn = e / jnp.sum(e, axis=1, keepdims=True)
-        a_lanes = _dot3(attn, seg_expand)
+        attn_used = attn * attn_masks[l] if attn_dropout > 0.0 else attn
+        a_lanes = _dot3(attn_used, seg_expand)
         ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
         o1, (o_xhat, o_inv) = _ln_fwd(ctx + query, ln_s_ref[l], ln_b_ref[l])
         s1 = _mm(o1, wr1_ref[l]) + br1_ref[l]
@@ -223,6 +226,7 @@ def _kernel(
         c_out, (c_xhat, c_inv) = _ln_fwd(o1 + h2, rln_s_ref[l], rln_b_ref[l])
         acts = dict(ns=ns, u_pre=u_pre, geo_term=geo_term, g_xhat=g_xhat,
                     g_inv=g_inv, key=key, query=query, attn=attn,
+                    attn_used=attn_used,
                     o1=o1, o_xhat=o_xhat, o_inv=o_inv, s1=s1, h1=h1,
                     c_xhat=c_xhat, c_inv=c_inv)
         return c_out, g_out, acts
@@ -327,15 +331,18 @@ def _kernel(
         dctx = dcq                                             # [M, D]
         dquery = dcq
 
-        # ctx = sum_N a_lanes * nmask * key
+        # ctx = sum_N a_lanes * nmask * key  (a_lanes from the post-dropout
+        # attention when use_drop is active)
         dctx3 = jnp.broadcast_to(dctx.reshape(M, 1, D), (M, N, D))
-        a_lanes = _dot3(attn, seg_expand)
+        a_lanes = _dot3(a["attn_used"], seg_expand)
         nm3 = nmask[:, :, None]
         dal3 = dctx3 * nm3 * key
         dkey = dctx3 * a_lanes * nm3
         dattn = _dot3(dal3, seg_sum)                           # [M, N, H]
+        if attn_dropout > 0.0:
+            dattn = dattn * attn_masks[l]
 
-        # softmax over N
+        # softmax over N (on the pre-dropout attention)
         de = attn * (dattn - jnp.sum(attn * dattn, axis=1, keepdims=True))
         dprod = _dot3(de, seg_expand)                          # [M, N, D]
         qs = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D), (M, N, D))
@@ -486,6 +493,7 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
             _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
             dropout_rate=dropout_rate,
+            attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
         ),
         grid=(B,),
         in_specs=in_specs,

@@ -43,8 +43,7 @@ def _ln(x, gamma, beta, eps=1e-6):
 
 
 def supports_config(cfm: ModelConfig) -> bool:
-    return (cfm.feature == "atomic" and not cfm.use_ring and cfm.use_attn_norm
-            and not cfm.use_drop)
+    return (cfm.feature == "atomic" and not cfm.use_ring and cfm.use_attn_norm)
 
 
 def fits_vmem(cfm: ModelConfig, M: int, N: int,
@@ -74,26 +73,31 @@ def _dot3(x, w):
                                preferred_element_type=jnp.float32)
 
 
-def make_dropout_masks(seed, program_id, shape, n_layers, rate):
-    """Draw the embed mask + per-layer residual masks in a fixed order.
+def make_dropout_masks(seed, program_id, shape, n_layers, rate,
+                       attn_shape=None, attn_rate: float = 0.0):
+    """Draw the embed mask + per-layer residual masks (+ optional per-layer
+    attention masks, reference use_drop: Dropout(0.05) on the attention
+    probabilities, attention.py:115-116,191-192) in a fixed order.
 
     Shared by the forward and backward kernels: seeding with (seed, program)
     and drawing in this exact order reproduces identical masks in both, so
-    the backward pass needs no mask storage. Returns (embed_mask, [layer
-    masks]), each already scaled by 1/keep_prob.
+    the backward pass needs no mask storage. Returns (embed_mask,
+    [layer masks], [attn masks]), each already scaled by 1/keep_prob.
     """
-    keep_prob = 1.0 - rate
     pltpu.prng_seed(seed + program_id)
-    threshold = jnp.uint32(int(keep_prob * (2 ** 32 - 1)))
-    inv = jnp.float32(1.0 / keep_prob)
 
-    def draw():
-        bits = pltpu.prng_random_bits(shape)
-        return (pltpu.bitcast(bits, jnp.uint32) < threshold).astype(jnp.float32) * inv
+    def draw(shp, keep_prob):
+        threshold = jnp.uint32(int(keep_prob * (2 ** 32 - 1)))
+        bits = pltpu.prng_random_bits(shp)
+        return ((pltpu.bitcast(bits, jnp.uint32) < threshold)
+                .astype(jnp.float32) * jnp.float32(1.0 / keep_prob))
 
-    embed_mask = draw()
-    layer_masks = [draw() for _ in range(n_layers)]
-    return embed_mask, layer_masks
+    embed_mask = draw(shape, 1.0 - rate)
+    layer_masks = [draw(shape, 1.0 - rate) for _ in range(n_layers)]
+    attn_masks = []
+    if attn_rate > 0.0:
+        attn_masks = [draw(attn_shape, 1.0 - attn_rate) for _ in range(n_layers)]
+    return embed_mask, layer_masks, attn_masks
 
 
 def _kernel(
@@ -111,6 +115,7 @@ def _kernel(
     out_ref, ga_ref,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
+    attn_dropout: float = 0.0,
 ):
     BT = atomic_ref.shape[0]                                   # molecules/program
     M = atomic_ref.shape[1]
@@ -131,9 +136,10 @@ def _kernel(
     nmask = nmask_ref[...].reshape(R, N)
 
     # --- atom embedding as one-hot matmul --------------------------------
-    if dropout_rate > 0.0:
-        embed_mask, layer_masks = make_dropout_masks(
-            seed_ref[0, 0], pl.program_id(0), (R, D), n_layers, dropout_rate)
+    if dropout_rate > 0.0 or attn_dropout > 0.0:
+        embed_mask, layer_masks, attn_masks = make_dropout_masks(
+            seed_ref[0, 0], pl.program_id(0), (R, D), n_layers, dropout_rate,
+            attn_shape=(R, N, H), attn_rate=attn_dropout)
 
     zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
     z_oh = (zcols == atomic).astype(jnp.float32)
@@ -195,6 +201,8 @@ def _kernel(
         energy = energy - jnp.max(energy, axis=1, keepdims=True)
         e = jnp.exp(energy)
         attn = e / jnp.sum(e, axis=1, keepdims=True)
+        if attn_dropout > 0.0:
+            attn = attn * attn_masks[l]
 
         a_lanes = _dot3(attn, seg_expand)                      # [R, N, D]
         ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
@@ -310,7 +318,12 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
     D = cfm.local_dim
     G = cfm.global_dim
     O = cfm.dense_out
-    BT = batch_tile if batch_tile is not None else pick_batch_tile(cfm, B, M, N)
+    if dropout_rate > 0.0:
+        # training: the backward kernel replays the dropout PRNG stream at
+        # one molecule per program, so the forward must draw identically
+        BT = 1
+    else:
+        BT = batch_tile if batch_tile is not None else pick_batch_tile(cfm, B, M, N)
     if B % BT:
         raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
 
@@ -377,6 +390,9 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
             _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
             rbf_width=0.25, dropout_rate=dropout_rate,
+            # reference use_drop: Dropout(0.05) on the attention weights,
+            # training only (attention.py:115-116)
+            attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
         ),
         grid=(B // BT,),
         in_specs=in_specs,

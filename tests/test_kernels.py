@@ -166,7 +166,9 @@ def test_fused_forward_rejects_unsupported_config():
 
     assert not supports_config(ModelConfig(feature="cgcnn"))
     assert not supports_config(ModelConfig(use_ring=True))
-    assert not supports_config(ModelConfig(use_drop=True))
+    assert not supports_config(ModelConfig(use_attn_norm=False))
+    # use_drop IS supported (in-kernel attention dropout)
+    assert supports_config(ModelConfig(use_drop=True))
 
 
 @pytest.mark.parametrize("g_update,ga_norm", [(True, True), (False, False)])
