@@ -282,7 +282,7 @@ class Scann:
 
         hyper = self.config.hyper
         results: List[Optional[Tuple[float, np.ndarray]]] = [None] * len(structs)
-        for (M, N), idxs in groups.items():
+        for _shape, idxs in groups.items():
             batch = {k: np.concatenate([all_inputs[i][k] for i in idxs])
                      for k in all_inputs[idxs[0]]}
             pred, ga = self.trainer.forward_eval(self.trainer.state.params, batch)

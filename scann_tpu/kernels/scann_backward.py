@@ -420,8 +420,7 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
     assert supports_config(cfm)
     params = params.get("params", params)
 
-    B, M = inputs["atomic"].shape[:2]
-    N = inputs["neighbors"].shape[2]
+    B = inputs["atomic"].shape[0]
     L, D = cfm.n_attention, cfm.local_dim
 
     sp = stack_layer_params(params, L, cfm.g_update)

@@ -15,9 +15,9 @@ single Pallas program per batch row, with every intermediate in VMEM:
   (see ``ops/attention.py``).
 
 Supported config subset (the flagship paths): feature="atomic",
-use_attn_norm=True, optional g_update / use_ga_norm / mrelu head, no ring
-features, no dropout (inference). Unsupported configs fall back to the flax
-model automatically (see ``supports_config``).
+use_attn_norm=True, optional g_update / use_ga_norm / mrelu head / use_drop
+(in-kernel PRNG dropout for training), no ring features. Unsupported configs
+fall back to the flax model automatically (see ``supports_config``).
 """
 
 from __future__ import annotations
@@ -316,8 +316,6 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
     N = inputs["neighbors"].shape[2]
     L = cfm.n_attention
     D = cfm.local_dim
-    G = cfm.global_dim
-    O = cfm.dense_out
     if dropout_rate > 0.0:
         # training: the backward kernel replays the dropout PRNG stream at
         # one molecule per program, so the forward must draw identically
