@@ -219,14 +219,21 @@ class Scann:
 
     def evaluate(self):
         # After training in this session, evaluate the best-val checkpoint
-        # (reference behavior, scann_model.py:249-258); in pretrained/eval
-        # mode keep the already-loaded weights.
+        # (reference behavior, scann_model.py:249-258). With explicitly
+        # loaded pretrained weights keep those; otherwise (eval mode on an
+        # existing run dir) load the run's best checkpoint like the reference
+        # does from its save_path H5.
         ckpt = os.path.join(self.trainer.workdir, "checkpoints", "best")
         if hasattr(self.trainer, "history") and os.path.exists(ckpt):
             self.trainer.restore_checkpoint("best")
         elif self.trainer.state is None:
-            raise RuntimeError(
-                "no parameters to evaluate: train first or pass pretrained=")
+            if not os.path.exists(ckpt):
+                raise RuntimeError(
+                    f"no parameters to evaluate: no checkpoint at {ckpt}; "
+                    "train first or pass pretrained=")
+            print(f"Loading best checkpoint from {ckpt}")
+            self.trainer.init_state(self._example_inputs(), self.config.hyper.seed)
+            self.trainer.restore_checkpoint("best")
         result = self.trainer.evaluate(
             self._buckets if self._buckets is not None else self.test_buckets
         )

@@ -204,10 +204,9 @@ class Trainer:
             n_batches = -(-S // B)  # static ceil
             perm_key, drop_key = jax.random.split(epoch_rng)
             perm = jax.random.permutation(perm_key, S)
-            pad = n_batches * B - S
-            if pad:
-                perm = jnp.concatenate([perm, perm[:pad]])  # wrap-around fill
-            idx_plan = perm.reshape(n_batches, B)
+            # wrap-around fill of the final partial batch (modular: correct
+            # even when the bucket is smaller than the pad)
+            idx_plan = perm[jnp.arange(n_batches * B) % S].reshape(n_batches, B)
 
             def body(state, inp):
                 idx, k = inp

@@ -1,0 +1,95 @@
+"""CLI integration tests (reference L6 surface) on synthetic data."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from scann_tpu.cli.predict_files import main as predict_files_main
+from scann_tpu.cli.predict_model import main as predict_model_main
+from scann_tpu.cli.preprocess import main as preprocess_main
+from scann_tpu.cli.train import main as train_main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        # small synthetic dataset through the preprocess CLI
+        from scann_tpu.data import builders
+
+        orig = builders.BUILDERS["synthetic"]
+        builders.BUILDERS["synthetic"] = lambda save_path="": orig(
+            save_path, n_structures=48)
+        try:
+            preprocess_main(["synthetic", "data", "--dt", "4.0", "--wt", "0.4",
+                             "--p", "1"])
+        finally:
+            builders.BUILDERS["synthetic"] = orig
+
+        config = {
+            "model": {"n_atoms": 12, "embedding_dim": 8, "n_attention": 1,
+                      "local_dim": 16, "num_head": 2, "global_dim": 16,
+                      "dense_out": 8, "g_update": True, "gaussian_d": 4.0},
+            "hyper": {"batch_size": 16, "train_size": 32, "test_size": 8,
+                      "lr": 1e-3, "min_lr": 1e-4, "scheduler": "cosine",
+                      "scaler": True, "epochs": 2, "patience": 10,
+                      "data_energy_path": "data/synthetic/synthetic_data_energy.npy",
+                      "data_nei_path": "data/synthetic/synthetic_data_neighbor_dt4.0_wt0.4.npy",
+                      "save_path": "trained/model"},
+        }
+        with open("config.yaml", "w") as f:
+            yaml.safe_dump(config, f)
+        yield str(root)
+    finally:
+        os.chdir(cwd)
+
+
+def test_preprocess_created_files(workdir):
+    assert os.path.exists("data/synthetic/synthetic_data_energy.npy")
+    assert os.path.exists("data/synthetic/synthetic_data_neighbor_dt4.0_wt0.4.npy")
+
+
+def test_train_cli(workdir):
+    train_main(["homo", "config.yaml", "--epochs", "2"])
+    assert os.path.exists("trained/model_homo/report.txt")
+    assert os.path.exists("trained/model_homo/config.yaml")
+    assert os.path.exists("trained/model_homo/checkpoints/best")
+    # re-serialized config carries learned standardization (reference
+    # scann_model.py:113-116,223-230)
+    saved = yaml.safe_load(open("trained/model_homo/config.yaml"))
+    assert float(saved["hyper"]["target_std"]) != 1.0
+
+
+def test_train_cli_eval_mode(workdir):
+    # --mode eval on the trained run dir: evaluate without training
+    train_main(["homo", "trained/model_homo/config.yaml", "--mode", "eval"])
+
+
+def test_predict_files_cli(workdir, tmp_path):
+    xyz = tmp_path / "mol.xyz"
+    xyz.write_text("3\nwater\nO 0 0 0\nH 0.96 0 0\nH -0.24 0.93 0\n")
+    predict_files_main(["trained/model_homo", "preds", str(xyz)])
+    out = "preds/mol_ga.xyz"
+    assert os.path.exists(out)
+    lines = open(out).read().splitlines()
+    assert int(lines[0]) == 3
+    assert len(lines[2].split()) == 5  # species, xyz, GA column
+    results = json.load(open("preds/predictions.json"))
+    assert "mol" in results and len(results["mol"]["ga_scores"]) == 3
+
+
+def test_predict_model_cli(workdir):
+    predict_model_main(["trained/model_homo", "--out", "full_preds"])
+    with open("full_preds/energy_pre_homo.pickle", "rb") as f:
+        data = pickle.load(f)
+    assert data["prediction"].shape == (48,)
+    with open("full_preds/ga_scores_homo.pickle", "rb") as f:
+        gas = pickle.load(f)
+    assert len(gas) == 48
+    assert all(np.all(np.isfinite(g)) for g in gas)
