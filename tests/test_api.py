@@ -11,6 +11,8 @@ from scann_tpu.config import HyperConfig, ModelConfig, ScannConfig
 from scann_tpu.data.structure import Structure
 from scann_tpu.data.synthetic import make_synthetic_dataset
 
+pytestmark = pytest.mark.slow  # integration-scale: full train/eval cycles
+
 
 @pytest.fixture(scope="module")
 def synth(tmp_path_factory):

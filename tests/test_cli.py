@@ -13,6 +13,8 @@ from scann_tpu.cli.predict_model import main as predict_model_main
 from scann_tpu.cli.preprocess import main as preprocess_main
 from scann_tpu.cli.train import main as train_main
 
+pytestmark = pytest.mark.slow  # integration-scale: full train/eval cycles
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

@@ -38,6 +38,7 @@ def test_requires_8_devices():
     assert len(jax.devices()) == 8, "conftest must set up the 8-device CPU mesh"
 
 
+@pytest.mark.slow
 def test_sharded_equals_single_device(tmp_path):
     bucket = _bucket()
 
@@ -61,6 +62,7 @@ def test_sharded_equals_single_device(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batch_is_actually_sharded(tmp_path):
     cfg = _tiny_cfg(str(tmp_path / "shard"), batch_size=16)
     t = Trainer(cfg, mesh=make_mesh(n_devices=8))
@@ -72,5 +74,6 @@ def test_batch_is_actually_sharded(tmp_path):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     dryrun_multichip(8)

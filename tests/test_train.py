@@ -39,6 +39,7 @@ def tiny_config(workdir, **hyper_kw):
     )
 
 
+@pytest.mark.slow
 class TestTrainer:
     def test_loss_decreases_and_eval(self, packed, tmp_path):
         train_b, val_b, test_b, mean, std = packed
@@ -126,6 +127,7 @@ class TestSchedules:
         assert jumped
 
 
+@pytest.mark.slow
 class TestResume:
     def test_resume_continues_from_last(self, packed, tmp_path):
         train_b, val_b, _, _, _ = packed
@@ -152,6 +154,7 @@ class TestResume:
         assert len(h["loss"]) == 2
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(packed, tmp_path):
     """Same seed -> bit-identical training trajectory (the reference needs
     TF_DETERMINISTIC_OPS env gymnastics for this, train.py:16-28; JAX gives
