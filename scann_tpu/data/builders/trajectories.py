@@ -27,6 +27,12 @@ from scann_tpu.data.builders.bonds import ring_aromatic_flags
 from scann_tpu.data.builders.common import download, save_dataset
 
 FULLERENE_URL = "https://zenodo.org/record/8435481/files/fullerene.zip?download=1"
+# NOTE: the reference's Pt/graphene builder downloads *fullerene.zip*
+# (``/root/reference/scann/utils/dataset/pt_graphene.py:24`` — likely a bug,
+# or zenodo 8435481 ships a combined archive). We use the dataset-named file
+# instead; this cannot be verified in this environment (no egress). If
+# ``pt_graphene.zip`` 404s, point PTGP_URL at FULLERENE_URL and check whether
+# the archive contains the Pt/graphene trajectory directories.
 PTGP_URL = "https://zenodo.org/record/8435481/files/pt_graphene.zip?download=1"
 SMFE_URL = "https://zenodo.org/record/8435481/files/smfe12.zip?download=1"
 

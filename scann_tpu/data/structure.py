@@ -137,19 +137,43 @@ class Structure:
         return cls.from_frac(species, coords, lattice)
 
     @classmethod
-    def from_file(cls, path: str, mol: bool = False) -> "Structure":
-        """Load a structure from file (xyz or POSCAR/CONTCAR/vasp).
+    def from_molfile(cls, path: str) -> "Structure":
+        """Parse an MDL molfile (.mol, V2000; also the first record of an
+        .sdf): counts line at row 4, then the atom block ``x y z symbol``."""
+        with open(path) as f:
+            lines = f.readlines()
+        counts = lines[3]
+        natoms = int(counts[0:3])
+        species, coords = [], []
+        for line in lines[4 : 4 + natoms]:
+            parts = line.split()
+            coords.append([float(x) for x in parts[:3]])
+            species.append(parts[3])
+        return cls(species, np.array(coords), None)
 
-        Mirrors the reference ``load_file`` (``general.py:178-203``):
-        ``mol=True`` boxes the molecule into a >=10 A periodic cell.
+    @classmethod
+    def from_file(cls, path: str, mol: bool = False) -> "Structure":
+        """Load a structure from file (xyz, CIF, mol/sdf, POSCAR/CONTCAR/vasp).
+
+        Mirrors the reference ``load_file`` (``general.py:178-203``, which
+        defers to pymatgen's format sniffing): ``mol=True`` boxes a
+        non-periodic structure into a >=10 A periodic cell.
         """
         low = path.lower()
         if low.endswith(".xyz"):
             s = cls.from_xyz(path)
+        elif low.endswith(".cif"):
+            from scann_tpu.data.builders.cif import parse_cif
+
+            with open(path) as f:
+                s = parse_cif(f.read())
+        elif low.endswith((".mol", ".sdf")):
+            s = cls.from_molfile(path)
         elif "poscar" in low or "contcar" in low or low.endswith(".vasp"):
             s = cls.from_poscar(path)
         else:
-            raise ValueError(f"unsupported structure file format: {path}")
+            raise ValueError(f"unsupported structure file format: {path} "
+                             "(expected .xyz, .cif, .mol/.sdf, or POSCAR)")
         if mol and not s.is_periodic:
             s = s.boxed()
         return s

@@ -134,23 +134,40 @@ def _kernel(
         for g in grads:
             g[...] = jnp.zeros_like(g)
 
+    BT = atomic_ref.shape[0]        # molecules per program (batch tile)
     M = atomic_ref.shape[1]
     N = idx_ref.shape[2]
+    R = BT * M                      # total atom rows
     vocab = embed_ref.shape[0]
     D = wk_ref.shape[2]
     H = num_head
     hd = D // H
     L = n_layers
 
-    atomic = atomic_ref[0]          # [M, 1]
-    am = atom_mask_ref[0]           # [M, 1]
-    idx = idx_ref[0]                # [M, N]
-    nmask = nmask_ref[0]            # [M, N]
+    # row-stacked layout, as the forward kernel: molecules concatenated along
+    # the row axis; only the neighbor gather and the GA readout see BT.
+    atomic = atomic_ref[...].reshape(R, 1)
+    am3 = atom_mask_ref[...]        # [BT, M, 1]
+    nmask = nmask_ref[...].reshape(R, N)
+    weight_rows = weight_ref[...].reshape(R, N)
 
-    zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
+    zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
     z_oh = (zcols == atomic).astype(jnp.float32)
-    ncols = jax.lax.broadcasted_iota(jnp.int32, (M, N, M), dimension=2)
-    n_oh = (ncols == idx[:, :, None]).astype(jnp.float32)
+    ncols = jax.lax.broadcasted_iota(jnp.int32, (BT, M, N, M), dimension=3)
+    n_oh4 = (ncols == idx_ref[...][:, :, :, None]).astype(jnp.float32)
+
+    def gather(c_rows):
+        """ns[t*M+m, n] = centers of molecule t at idx[t, m, n] -> [R, N, D]."""
+        c4 = c_rows.reshape(BT, M, D)
+        parts = [_dot3(n_oh4[t], c4[t]) for t in range(BT)]
+        return jnp.concatenate(parts, axis=0) if BT > 1 else parts[0]
+
+    def gather_t(dns):
+        """Transpose of ``gather``: dc[t*M+j] = sum_{m,n} oh[t,m,n,j] dns."""
+        d4 = dns.reshape(BT, M, N, D)
+        parts = [_mm_tA(n_oh4[t].reshape(M * N, M), d4[t].reshape(M * N, D))
+                 for t in range(BT)]
+        return jnp.concatenate(parts, axis=0) if BT > 1 else parts[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=0)
     head = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=1)
@@ -158,25 +175,26 @@ def _kernel(
     seg_expand = jnp.transpose(seg_sum)
     dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
 
-    # dropout masks: identical stream/order as the forward kernel
+    # dropout masks: per-molecule PRNG streams keyed to the global molecule
+    # index — identical to the forward kernel's at ANY batch tiling
     if dropout_rate > 0.0 or attn_dropout > 0.0:
         from scann_tpu.kernels.scann_forward import make_dropout_masks
 
         embed_mask, layer_masks, attn_masks = make_dropout_masks(
-            seed_ref[0, 0], b, (M, D), L, dropout_rate,
-            attn_shape=(M, N, H), attn_rate=attn_dropout)
+            seed_ref[0, 0], b * BT, BT, M, D, L, dropout_rate,
+            n=N, h=H, attn_rate=attn_dropout)
 
     # ---------------- forward (stash per-layer inputs) --------------------
-    emb = _mm(z_oh, embed_ref[:])                              # [M, E]
+    emb = _mm(z_oh, embed_ref[:])                              # [R, E]
     s_de = _mm(emb, wde_ref[:]) + bde_ref[:]
-    centers = _swish(s_de)                                     # [M, D]
+    centers = _swish(s_de)                                     # [R, D]
     if dropout_rate > 0.0:
         centers = centers * embed_mask
 
-    d3 = dist_ref[0][:, :, None]
+    d3 = dist_ref[...].reshape(R, N)[:, :, None]
     rbf_d = jnp.exp(-jnp.square(d3 - dist_centers_ref[0]) / rbf_width)
     if g_update:
-        w3 = weight_ref[0][:, :, None]
+        w3 = weight_rows[:, :, None]
         rbf_w = jnp.exp(-jnp.square(w3 - angle_centers_ref[0]) / rbf_width)
         s_nd = _dot3(rbf_d, wnd_ref[:]) + bnd_ref[:]
         s_nw = _dot3(rbf_w, wnw_ref[:]) + bnw_ref[:]
@@ -192,11 +210,11 @@ def _kernel(
 
     def layer_fwd(l, c, g):
         """Forward one layer from its inputs; returns (c_out, g_out)."""
-        ns = _dot3(n_oh, c)
+        ns = gather(c)
         if g_update:
             wfg = wfg_ref[l]
             cw = _mm(c, wfg[0:D, :])
-            u_pre = (jnp.broadcast_to(cw.reshape(M, 1, D), (M, N, D))
+            u_pre = (jnp.broadcast_to(cw.reshape(R, 1, D), (R, N, D))
                      + _dot3(g, wfg[D:2 * D, :]) + _dot3(ns, wfg[2 * D:3 * D, :])
                      + bfg_ref[l])
             r = _swish(u_pre) + g
@@ -204,11 +222,11 @@ def _kernel(
             geo_term = g_out
         else:
             u_pre = _dot3(rbf_d, wfg_ref[l]) + bfg_ref[l]
-            geo_term = _swish(u_pre) * weight_ref[0][:, :, None]
+            geo_term = _swish(u_pre) * weight_rows[:, :, None]
             g_out, g_xhat, g_inv = g, None, None
         key = _dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]
         query = _mm(c, wq_ref[l]) + bq_ref[l]
-        prod = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D), (M, N, D)) * key
+        prod = jnp.broadcast_to((query * dk_scale).reshape(R, 1, D), (R, N, D)) * key
         energy = _dot3(prod, seg_sum)
         energy = energy + (1.0 - nmask)[:, :, None] * (-1e9)
         energy = energy - jnp.max(energy, axis=1, keepdims=True)
@@ -238,60 +256,61 @@ def _kernel(
 
     cL = c_stash[L]
     s_al = _mm(cL, wal_ref[:]) + bal_ref[:]
-    cg = _swish(s_al)                                          # [M, G]
-    gq = _mm(cg, wgq_ref[:]) + bgq_ref[:]
-    gk = _mm(cg, wgk_ref[:]) + bgk_ref[:]
-    mq = am * gq
-    mk = am * gk
-    qsum = jnp.sum(mq, axis=0, keepdims=True)
-    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)
+    cg = _swish(s_al)                                          # [R, G]
+    G = cg.shape[-1]
+    gq = (_mm(cg, wgq_ref[:]) + bgq_ref[:]).reshape(BT, M, G)
+    gk = (_mm(cg, wgk_ref[:]) + bgk_ref[:]).reshape(BT, M, G)
+    mq = am3 * gq
+    mk = am3 * gk
+    qsum = jnp.sum(mq, axis=1, keepdims=True)                  # [BT, 1, G]
+    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)         # [BT, M, 1]
     diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
-    agg0 = am * (cross - diag)                                 # [M, 1]
+    agg0 = am3 * (cross - diag)                                # [BT, M, 1]
     if ga_norm:
-        nrm = jnp.sqrt(jnp.sum(agg0 * agg0, axis=0, keepdims=True))
+        nrm = jnp.sqrt(jnp.sum(agg0 * agg0, axis=1, keepdims=True))
         nrm_safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
         agg = agg0 / nrm_safe
     else:
         agg = agg0
-    aggm = agg + (1.0 - am) * (-1e9)
-    aggm = aggm - jnp.max(aggm, axis=0, keepdims=True)
+    aggm = agg + (1.0 - am3) * (-1e9)
+    aggm = aggm - jnp.max(aggm, axis=1, keepdims=True)
     e = jnp.exp(aggm)
-    ga = e / jnp.sum(e, axis=0, keepdims=True)                 # [M, 1]
-    struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)       # [1, G]
+    ga = e / jnp.sum(e, axis=1, keepdims=True)                 # [BT, M, 1]
+    struc = jnp.sum(am3 * ga * gk, axis=1)                     # [BT, G]
     s_bf = _mm(struc, wbf_ref[:]) + bbf_ref[:]
-    sb = _swish(s_bf)                                          # [1, O]
+    sb = _swish(s_bf)                                          # [BT, O]
     # pred = sb @ wp + bp  (mrelu: identity gradient)
 
     # ---------------- backward -------------------------------------------
-    ct_pred = ct_pred_ref[0]                                   # [1, 1]
-    ct_ga = ct_ga_ref[0]                                       # [M, 1]
+    ct_pred = ct_pred_ref[...].reshape(BT, 1)
+    ct_ga = ct_ga_ref[...]                                     # [BT, M, 1]
 
     d_wp[...] += _mm_tA(sb, ct_pred)
     d_bp[...] += jnp.sum(ct_pred, axis=0)
-    dsb = _mm_tB(ct_pred, wp_ref[:])                           # [1, O]
+    dsb = _mm_tB(ct_pred, wp_ref[:])                           # [BT, O]
     ds_bf = dsb * _swish_grad(s_bf)
     d_wbf[...] += _mm_tA(struc, ds_bf)
     d_bbf[...] += jnp.sum(ds_bf, axis=0)
-    dstruc = _mm_tB(ds_bf, wbf_ref[:])                         # [1, G]
+    dstruc = _mm_tB(ds_bf, wbf_ref[:]).reshape(BT, 1, G)
 
-    dga = jnp.sum(am * gk * dstruc, axis=-1, keepdims=True) + ct_ga   # [M, 1]
-    dgk = am * ga * dstruc                                     # [M, G]
+    dga = jnp.sum(am3 * gk * dstruc, axis=-1, keepdims=True) + ct_ga  # [BT,M,1]
+    dgk = am3 * ga * dstruc                                    # [BT, M, G]
 
-    # softmax over M
-    dagg = ga * (dga - jnp.sum(ga * dga, axis=0, keepdims=True))
+    # softmax over the atom axis (per molecule)
+    dagg = ga * (dga - jnp.sum(ga * dga, axis=1, keepdims=True))
     if ga_norm:
         dagg0 = (dagg / nrm_safe
-                 - agg0 * (jnp.sum(agg0 * dagg, axis=0, keepdims=True)
+                 - agg0 * (jnp.sum(agg0 * dagg, axis=1, keepdims=True)
                            / (nrm_safe * nrm_safe * nrm_safe)))
     else:
         dagg0 = dagg
-    dcd = dagg0 * am                                           # d(cross - diag) [M,1]
+    dcd = dagg0 * am3                                          # d(cross - diag)
     dmk = dcd * qsum - dcd * mq
     dmq = -dcd * mk
-    dqsum = jnp.sum(dcd * mk, axis=0, keepdims=True)           # [1, G]
+    dqsum = jnp.sum(dcd * mk, axis=1, keepdims=True)           # [BT, 1, G]
     dmq = dmq + jnp.broadcast_to(dqsum, mq.shape)
-    dgq = am * dmq
-    dgk = dgk + am * dmk
+    dgq = (am3 * dmq).reshape(R, G)
+    dgk = (dgk + am3 * dmk).reshape(R, G)
 
     d_wgq[...] += _mm_tA(cg, dgq)
     d_bgq[...] += jnp.sum(dgq, axis=0)
@@ -301,9 +320,9 @@ def _kernel(
     ds_al = dcg * _swish_grad(s_al)
     d_wal[...] += _mm_tA(cL, ds_al)
     d_bal[...] += jnp.sum(ds_al, axis=0)
-    dc = _mm_tB(ds_al, wal_ref[:])                             # [M, D]
+    dc = _mm_tB(ds_al, wal_ref[:])                             # [R, D]
 
-    dg = jnp.zeros((M, N, D), jnp.float32) if g_update else None
+    dg = jnp.zeros((R, N, D), jnp.float32) if g_update else None
 
     for l in range(L - 1, -1, -1):
         _, _, a = layer_fwd(l, c_stash[l], g_stash[l])
@@ -333,7 +352,7 @@ def _kernel(
 
         # ctx = sum_N a_lanes * nmask * key  (a_lanes from the post-dropout
         # attention when use_drop is active)
-        dctx3 = jnp.broadcast_to(dctx.reshape(M, 1, D), (M, N, D))
+        dctx3 = jnp.broadcast_to(dctx.reshape(R, 1, D), (R, N, D))
         a_lanes = _dot3(a["attn_used"], seg_expand)
         nm3 = nmask[:, :, None]
         dal3 = dctx3 * nm3 * key
@@ -344,8 +363,8 @@ def _kernel(
 
         # softmax over N (on the pre-dropout attention)
         de = attn * (dattn - jnp.sum(attn * dattn, axis=1, keepdims=True))
-        dprod = _dot3(de, seg_expand)                          # [M, N, D]
-        qs = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D), (M, N, D))
+        dprod = _dot3(de, seg_expand)                          # [R, N, D]
+        qs = jnp.broadcast_to((query * dk_scale).reshape(R, 1, D), (R, N, D))
         dkey = dkey + dprod * qs
         dquery = dquery + jnp.sum(dprod * key, axis=1) * dk_scale
 
@@ -363,7 +382,7 @@ def _kernel(
         dc_new = _mm_tB(dquery, wq_ref[l])
 
         if g_update:
-            dgout = dgeo_term + dg                             # [M, N, D]
+            dgout = dgeo_term + dg                             # [R, N, D]
             dr, dgam3, dbet3 = _ln_bwd(dgout, a["g_xhat"], a["g_inv"],
                                        lng_s_ref[l])
             d_lng_s[l] += jnp.sum(jnp.sum(dgam3, axis=0), axis=0)
@@ -372,7 +391,7 @@ def _kernel(
             dg_new = dr                                        # residual into g
             wfg = wfg_ref[l]
             # u_pre = cw(+)broadcast + g@Wg + ns@Wn + b
-            dcw = jnp.sum(du_pre, axis=1)                      # [M, D]
+            dcw = jnp.sum(du_pre, axis=1)                      # [R, D]
             d_wfg[l, 0:D, :] += _mm_tA(c_in, dcw)
             d_wfg[l, D:2 * D, :] += _mm3_tA(g_in, du_pre)
             d_wfg[l, 2 * D:3 * D, :] += _mm3_tA(ns, du_pre)
@@ -383,13 +402,13 @@ def _kernel(
             dg = dg_new
         else:
             # geo_term = swish(rbf_d @ wfg + b) * weight
-            du = dgeo_term * weight_ref[0][:, :, None]
+            du = dgeo_term * weight_rows[:, :, None]
             du_pre = du * _swish_grad(a["u_pre"])
             d_wfg[l] += _mm3_tA(rbf_d, du_pre)
             d_bfg[l] += jnp.sum(jnp.sum(du_pre, axis=0), axis=0)
 
-        # ns = n_oh . c   ->  dc += sum_{m,n} onehot[m,n,:] dns[m,n,:]
-        dc_new = dc_new + _mm_tA(n_oh.reshape(M * N, M), dns.reshape(M * N, D))
+        # ns = gather(c)  ->  dc += gather^T(dns), per molecule
+        dc_new = dc_new + gather_t(dns)
         dc = dc_new
 
     # embedding backward
@@ -415,13 +434,26 @@ def _kernel(
 
 def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
                      ct_pred, ct_ga, interpret: bool = False,
-                     dropout_rate: float = 0.0, dropout_seed=None) -> dict:
-    """Parameter gradients of (pred, ga) contracted with (ct_pred, ct_ga)."""
+                     dropout_rate: float = 0.0, dropout_seed=None,
+                     batch_tile: int = None) -> dict:
+    """Parameter gradients of (pred, ga) contracted with (ct_pred, ct_ga).
+
+    ``batch_tile`` molecules are processed per Pallas program (auto-picked by
+    VMEM budget when None; the stash working set makes the backward tile
+    smaller than the forward's). Dropout masks are keyed to global molecule
+    indices, so any tile size replays the forward's masks exactly."""
     assert supports_config(cfm)
     params = params.get("params", params)
 
-    B = inputs["atomic"].shape[0]
+    B, M = inputs["atomic"].shape[:2]
+    N = inputs["neighbors"].shape[2]
     L, D = cfm.n_attention, cfm.local_dim
+    from scann_tpu.kernels.scann_forward import resolve_tile
+
+    BT = (batch_tile if batch_tile is not None
+          else resolve_tile(cfm, B, M, N, "bwd", dropout_rate))
+    if B % BT:
+        raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
 
     sp = stack_layer_params(params, L, cfm.g_update)
     dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
@@ -473,7 +505,7 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
 
     def spec_for(x, batched):
         if batched:
-            blk = (1,) + x.shape[1:]
+            blk = (BT,) + x.shape[1:]
             idx_map = lambda bb, nd=x.ndim: (bb,) + (0,) * (nd - 1)
         else:
             blk = x.shape
@@ -487,6 +519,8 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
     out_shape = [jax.ShapeDtypeStruct(x.shape, jnp.float32)
                  for x in grad_templates]
 
+    from scann_tpu.kernels.scann_forward import VMEM_BUDGET_BYTES
+
     grads_flat = pl.pallas_call(
         functools.partial(
             _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
@@ -494,10 +528,12 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
             dropout_rate=dropout_rate,
             attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
         ),
-        grid=(B,),
+        grid=(B // BT,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES + (16 << 20)),
         interpret=interpret,
     )(*operands)
 
@@ -591,15 +627,18 @@ def make_sharded_scann_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
     Params are replicated (spec P()), every batched input and both outputs
     are sharded over the 'data' axis. Under ``jax.grad`` shard_map transposes
     the replicated param spec into the gradient ``psum`` over ICI — the same
-    collective layout as the XLA path. The dropout seed is offset by the
-    shard index so shards draw independent masks.
+    collective layout as the XLA path. The dropout seed is offset by
+    shard_index * local_batch so the per-molecule PRNG streams (seed +
+    global molecule index) never collide across shards.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def fn(params, inputs, seed):
         ax = jax.lax.axis_index("data")
-        shard_seed = None if seed is None else seed + ax.astype(jnp.int32)
+        b_local = inputs["atomic"].shape[0]  # static at trace time
+        shard_seed = (None if seed is None
+                      else seed + ax.astype(jnp.int32) * b_local)
         return scann_apply(params, inputs, cfm, mrelu_head, interpret,
                            dropout_rate, shard_seed)
 
@@ -609,7 +648,7 @@ def make_sharded_scann_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
     sharded = shard_map(fn, mesh=mesh,
                         in_specs=in_specs,
                         out_specs=(P("data"), P("data")),
-                        check_rep=False)
+                        check_vma=False)
 
     def wrapper(params, inputs, seed):
         extra = set(inputs) - set(batch_keys)

@@ -46,22 +46,83 @@ def supports_config(cfm: ModelConfig) -> bool:
     return (cfm.feature == "atomic" and not cfm.use_ring and cfm.use_attn_norm)
 
 
-def fits_vmem(cfm: ModelConfig, M: int, N: int,
-              budget_bytes: int = 8 * 1024 * 1024) -> bool:
-    """Rough VMEM feasibility check for one Pallas program at bucket (M, N).
+# Mosaic's scoped-VMEM stack limit observed in compile errors on v5e is
+# ~121 MB ("limit 120.97M"); the budget below is what our calibrated
+# working-set model may fill. The model was fitted against on-device
+# compile outcomes (see tools/tpu_checks.py history):
+#   qm9   L=7 D=128 M=32 N=16: bwd BT=8 OK, fwd BT=32 OK
+#   small L=3 D=64  M=32 N=16: bwd BT=16 OOM ("size 127.41M")
+# and tile/lane padding matters: VMEM stores pad the last dim to 128 lanes
+# and the second-to-last to 8 sublanes (f32), so [R, N, H=8] tensors cost
+# 16x their logical bytes.
+VMEM_BUDGET_BYTES = 120 * 1024 * 1024
 
-    Large crystal buckets (MP2018 can exceed 100 atoms) blow the per-program
-    working set (geometry stash is (L+1)*M*N*D floats; the one-hot gather map
-    is M*N*M); callers fall back to the XLA path when this fails — resolved
+
+def _pad8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _param_bytes(cfm: ModelConfig) -> int:
+    """Static (non-batched) VMEM cost: all stacked layer params, resident for
+    the whole grid (constant index_map -> fetched once)."""
+    D, L = cfm.local_dim, cfm.n_attention
+    per_layer = 3 * D * D + 4 * D * D  # wfg + (wk, wq, wr1, wr2)
+    head = cfm.n_atoms * cfm.embedding_dim + 3 * D * D + 2 * D * cfm.dense_out
+    return (L * per_layer + head) * 4
+
+
+def _rnd_bytes(cfm: ModelConfig, M: int, N: int) -> int:
+    """Padded bytes of one [M, N, D]-class tensor (the unit everything else
+    is counted in; [M, N, H] and [M, N, 20] tensors pad to the same size)."""
+    return M * _pad8(N) * _pad128(cfm.local_dim) * 4
+
+
+def _onehot_bytes(cfm: ModelConfig, M: int, N: int) -> int:
+    return M * _pad8(N) * _pad128(M) * 4
+
+
+def _bwd_mol_bytes(cfm: ModelConfig, M: int, N: int) -> int:
+    """Per-molecule VMEM working set of the fused BACKWARD: layer-input
+    stashes + recomputed activations + reverse-mode temporaries. The
+    ``6L + 12`` coefficient is calibrated against on-device compiles (the
+    Mosaic stack allocator only partially reuses across the unrolled layer
+    walk); it intentionally admits the largest probed-OK tiles."""
+    L = cfm.n_attention
+    return (6 * L + 12) * _rnd_bytes(cfm, M, N) + _onehot_bytes(cfm, M, N)
+
+
+def _fwd_mol_bytes(cfm: ModelConfig, M: int, N: int) -> int:
+    """Per-molecule VMEM working set of the fused FORWARD (no stashes, no
+    reverse temporaries — much leaner; ``L + 6`` calibrated like above)."""
+    L = cfm.n_attention
+    return (L + 6) * _rnd_bytes(cfm, M, N) + _onehot_bytes(cfm, M, N)
+
+
+MAX_FUSED_ATOMS = 64
+
+
+def fits_vmem(cfm: ModelConfig, M: int, N: int,
+              budget_bytes: int = VMEM_BUDGET_BYTES) -> bool:
+    """Feasibility of the fused kernels at bucket (M, N): per-program VMEM
+    (batch_tile=1, gated on the backward — its stash working set dominates
+    the forward's) AND compile cost.
+
+    The compile-cost gate (``M <= MAX_FUSED_ATOMS``): the kernels unroll all
+    layers over [M*N, D]-sized straight-line code, and Mosaic compile time
+    grows superlinearly with it — an M=96/L=9 backward was measured at >25
+    minutes of compile on v5e, vs ~1 minute for the XLA path at that shape
+    (where tensors are big enough that per-op overhead no longer dominates).
+    Callers fall back to the XLA path beyond either limit — resolved
     statically per bucket shape at trace time.
     """
-    D = cfm.local_dim
-    L = cfm.n_attention
-    stash = (L + 1) * M * N * D * 4 if cfm.g_update else (L + 1) * M * D * 4
-    onehot = M * N * M * 4
-    params = L * (3 * D * D + 4 * D * D) * 4
-    work = 6 * M * N * D * 4
-    return stash + onehot + params + work < budget_bytes
+    if M > MAX_FUSED_ATOMS:
+        return False
+    # grads double the param cost (accumulator blocks live in VMEM)
+    return _bwd_mol_bytes(cfm, M, N) + 2 * _param_bytes(cfm) < budget_bytes
 
 
 def _mm(a, b):
@@ -73,30 +134,45 @@ def _dot3(x, w):
                                preferred_element_type=jnp.float32)
 
 
-def make_dropout_masks(seed, program_id, shape, n_layers, rate,
-                       attn_shape=None, attn_rate: float = 0.0):
+def make_dropout_masks(seed, mol_base, bt, m, d, n_layers, rate,
+                       n: int = 0, h: int = 0, attn_rate: float = 0.0):
     """Draw the embed mask + per-layer residual masks (+ optional per-layer
     attention masks, reference use_drop: Dropout(0.05) on the attention
-    probabilities, attention.py:115-116,191-192) in a fixed order.
+    probabilities, attention.py:115-116,191-192) for ``bt`` molecules.
 
-    Shared by the forward and backward kernels: seeding with (seed, program)
-    and drawing in this exact order reproduces identical masks in both, so
-    the backward pass needs no mask storage. Returns (embed_mask,
-    [layer masks], [attn masks]), each already scaled by 1/keep_prob.
+    The PRNG is seeded PER MOLECULE with (seed + global molecule index) and
+    each molecule's masks are drawn from its own stream in a fixed order
+    (embed, n_layers residual, n_layers attention). Masks therefore depend
+    only on a molecule's global index — NOT on the batch tiling — so the
+    forward and backward kernels may each run at whatever batch_tile suits
+    them and still see identical masks, with no mask storage.
+
+    Returns (embed_mask [bt*m, d], [L x [bt*m, d]], [L x [bt*m, n, h]]),
+    each already scaled by 1/keep_prob.
     """
-    pltpu.prng_seed(seed + program_id)
-
     def draw(shp, keep_prob):
         threshold = jnp.uint32(int(keep_prob * (2 ** 32 - 1)))
         bits = pltpu.prng_random_bits(shp)
         return ((pltpu.bitcast(bits, jnp.uint32) < threshold)
                 .astype(jnp.float32) * jnp.float32(1.0 / keep_prob))
 
-    embed_mask = draw(shape, 1.0 - rate)
-    layer_masks = [draw(shape, 1.0 - rate) for _ in range(n_layers)]
-    attn_masks = []
-    if attn_rate > 0.0:
-        attn_masks = [draw(attn_shape, 1.0 - attn_rate) for _ in range(n_layers)]
+    embeds = []
+    layers = [[] for _ in range(n_layers)]
+    attns = [[] for _ in range(n_layers)]
+    for t in range(bt):
+        pltpu.prng_seed(seed + mol_base + t)
+        embeds.append(draw((m, d), 1.0 - rate))
+        for l in range(n_layers):
+            layers[l].append(draw((m, d), 1.0 - rate))
+        if attn_rate > 0.0:
+            for l in range(n_layers):
+                attns[l].append(draw((m, n, h), 1.0 - attn_rate))
+
+    cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+    embed_mask = cat(embeds)
+    layer_masks = [cat(layers[l]) for l in range(n_layers)]
+    attn_masks = ([cat(attns[l]) for l in range(n_layers)]
+                  if attn_rate > 0.0 else [])
     return embed_mask, layer_masks, attn_masks
 
 
@@ -138,8 +214,8 @@ def _kernel(
     # --- atom embedding as one-hot matmul --------------------------------
     if dropout_rate > 0.0 or attn_dropout > 0.0:
         embed_mask, layer_masks, attn_masks = make_dropout_masks(
-            seed_ref[0, 0], pl.program_id(0), (R, D), n_layers, dropout_rate,
-            attn_shape=(R, N, H), attn_rate=attn_dropout)
+            seed_ref[0, 0], pl.program_id(0) * BT, BT, M, D, n_layers,
+            dropout_rate, n=N, h=H, attn_rate=attn_dropout)
 
     zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
     z_oh = (zcols == atomic).astype(jnp.float32)
@@ -280,17 +356,139 @@ def stack_layer_params(params: dict, n_layers: int, g_update: bool):
     return out
 
 
+def _dummy_params(cfm: ModelConfig) -> dict:
+    """Zero-valued parameter pytree with the model's exact shapes — used by
+    the tile resolver to compile-probe kernels on concrete data."""
+    D, L, G, O = cfm.local_dim, cfm.n_attention, cfm.global_dim, cfm.dense_out
+    K = cfm.num_gaussian
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    dense = lambda i, o: {"kernel": z(i, o), "bias": z(o)}
+    ln = lambda: {"scale": z(D), "bias": z(D)}
+    params = {
+        "embed_atom": {"embedding": z(cfm.n_atoms, cfm.embedding_dim)},
+        "dense_embed": dense(cfm.embedding_dim, D),
+        "after_Lc": dense(D, G),
+        "global_attention": {"query": dense(G, G), "key": dense(G, G)},
+        "bf_property": dense(G, O),
+        "predict_property": dense(O, 1),
+    }
+    if cfm.g_update:
+        params["neighbor_d"] = dense(K, D)
+        params["neighbor_w"] = dense(K, D)
+    for i in range(L):
+        la = {"filter_geo": dense(3 * D if cfm.g_update else K, D),
+              "key": dense(D, D), "query": dense(D, D), "layer_norm": ln()}
+        if cfm.g_update:
+            la["layer_norm_g"] = ln()
+        params[f"local_attention_{i}"] = la
+        params[f"residual_norm_{i}"] = {"dense_1": dense(D, D),
+                                        "dense_2": dense(D, D),
+                                        "layer_norm": ln()}
+    return params
+
+
+def _dummy_inputs(B: int, M: int, N: int) -> dict:
+    return {
+        "atomic": jnp.ones((B, M), jnp.int32),
+        "atom_mask": jnp.ones((B, M, 1), jnp.float32),
+        "neighbors": jnp.zeros((B, M, N), jnp.int32),
+        "neighbor_mask": jnp.ones((B, M, N), jnp.float32),
+        "neighbor_weight": jnp.ones((B, M, N), jnp.float32),
+        "neighbor_distance": jnp.ones((B, M, N), jnp.float32),
+    }
+
+
+_RESOLVED_TILES: dict = {}
+
+
+def _config_key(cfm: ModelConfig):
+    return (cfm.n_attention, cfm.local_dim, cfm.num_head, cfm.global_dim,
+            cfm.dense_out, cfm.embedding_dim, cfm.n_atoms, cfm.g_update,
+            cfm.use_ga_norm, cfm.use_drop, cfm.num_gaussian)
+
+
+def _probe_tile(cfm: ModelConfig, M: int, N: int, bt: int, which: str,
+                dropout_rate: float) -> int:
+    """Compile+run the kernel at tile ``bt`` on dummy data (grid of ONE
+    program — per-program VMEM is what can blow); halve on failure.
+
+    Mosaic's scoped-VMEM allocator is only approximately predictable from
+    tensor shapes, so the analytic pick is validated on the device once per
+    (config, shape) and cached. A failed compile costs minutes, but the
+    calibrated estimate makes that rare, and the result is reused for the
+    whole process (e.g. every epoch of a training run)."""
+    import numpy as np
+
+    while bt > 1:
+        try:
+            params = _dummy_params(cfm)
+            inputs = _dummy_inputs(bt, M, N)
+            if which == "fwd":
+                out, _ = fused_scann_forward(
+                    params, inputs, cfm, dropout_rate=dropout_rate,
+                    dropout_seed=0 if dropout_rate > 0 else None,
+                    batch_tile=bt)
+                float(np.asarray(out)[0, 0])  # value fetch = real sync
+            else:
+                from scann_tpu.kernels.scann_backward import fused_scann_grad
+
+                grads = fused_scann_grad(
+                    params, inputs, cfm,
+                    jnp.zeros((bt, 1), jnp.float32),
+                    jnp.zeros((bt, M, 1), jnp.float32),
+                    dropout_rate=dropout_rate,
+                    dropout_seed=0 if dropout_rate > 0 else None,
+                    batch_tile=bt)
+                float(np.asarray(jax.tree.leaves(grads)[0]).ravel()[0])
+            return bt
+        except Exception:  # VMEM OOM (or any compile failure): halve
+            bt //= 2
+    return 1
+
+
+def resolve_tile(cfm: ModelConfig, B: int, M: int, N: int, which: str,
+                 dropout_rate: float = 0.0) -> int:
+    """Batch tile for the fused ``which`` ('fwd'/'bwd') kernel at bucket
+    (B, M, N): analytic estimate, validated once on a real TPU."""
+    key = (_config_key(cfm), B, M, N, which, dropout_rate > 0)
+    if key in _RESOLVED_TILES:
+        return _RESOLVED_TILES[key]
+    if which == "fwd":
+        bt = pick_batch_tile(cfm, B, M, N)
+    else:
+        bt = pick_backward_tile(cfm, B, M, N)
+    if bt > 1 and jax.default_backend() == "tpu":
+        bt = _probe_tile(cfm, M, N, bt, which, dropout_rate)
+        while B % bt:
+            bt //= 2
+    _RESOLVED_TILES[key] = bt
+    return bt
+
+
 def pick_batch_tile(cfm: ModelConfig, B: int, M: int, N: int,
-                    budget_bytes: int = 10 * 1024 * 1024) -> int:
-    """Molecules per Pallas program: larger tiles feed the MXU bigger
+                    budget_bytes: int = VMEM_BUDGET_BYTES) -> int:
+    """Molecules per forward Pallas program: larger tiles feed the MXU bigger
     matmuls ([BT*M*N, D] rows); bounded by VMEM working set."""
-    D = cfm.local_dim
+    per_mol = _fwd_mol_bytes(cfm, M, N)
+    static = _param_bytes(cfm)
+    for bt in (32, 16, 8, 4, 2, 1):
+        if B % bt:
+            continue
+        if bt * per_mol + static < budget_bytes:
+            return bt
+    return 1
+
+
+def pick_backward_tile(cfm: ModelConfig, B: int, M: int, N: int,
+                       budget_bytes: int = VMEM_BUDGET_BYTES) -> int:
+    """Molecules per backward Pallas program (the stash working set is much
+    bigger than the forward's, so the backward usually tiles smaller)."""
+    per_mol = _bwd_mol_bytes(cfm, M, N)
+    static = 2 * _param_bytes(cfm)  # params + grad accumulators
     for bt in (16, 8, 4, 2, 1):
         if B % bt:
             continue
-        onehot = bt * M * N * M * 4
-        work = 8 * bt * M * N * D * 4
-        if onehot + work < budget_bytes:
+        if bt * per_mol + static < budget_bytes:
             return bt
     return 1
 
@@ -316,12 +514,11 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
     N = inputs["neighbors"].shape[2]
     L = cfm.n_attention
     D = cfm.local_dim
-    if dropout_rate > 0.0:
-        # training: the backward kernel replays the dropout PRNG stream at
-        # one molecule per program, so the forward must draw identically
-        BT = 1
-    else:
-        BT = batch_tile if batch_tile is not None else pick_batch_tile(cfm, B, M, N)
+    # dropout no longer pins the tile: masks are keyed to the global molecule
+    # index (per-molecule PRNG streams), so the backward replays them at any
+    # tile size
+    BT = (batch_tile if batch_tile is not None
+          else resolve_tile(cfm, B, M, N, "fwd", dropout_rate))
     if B % BT:
         raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
 
@@ -402,6 +599,10 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
             jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
         ],
+        # v5e has ~128 MB VMEM; Mosaic's default cap is far lower, so raise
+        # it to our probed budget (see VMEM_BUDGET_BYTES)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES + (16 << 20)),
         interpret=interpret,
     )(*operands)
     return out[:, :, 0], ga

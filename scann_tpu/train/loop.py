@@ -350,14 +350,23 @@ class Trainer:
                 log_fn(f"resumed from epoch {start_epoch} "
                        f"(best val_mae {best_val:.5f})")
                 if sgdr and start_epoch > 0:
-                    # fast-forward the warm-restart cycle (approximation: the
-                    # val-mae trigger fires immediately with standardized
-                    # targets, see schedules.py)
-                    sgdr.triggered = True
-                    for _ in range(start_epoch):
-                        sgdr.epoch_begin()
+                    if "sgdr_triggered" in meta:
+                        # faithful resume: the checkpoint carries the full
+                        # schedule state incl. the val-driven peak compression
+                        sgdr.load_state_dict(
+                            {k: np.asarray(v) for k, v in meta.items()
+                             if k.startswith("sgdr_")})
+                    else:
+                        # legacy checkpoint without schedule state:
+                        # fast-forward the warm-restart cycle (approximation)
+                        sgdr.triggered = True
+                        for _ in range(start_epoch):
+                            sgdr.epoch_begin()
 
-        rng = jax.random.fold_in(jax.random.PRNGKey(hyper.seed), start_epoch)
+        # per-epoch RNG is derived from (seed, epoch, bucket) alone — never
+        # from the split sequence — so a resumed run replays exactly the
+        # batches/dropout an uninterrupted run would have used
+        base_rng = jax.random.PRNGKey(hyper.seed)
         step = int(self.state.step)
 
         n_train = sum(b.num_structures for b in train_buckets)
@@ -365,8 +374,9 @@ class Trainer:
             t0 = time.perf_counter()
             epoch_lr = sgdr.epoch_begin() if sgdr else 0.0
             losses, maes = [], []
-            for binputs, btargets in dev_train:
-                rng, sub = jax.random.split(rng)
+            for bi, (binputs, btargets) in enumerate(dev_train):
+                sub = jax.random.fold_in(base_rng,
+                                         epoch * len(dev_train) + bi)
                 self.state, m = self._train_epoch(
                     self.state, binputs, btargets, sub,
                     jnp.asarray(epoch_lr, jnp.float32))
@@ -404,9 +414,11 @@ class Trainer:
                 best_val = val_mae
                 best_epoch = epoch
                 self.save_checkpoint("best")
-            self.save_checkpoint("last", meta={"epoch": epoch,
-                                               "best_val": best_val,
-                                               "best_epoch": best_epoch})
+            meta = {"epoch": epoch, "best_val": best_val,
+                    "best_epoch": best_epoch}
+            if sgdr:
+                meta.update(sgdr.state_dict())  # faithful SGDR resume
+            self.save_checkpoint("last", meta=meta)
             if epoch - best_epoch >= patience:
                 log_fn(f"early stopping at epoch {epoch} "
                        f"(no val_mae improvement for {patience} epochs)")
@@ -518,12 +530,23 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         target = {"params": self.state.params, "opt_state": self.state.opt_state,
                   "step": self.state.step}
-        try:  # 'last' checkpoints carry a meta block; 'best' may not
-            restored = ckptr.restore(path, dict(target, meta={
-                "epoch": jnp.zeros((), jnp.int32),
-                "best_val": jnp.zeros((), jnp.float32),
-                "best_epoch": jnp.zeros((), jnp.int32)}))
-        except Exception:
+        base_meta = {"epoch": jnp.zeros((), jnp.int32),
+                     "best_val": jnp.zeros((), jnp.float32),
+                     "best_epoch": jnp.zeros((), jnp.int32)}
+        sgdr_meta = {f"sgdr_{f}": jnp.zeros((), jnp.float32)
+                     for f in ("triggered", "lr", "lr_warmup_current",
+                               "lr_warmup_next", "ti", "tcur", "best_val_mae")}
+        restored = None
+        # 'last' checkpoints carry a meta block (with SGDR schedule state on
+        # sgdr runs); 'best' and legacy checkpoints may not — try richest first
+        for meta_t in (dict(base_meta, **sgdr_meta), base_meta, None):
+            try:
+                restored = ckptr.restore(
+                    path, target if meta_t is None else dict(target, meta=meta_t))
+                break
+            except Exception:
+                continue
+        if restored is None:
             restored = ckptr.restore(path, target)
         self.state = TrainState(params=jax.device_put(restored["params"], self._repl),
                                 opt_state=jax.device_put(restored["opt_state"], self._repl),

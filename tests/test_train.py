@@ -126,6 +126,34 @@ class TestSchedules:
         jumped = any(lrs[i + 1] > lrs[i] * 5 for i in range(len(lrs) - 1))
         assert jumped
 
+    def test_sgdr_state_roundtrip_matches_uninterrupted(self):
+        """state_dict/load_state_dict mid-run reproduces the exact LR
+        trajectory, including the val-driven peak-compression events the
+        old epoch_begin replay dropped."""
+        vals = [1.0, 0.4, 0.35, 0.5, 0.3, 0.45, 0.28, 0.6, 0.27, 0.55,
+                0.26, 0.5, 0.25]
+
+        def run(schedule, vals):
+            lrs = []
+            for v in vals:
+                lrs.append(schedule.epoch_begin())
+                schedule.epoch_end(v)
+            return lrs
+
+        a = SGDRSchedule(lr_max=1e-3, lr_min=1e-5, t0=3, tmult=2,
+                         trigger_val_mae=0.5)
+        full = run(a, vals)
+
+        b = SGDRSchedule(lr_max=1e-3, lr_min=1e-5, t0=3, tmult=2,
+                         trigger_val_mae=0.5)
+        run(b, vals[:6])
+        snap = b.state_dict()
+        c = SGDRSchedule(lr_max=1e-3, lr_min=1e-5, t0=3, tmult=2,
+                         trigger_val_mae=0.5)
+        c.load_state_dict(snap)
+        resumed = run(c, vals[6:])
+        assert resumed == pytest.approx(full[6:], rel=1e-12)
+
 
 @pytest.mark.slow
 class TestResume:
@@ -145,6 +173,27 @@ class TestResume:
         # only epochs 3..4 were run
         assert len(h2["loss"]) == 2
         assert int(tr2.state.step) > step_after_3
+
+    def test_sgdr_resume_matches_uninterrupted(self, packed, tmp_path):
+        """An SGDR run interrupted + resumed produces the SAME lr trajectory
+        (and loss trajectory) as an uninterrupted run: the checkpoint carries
+        the full schedule state, and per-epoch RNG depends only on the epoch
+        index."""
+        train_b, val_b, _, _, _ = packed
+
+        cfg_a = tiny_config(str(tmp_path / "sgdr_full"), scheduler="sgdr")
+        tr_a = Trainer(cfg_a)
+        h_full = tr_a.fit(train_b, val_b, epochs=6, log_fn=lambda s: None)
+
+        cfg_b = tiny_config(str(tmp_path / "sgdr_resumed"), scheduler="sgdr")
+        tr_b = Trainer(cfg_b)
+        tr_b.fit(train_b, val_b, epochs=3, log_fn=lambda s: None)
+        tr_c = Trainer(cfg_b)
+        h_res = tr_c.fit(train_b, val_b, epochs=6, log_fn=lambda s: None,
+                         resume=True)
+
+        assert h_res["lr"] == pytest.approx(h_full["lr"][3:], rel=1e-6)
+        assert h_res["loss"] == pytest.approx(h_full["loss"][3:], rel=1e-4)
 
     def test_resume_without_checkpoint_starts_fresh(self, packed, tmp_path):
         train_b, val_b, _, _, _ = packed

@@ -135,6 +135,60 @@ Direct
         assert s.species == ["Si", "Si"]
         np.testing.assert_allclose(s.coords[1], [1.35, 1.35, 1.35])
 
+    def test_from_file_cif(self, tmp_path):
+        # reference load_file accepts CIF via pymatgen (general.py:178-203)
+        cif = """data_NaCl
+_cell_length_a 5.64
+_cell_length_b 5.64
+_cell_length_c 5.64
+_cell_angle_alpha 90.0
+_cell_angle_beta 90.0
+_cell_angle_gamma 90.0
+loop_
+ _atom_site_type_symbol
+ _atom_site_label
+ _atom_site_fract_x
+ _atom_site_fract_y
+ _atom_site_fract_z
+ Na Na1 0.0 0.0 0.0
+ Cl Cl1 0.5 0.5 0.5
+"""
+        p = tmp_path / "nacl.cif"
+        p.write_text(cif)
+        s = Structure.from_file(str(p))
+        assert s.is_periodic
+        assert sorted(s.species) == ["Cl", "Na"]
+        np.testing.assert_allclose(np.abs(np.linalg.det(s.lattice)),
+                                   5.64 ** 3, rtol=1e-6)
+
+    def test_from_file_mol(self, tmp_path):
+        # MDL molfile (V2000) — a molecule format the reference gets from
+        # pymatgen; mol=True boxes it like load_file does
+        molfile = """water
+  test
+
+  3  2  0  0  0  0  0  0  0  0999 V2000
+    0.0000    0.0000    0.0000 O   0  0
+    0.9600    0.0000    0.0000 H   0  0
+   -0.2400    0.9300    0.0000 H   0  0
+  1  2  1  0
+  1  3  1  0
+M  END
+"""
+        p = tmp_path / "water.mol"
+        p.write_text(molfile)
+        s = Structure.from_file(str(p))
+        assert not s.is_periodic
+        assert s.species == ["O", "H", "H"]
+        boxed = Structure.from_file(str(p), mol=True)
+        assert boxed.is_periodic
+
+    def test_from_file_rejects_unknown(self, tmp_path):
+        p = tmp_path / "thing.pdf"
+        p.write_text("x")
+        with pytest.raises(ValueError, match="unsupported"):
+            Structure.from_file(str(p))
+
     def test_boxed_centers_center_of_mass(self):
         mol = Structure(["O", "H", "H"], [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
         boxed = mol.boxed(box=10.0)

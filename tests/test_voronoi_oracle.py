@@ -1,0 +1,203 @@
+"""Independent-oracle parity tests for the Voronoi featurizer.
+
+Round-1 VERDICT flagged the featurizer as the highest-risk untested
+semantic: it was rewritten from scratch (scipy/Qhull per structure) with no
+record-for-record comparison against an independent implementation, and
+pymatgen (the reference's engine, ``voronoi_neighbor.py:26-60``) is not
+installed in this environment.
+
+This file supplies that comparison with a *from-first-principles* Monte
+Carlo oracle that shares no code or algorithm with the featurizer: for each
+atom, sample K uniform random directions; along each ray the Voronoi cell is
+exited through the facet of whichever neighbor's perpendicular bisector
+plane is crossed first; the fraction of rays exiting through neighbor j,
+times 4*pi, is j's facet solid angle. This checks, independently:
+
+- the facet *set* (which pairs share a Voronoi face at all),
+- each facet's solid angle (to MC precision ~4e-3 sr),
+- the neighbor distances and base-index mapping through periodic images,
+- the downstream filters (w >= w_t, w/max >= 0.2, d <= d_t) on real records.
+"""
+
+import numpy as np
+import pytest
+
+from scann_tpu.data.structure import Structure
+from scann_tpu.data.voronoi import _voronoi_facets, compute_voronoi_neighbors
+
+pytestmark = pytest.mark.slow  # MC sampling: a few seconds per structure
+
+
+def mc_solid_angles(struct: Structure, atom: int, cutoff: float = 7.0,
+                    n_rays: int = 400_000, seed: int = 0):
+    """Monte Carlo facet solid angles of ``atom``'s Voronoi cell.
+
+    Returns {(base_index, image_offset_tuple): solid_angle} for every
+    neighbor whose facet caught at least one ray, plus the distance map.
+    Uses only numpy: no Qhull, no polygon math.
+    """
+    struct = struct.as_periodic()
+    lattice = struct.lattice
+    home = struct.coords
+    n_home = len(struct)
+
+    # candidate neighbor points: all periodic images within a generous radius
+    inv = np.linalg.inv(lattice)
+    heights = 1.0 / np.linalg.norm(inv, axis=1)
+    reps = [int(np.ceil((cutoff + 1e-9) / h)) + 1 for h in heights]
+    cand_pts, cand_idx = [], []
+    for a in range(-reps[0], reps[0] + 1):
+        for b in range(-reps[1], reps[1] + 1):
+            for c in range(-reps[2], reps[2] + 1):
+                shift = np.array([a, b, c], float) @ lattice
+                for j in range(n_home):
+                    if a == b == c == 0 and j == atom:
+                        continue
+                    cand_pts.append(home[j] + shift)
+                    cand_idx.append((j, (a, b, c)))
+    cand_pts = np.asarray(cand_pts)
+    center = home[atom]
+    v = cand_pts - center                       # [C, 3]
+    d2 = np.einsum("ij,ij->i", v, v)
+    keep = d2 <= (2.5 * cutoff) ** 2            # bisectors beyond can't win
+    v, d2 = v[keep], d2[keep]
+    cand_idx = [cand_idx[k] for k in np.nonzero(keep)[0]]
+
+    rng = np.random.default_rng(seed)
+    counts = np.zeros(len(cand_idx), np.int64)
+    # bisector crossing parameter along each ray: t_j = |v_j|^2 / (2 d.v_j),
+    # valid only for d.v_j > 0; the smallest positive t wins the exit facet.
+    # Chunked over rays to bound the [rays, candidates] matrix.
+    chunk = max(1, 32_000_000 // max(1, len(cand_idx)))
+    done = 0
+    while done < n_rays:
+        k = min(chunk, n_rays - done)
+        rays = rng.normal(size=(k, 3))
+        rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+        proj = rays @ v.T                        # [k, C]
+        with np.errstate(divide="ignore"):
+            t = np.where(proj > 1e-12, d2[None, :] / (2.0 * proj), np.inf)
+        winner = np.argmin(t, axis=1)
+        counts += np.bincount(winner, minlength=len(cand_idx))
+        done += k
+    out_sa, out_d = {}, {}
+    for c, (cnt, key) in enumerate(zip(counts, cand_idx)):
+        if cnt:
+            out_sa[key] = 4.0 * np.pi * cnt / n_rays
+            out_d[key] = float(np.sqrt(d2[c]))
+    return out_sa, out_d
+
+
+def merged_by_base(sa_map, d_map):
+    """pymatgen/reference semantics keep each (neighbor image) facet as its
+    own record; our featurizer does too. For set comparison we key facets by
+    (base index, rounded distance) — unique per image at these geometries."""
+    out = {}
+    for key, sa in sa_map.items():
+        j, _ = key
+        out[(j, round(d_map[key], 5))] = out.get((j, round(d_map[key], 5)), 0.0) + sa
+    return out
+
+
+STRUCTURES = {
+    # fcc Cu: 12 equal facets, the canonical oracle
+    "fcc": Structure.from_frac(
+        ["Cu"] * 4,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        np.eye(3) * 3.6,
+    ),
+    # perturbed rocksalt: broken symmetry, mixed species
+    "rocksalt_perturbed": Structure.from_frac(
+        ["Na", "Cl"] * 4,
+        (np.array([[0, 0, 0], [.5, 0, 0], [0, .5, 0], [.5, .5, 0],
+                   [0, 0, .5], [.5, 0, .5], [0, .5, .5], [.5, .5, .5]])
+         + np.random.default_rng(3).uniform(-0.02, 0.02, (8, 3))),
+        np.eye(3) * 5.6,
+    ),
+    # low-symmetry triclinic cell with random sites
+    "triclinic_random": Structure.from_frac(
+        ["Si", "O", "Al", "Mg", "Si", "O"],
+        np.random.default_rng(7).uniform(0.05, 0.95, (6, 3)),
+        np.array([[6.1, 0, 0], [1.2, 5.4, 0], [0.8, -0.9, 5.9]]),
+    ),
+    # a real molecule (reference inference fixture), boxed like the pipeline
+    "thymine": Structure.from_file(
+        "/root/reference/experiments/molecules/Thymine.xyz", mol=True),
+}
+
+
+@pytest.mark.parametrize("name", list(STRUCTURES))
+def test_facets_match_monte_carlo_oracle(name):
+    struct = STRUCTURES[name].as_periodic()
+    facets = _voronoi_facets(struct.coords, struct.lattice, len(struct),
+                             cutoff=7.0)
+    n_rays = 400_000
+    sigma = 4 * np.pi * np.sqrt(0.25 / n_rays)   # worst-case MC std
+    atoms = range(len(struct)) if len(struct) <= 8 else [0, 3, 7, 11, 14]
+    for atom in atoms:
+        sa_map, d_map = mc_solid_angles(struct, atom, n_rays=n_rays,
+                                        seed=atom)
+        mc = merged_by_base(sa_map, d_map)
+        ours = {}
+        for j, sa, dist in facets[atom]:
+            k = (j, round(dist, 5))
+            ours[k] = ours.get(k, 0.0) + sa
+
+        # every non-trivial facet must exist in both (tiny slivers can be
+        # missed by either side: MC by sampling, Qhull by degeneracy); a
+        # facet may straddle the cut by MC noise, so disagreements are only
+        # allowed inside a band around the threshold
+        cut, band = 0.03, 0.015
+        big_mc = {k for k, v in mc.items() if v > cut}
+        big_ours = {k for k, v in ours.items() if v > cut}
+        for k in big_mc.symmetric_difference(big_ours):
+            v = mc.get(k, ours.get(k))
+            assert abs(v - cut) < band, (
+                f"{name} atom {atom}: facet {k} (sa {v:.5f}) present in only "
+                f"one implementation, far from the {cut} comparison cut")
+
+        for k in big_ours & big_mc:
+            assert ours[k] == pytest.approx(mc[k], abs=6 * sigma), (
+                f"{name} atom {atom} neighbor {k}: solid angle "
+                f"{ours[k]:.5f} vs MC {mc[k]:.5f}")
+
+        # total solid angle closes to 4*pi
+        assert sum(ours.values()) == pytest.approx(4 * np.pi, rel=1e-6)
+
+
+def test_filtered_records_match_oracle_filtering():
+    """End-to-end: compute_voronoi_neighbors' kept records == applying the
+    reference filters (voronoi_neighbor.py:48-50) to the MC oracle's facets,
+    away from filter-boundary noise."""
+    struct = STRUCTURES["rocksalt_perturbed"]
+    d_t, w_t = 4.0, 0.4
+    recs = compute_voronoi_neighbors(struct, d_thresh=d_t, w_thresh=w_t)
+    n_rays = 400_000
+    sigma = 4 * np.pi * np.sqrt(0.25 / n_rays)
+    for atom in range(len(struct)):
+        sa_map, d_map = mc_solid_angles(struct, atom, n_rays=n_rays,
+                                        seed=100 + atom)
+        mc = merged_by_base(sa_map, d_map)
+        max_w = max(mc.values())
+        expected = {}
+        borderline = set()
+        for (j, dr), w in mc.items():
+            on_edge = (abs(w - w_t) < 6 * sigma
+                       or abs(w / max_w - 0.2) < 6 * sigma
+                       or abs(dr - d_t) < 1e-6)
+            if on_edge:
+                borderline.add((j, dr))
+            elif w >= w_t and w / max_w >= 0.2 and dr <= d_t:
+                expected[(j, dr)] = w
+
+        got = {}
+        for sp, j, w, wn, dist in recs[atom]:
+            k = (j, round(dist, 5))
+            got[k] = got.get(k, 0.0) + w
+            assert sp == struct.species[j]
+        got_solid = {k: v for k, v in got.items() if k not in borderline}
+        assert set(got_solid) == set(expected), (
+            f"atom {atom}: kept-record sets differ "
+            f"(ours {set(got_solid)} vs oracle {set(expected)})")
+        for k in expected:
+            assert got_solid[k] == pytest.approx(expected[k], abs=6 * sigma)

@@ -129,7 +129,9 @@ CASES = {
         hyper=dict(target="e_form"),
         B=3, M=8, N=4,
     ),
-    # QM9 SCANN+ full-size architecture (real config dims) for perf-parity
+    # QM9 SCANN+ full-size architecture (real config dims) for perf-parity;
+    # trained weights (not random init) so the fixture exercises realistic
+    # weight magnitudes / LayerNorm statistics
     "scann_plus_qm9full": dict(
         model=dict(n_atoms=10, embedding_dim=48, n_attention=7, local_dim=128,
                    num_head=8, global_dim=128, dense_out=128, scale=0.5,
@@ -137,7 +139,29 @@ CASES = {
                    g_update=True, gaussian_d=4.0, feature="atomic",
                    use_drop=False),
         hyper=dict(target="homo"),
-        B=2, M=20, N=8,
+        B=2, M=20, N=8, train_epochs=120,
+    ),
+    # MP2018 full-size architecture (reference configs/model_mp2018.yaml:
+    # 9 layers, dim 128, gaussian_d 6.0), trained weights
+    "scann_plus_mp2018full": dict(
+        model=dict(n_atoms=95, embedding_dim=128, n_attention=9, local_dim=128,
+                   num_head=8, global_dim=128, dense_out=128, scale=0.5,
+                   use_attn_norm=True, use_ga_norm=True, use_ring=False,
+                   g_update=True, gaussian_d=6.0, feature="atomic",
+                   use_drop=False),
+        hyper=dict(target="e_f"),
+        B=2, M=24, N=10, train_epochs=80,
+    ),
+    # deepest published architecture (reference configs/model_ptgp.yaml:
+    # 11 layers), trained weights
+    "scann_plus_ptgp11": dict(
+        model=dict(n_atoms=95, embedding_dim=128, n_attention=11, local_dim=128,
+                   num_head=8, global_dim=128, dense_out=128, scale=0.5,
+                   use_attn_norm=True, use_ga_norm=True, use_ring=False,
+                   g_update=True, gaussian_d=4.0, feature="atomic",
+                   use_drop=False),
+        hyper=dict(target="total_energy"),
+        B=2, M=16, N=8, train_epochs=60,
     ),
 }
 
@@ -158,6 +182,16 @@ def main():
                              use_ring=case["model"]["use_ring"],
                              cgcnn=case["model"]["feature"] == "cgcnn",
                              n_atoms=case["model"]["n_atoms"])
+
+        # move weights away from random init: real checkpoints (the published
+        # figshare H5s) carry trained magnitudes that random-weight fixtures
+        # don't exercise
+        if case.get("train_epochs"):
+            y = rng.normal(size=(case["B"], 1)).astype(np.float32)
+            model.compile(loss="mse",
+                          optimizer=tf.keras.optimizers.Adam(1e-3))
+            model.fit(inputs, y, epochs=case["train_epochs"],
+                      batch_size=case["B"], verbose=0)
 
         pred = model.predict(inputs, verbose=0)
         ga_out = model.get_layer("global_attention").output[0]

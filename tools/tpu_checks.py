@@ -1,0 +1,121 @@
+"""On-hardware verification of the fused kernels' dropout semantics.
+
+The CPU test suite runs the Pallas kernels under the TPU *interpreter*,
+whose PRNG differs from real hardware; this script re-runs the
+dropout-critical checks on an actual TPU:
+
+  1. dropout is active (output differs from the deterministic forward),
+  2. masks are batch-tiling invariant (BT=1 == BT=4, same seed) — the
+     property that lets the forward and backward kernels tile independently,
+  3. different seeds give different masks,
+  4. backward gradients are tiling-invariant,
+  5. the hand-written backward matches a central finite difference through
+     the fused forward (same seed -> deterministic loss), which would catch
+     any forward/backward mask replay mismatch.
+
+Usage: python tools/tpu_checks.py   (needs a TPU backend)
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_synthetic_batch(rng, B, M, N):
+    n_atoms_per = rng.integers(3, M + 1, size=B)
+    inputs = {
+        "atomic": np.zeros((B, M), np.int32),
+        "atom_mask": np.zeros((B, M, 1), np.float32),
+        "neighbors": np.zeros((B, M, N), np.int32),
+        "neighbor_mask": np.zeros((B, M, N), np.float32),
+        "neighbor_weight": np.zeros((B, M, N), np.float32),
+        "neighbor_distance": np.zeros((B, M, N), np.float32),
+    }
+    for b in range(B):
+        na = n_atoms_per[b]
+        inputs["atomic"][b, :na] = rng.integers(1, 10, size=na)
+        inputs["atom_mask"][b, :na, 0] = 1.0
+        for m in range(na):
+            nn = rng.integers(1, min(N, na) + 1)
+            inputs["neighbors"][b, m, :nn] = rng.integers(0, na, size=nn)
+            inputs["neighbor_mask"][b, m, :nn] = 1.0
+            inputs["neighbor_weight"][b, m, :nn] = rng.uniform(0.3, 3.0, size=nn)
+            inputs["neighbor_distance"][b, m, :nn] = rng.uniform(0.8, 4.0, size=nn)
+    return inputs
+
+
+def main():
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import fused_scann_grad, scann_apply
+    from scann_tpu.kernels.scann_forward import fused_scann_forward
+    from scann_tpu.models import ScannModel
+
+    assert jax.default_backend() != "cpu", "needs a real TPU backend"
+    rng = np.random.default_rng(0)
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2,
+                      local_dim=32, num_head=4, global_dim=32, dense_out=16,
+                      g_update=True, use_drop=True)
+    inputs = make_synthetic_batch(rng, B=8, M=12, N=6)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    ok = True
+
+    det, _ = fused_scann_forward(params, inputs, cfg)
+    p1, _ = fused_scann_forward(params, inputs, cfg, dropout_rate=0.1,
+                                dropout_seed=123, batch_tile=1)
+    p2, _ = fused_scann_forward(params, inputs, cfg, dropout_rate=0.1,
+                                dropout_seed=123, batch_tile=4)
+    p3, _ = fused_scann_forward(params, inputs, cfg, dropout_rate=0.1,
+                                dropout_seed=777, batch_tile=4)
+    d = lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+    checks = [
+        ("dropout active", d(p1, det) > 1e-3),
+        ("tiling invariant", d(p1, p2) < 1e-5),
+        ("seed sensitive", d(p2, p3) > 1e-3),
+    ]
+
+    ct_p = np.ones((8, 1), np.float32)
+    ct_g = np.zeros((8, 12, 1), np.float32)
+    g1 = fused_scann_grad(params, inputs, cfg, ct_p, ct_g, dropout_rate=0.1,
+                          dropout_seed=123, batch_tile=1)
+    g2 = fused_scann_grad(params, inputs, cfg, ct_p, ct_g, dropout_rate=0.1,
+                          dropout_seed=123, batch_tile=4)
+    gerr = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+               for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)))
+    checks.append(("grad tiling invariant", gerr < 1e-4))
+
+    y = jnp.asarray(np.linspace(-1, 1, 8, dtype=np.float32))
+
+    def loss(p):
+        pred, ga = scann_apply(p, inputs, cfg, False, False, 0.1, 42)
+        return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+                + 0.05 * jnp.sum(ga ** 2))
+
+    with jax.default_matmul_precision("highest"):
+        g = jax.grad(loss)(params)
+        flat_p, tree = jax.tree_util.tree_flatten(params)
+        dirs = [np.asarray(rng.normal(size=np.shape(x)), np.float32)
+                for x in flat_p]
+        gn = np.sqrt(sum(float(np.sum(dd * dd)) for dd in dirs))
+        dirs = [dd / gn for dd in dirs]
+        eps = 1e-2
+        plus = jax.tree_util.tree_unflatten(
+            tree, [x + eps * dd for x, dd in zip(flat_p, dirs)])
+        minus = jax.tree_util.tree_unflatten(
+            tree, [x - eps * dd for x, dd in zip(flat_p, dirs)])
+        fd = (float(loss(plus)) - float(loss(minus))) / (2 * eps)
+    an = float(sum(np.sum(np.asarray(gg) * dd)
+                   for gg, dd in zip(jax.tree.leaves(g), dirs)))
+    checks.append(("fwd/bwd mask consistency (FD)",
+                   abs(fd - an) / max(abs(fd), 1e-9) < 2e-2))
+
+    for name, passed in checks:
+        print(f"{'PASS' if passed else 'FAIL'}  {name}")
+        ok = ok and passed
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
