@@ -1,0 +1,35 @@
+"""Batched-inference HTTP server CLI.
+
+    python -m scann_tpu.cli.serve <model_dir> [--host 127.0.0.1]
+        [--port 8421] [--max-batch 64] [--window-ms 5]
+
+Serves a trained run dir (config.yaml + checkpoints/) over HTTP; see
+``scann_tpu.serve`` for the request/response format.
+"""
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("model_dir", type=str,
+                        help="training run dir (config.yaml + checkpoints/)")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8421)
+    parser.add_argument("--max-batch", type=int, default=64)
+    parser.add_argument("--window-ms", type=float, default=5.0)
+    args = parser.parse_args(argv)
+
+    from scann_tpu.serve import BatchedPredictor, PredictionServer
+
+    predictor = BatchedPredictor.from_model_dir(
+        args.model_dir, max_batch=args.max_batch, window_ms=args.window_ms)
+    server = PredictionServer(predictor, host=args.host, port=args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -100,9 +100,9 @@ def _ln_bwd(dy, xhat, inv, gamma):
 def _kernel(
     # batched inputs
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
-    ct_pred_ref, ct_ga_ref, seed_ref,
+    ring_ref, ct_pred_ref, ct_ga_ref, seed_ref,
     # params (same order as forward kernel)
-    embed_ref, wde_ref, bde_ref,
+    embed_ref, bembed_ref, wring_ref, bring_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
     ln_s_ref, ln_b_ref, lng_s_ref, lng_b_ref,
@@ -111,7 +111,8 @@ def _kernel(
     wbf_ref, bbf_ref, wp_ref, bp_ref,
     dist_centers_ref, angle_centers_ref,
     # grad outputs (accumulated across the grid)
-    d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
+    d_embed, d_bembed, d_wring, d_bring, d_wde, d_bde,
+    d_wnd, d_bnd, d_wnw, d_bnw,
     d_wfg, d_bfg, d_wk, d_bk, d_wq, d_bq,
     d_ln_s, d_ln_b, d_lng_s, d_lng_b,
     d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
@@ -119,10 +120,11 @@ def _kernel(
     d_wbf, d_bbf, d_wp, d_bp,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
-    attn_dropout: float = 0.0,
+    attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
 ):
     b = pl.program_id(0)
-    grads = [d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
+    grads = [d_embed, d_bembed, d_wring, d_bring, d_wde, d_bde,
+             d_wnd, d_bnd, d_wnw, d_bnw,
              d_wfg, d_bfg, d_wk, d_bk, d_wq, d_bq,
              d_ln_s, d_ln_b, d_lng_s, d_lng_b,
              d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
@@ -146,13 +148,16 @@ def _kernel(
 
     # row-stacked layout, as the forward kernel: molecules concatenated along
     # the row axis; only the neighbor gather and the GA readout see BT.
-    atomic = atomic_ref[...].reshape(R, 1)
     am3 = atom_mask_ref[...]        # [BT, M, 1]
     nmask = nmask_ref[...].reshape(R, N)
     weight_rows = weight_ref[...].reshape(R, N)
 
-    zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
-    z_oh = (zcols == atomic).astype(jnp.float32)
+    if cgcnn:
+        feat_rows = atomic_ref[...].reshape(R, vocab)          # 92-dim f32
+    else:
+        atomic = atomic_ref[...].reshape(R, 1)
+        zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
+        feat_rows = (zcols == atomic).astype(jnp.float32)      # one-hot
     ncols = jax.lax.broadcasted_iota(jnp.int32, (BT, M, N, M), dimension=3)
     n_oh4 = (ncols == idx_ref[...][:, :, :, None]).astype(jnp.float32)
 
@@ -185,8 +190,17 @@ def _kernel(
             n=N, h=H, attn_rate=attn_dropout)
 
     # ---------------- forward (stash per-layer inputs) --------------------
-    emb = _mm(z_oh, embed_ref[:])                              # [R, E]
-    s_de = _mm(emb, wde_ref[:]) + bde_ref[:]
+    E = embed_ref.shape[1]
+    emb = _mm(feat_rows, embed_ref[:])                         # [R, E]
+    if cgcnn:
+        emb = emb + bembed_ref[:]
+    if use_ring:
+        ring_rows = ring_ref[...].reshape(R, 2)
+        ring_emb = _mm(ring_rows, wring_ref[:]) + bring_ref[:]
+        s_de = (_mm(emb, wde_ref[0:E, :])
+                + _mm(ring_emb, wde_ref[E:E + 10, :]) + bde_ref[:])
+    else:
+        s_de = _mm(emb, wde_ref[:]) + bde_ref[:]
     centers = _swish(s_de)                                     # [R, D]
     if dropout_rate > 0.0:
         centers = centers * embed_mask
@@ -415,10 +429,20 @@ def _kernel(
     if dropout_rate > 0.0:
         dc = dc * embed_mask
     ds_de = dc * _swish_grad(s_de)
-    d_wde[...] += _mm_tA(emb, ds_de)
     d_bde[...] += jnp.sum(ds_de, axis=0)
-    demb = _mm_tB(ds_de, wde_ref[:])
-    d_embed[...] += _mm_tA(z_oh, demb)
+    if use_ring:
+        d_wde[0:E, :] += _mm_tA(emb, ds_de)
+        d_wde[E:E + 10, :] += _mm_tA(ring_emb, ds_de)
+        dring_emb = _mm_tB(ds_de, wde_ref[E:E + 10, :])
+        d_wring[...] += _mm_tA(ring_rows, dring_emb)
+        d_bring[...] += jnp.sum(dring_emb, axis=0)
+        demb = _mm_tB(ds_de, wde_ref[0:E, :])
+    else:
+        d_wde[...] += _mm_tA(emb, ds_de)
+        demb = _mm_tB(ds_de, wde_ref[:])
+    d_embed[...] += _mm_tA(feat_rows, demb)
+    if cgcnn:
+        d_bembed[...] += jnp.sum(demb, axis=0)
 
     if g_update:
         # geometry_0 = swish(s_nd) * swish(s_nw)
@@ -469,8 +493,26 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
         bnd = jnp.zeros((D,), jnp.float32)
         wnw, bnw = wnd, bnd
 
+    cgcnn = cfm.feature == "cgcnn"
+    if cgcnn:
+        w_embed = f32(params["embed_atom"]["kernel"])
+        b_embed = f32(params["embed_atom"]["bias"])
+        atomic_op = f32(inputs["atomic"])
+    else:
+        w_embed = f32(params["embed_atom"]["embedding"])
+        b_embed = jnp.zeros((w_embed.shape[1],), jnp.float32)
+        atomic_op = jnp.asarray(inputs["atomic"], jnp.int32)[..., None]
+    if cfm.use_ring:
+        w_ring = f32(params["extra_embed"]["kernel"])
+        b_ring = f32(params["extra_embed"]["bias"])
+        ring_op = f32(inputs["ring_aromatic"])
+    else:
+        w_ring = jnp.zeros((2, 10), jnp.float32)
+        b_ring = jnp.zeros((10,), jnp.float32)
+        ring_op = jnp.zeros((B, M, 2), jnp.float32)
+
     param_operands = [
-        f32(params["embed_atom"]["embedding"]),
+        w_embed, b_embed, w_ring, b_ring,
         f32(params["dense_embed"]["kernel"]), f32(params["dense_embed"]["bias"]),
         f32(wnd), f32(bnd), f32(wnw), f32(bnw),
         f32(sp["wfg"]), f32(sp["bfg"]), f32(sp["wk"]), f32(sp["bk"]),
@@ -492,12 +534,13 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
         dropout_seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
 
     operands = [
-        jnp.asarray(inputs["atomic"], jnp.int32)[..., None],
+        atomic_op,
         f32(inputs["atom_mask"]),
         jnp.asarray(inputs["neighbors"], jnp.int32),
         f32(inputs["neighbor_mask"]),
         f32(inputs["neighbor_weight"]),
         f32(inputs["neighbor_distance"]),
+        ring_op,
         f32(ct_pred)[..., None],          # [B, 1, 1]
         f32(ct_ga),                       # [B, M, 1]
         dropout_seed,
@@ -512,7 +555,7 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
             idx_map = lambda bb, nd=x.ndim: (0,) * nd
         return pl.BlockSpec(blk, idx_map, memory_space=pltpu.VMEM)
 
-    in_specs = [spec_for(x, i < 8) for i, x in enumerate(operands)]
+    in_specs = [spec_for(x, i < 9) for i, x in enumerate(operands)]
 
     grad_templates = param_operands  # same order as the d_* kernel args
     out_specs = [spec_for(x, False) for x in grad_templates]
@@ -527,6 +570,7 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
             dropout_rate=dropout_rate,
             attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
+            use_ring=cfm.use_ring, cgcnn=cgcnn,
         ),
         grid=(B // BT,),
         in_specs=in_specs,
@@ -537,7 +581,8 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
         interpret=interpret,
     )(*operands)
 
-    (g_embed, g_wde, g_bde, g_wnd, g_bnd, g_wnw, g_bnw,
+    (g_embed, g_bembed, g_wring, g_bring, g_wde, g_bde,
+     g_wnd, g_bnd, g_wnw, g_bnw,
      g_wfg, g_bfg, g_wk, g_bk, g_wq, g_bq,
      g_ln_s, g_ln_b, g_lng_s, g_lng_b,
      g_wr1, g_br1, g_wr2, g_br2, g_rln_s, g_rln_b,
@@ -545,7 +590,8 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
      g_wbf, g_bbf, g_wp, g_bp) = grads_flat
 
     out = {
-        "embed_atom": {"embedding": g_embed},
+        "embed_atom": ({"kernel": g_embed, "bias": g_bembed} if cgcnn
+                       else {"embedding": g_embed}),
         "dense_embed": {"kernel": g_wde, "bias": g_bde},
         "after_Lc": {"kernel": g_wal, "bias": g_bal},
         "global_attention": {
@@ -555,6 +601,8 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
         "bf_property": {"kernel": g_wbf, "bias": g_bbf},
         "predict_property": {"kernel": g_wp, "bias": g_bp},
     }
+    if cfm.use_ring:
+        out["extra_embed"] = {"kernel": g_wring, "bias": g_bring}
     if cfm.g_update:
         out["neighbor_d"] = {"kernel": g_wnd, "bias": g_bnd}
         out["neighbor_w"] = {"kernel": g_wnw, "bias": g_bnw}
@@ -644,6 +692,8 @@ def make_sharded_scann_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
 
     batch_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
                   "neighbor_weight", "neighbor_distance")
+    if cfm.use_ring:
+        batch_keys = batch_keys + ("ring_aromatic",)
     in_specs = (P(), {k: P("data") for k in batch_keys}, P())
     sharded = shard_map(fn, mesh=mesh,
                         in_specs=in_specs,

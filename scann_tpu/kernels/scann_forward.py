@@ -43,7 +43,10 @@ def _ln(x, gamma, beta, eps=1e-6):
 
 
 def supports_config(cfm: ModelConfig) -> bool:
-    return (cfm.feature == "atomic" and not cfm.use_ring and cfm.use_attn_norm)
+    # atomic + cgcnn features, ring concat, dropout, mrelu head, both model
+    # variants are all fused; only use_attn_norm=False (no ResidualNorm
+    # between layers — unpublished configuration) falls back to XLA
+    return cfm.use_attn_norm
 
 
 # Mosaic's scoped-VMEM stack limit observed in compile errors on v5e is
@@ -178,8 +181,8 @@ def make_dropout_masks(seed, mol_base, bt, m, d, n_layers, rate,
 
 def _kernel(
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
-    seed_ref,
-    embed_ref, wde_ref, bde_ref,
+    ring_ref, seed_ref,
+    embed_ref, bembed_ref, wring_ref, bring_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,          # g_update geometry embeds
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
     ln_s_ref, ln_b_ref, lng_s_ref, lng_b_ref,
@@ -191,13 +194,14 @@ def _kernel(
     out_ref, ga_ref,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
-    attn_dropout: float = 0.0,
+    attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
 ):
     BT = atomic_ref.shape[0]                                   # molecules/program
     M = atomic_ref.shape[1]
     N = idx_ref.shape[2]
     R = BT * M                                                 # total atom rows
     vocab = embed_ref.shape[0]
+    E = embed_ref.shape[1]
     D = wk_ref.shape[2]
     H = num_head
     hd = D // H
@@ -207,20 +211,35 @@ def _kernel(
     # molecule-oblivious; only the neighbor gather (per-molecule index space)
     # and the GA readout (reductions over each molecule's atoms, via
     # [R, .] <-> [BT, M, .] reshapes) know about BT.
-    atomic = atomic_ref[...].reshape(R, 1)                     # int32
     am = atom_mask_ref[...].reshape(R, 1)
     nmask = nmask_ref[...].reshape(R, N)
 
-    # --- atom embedding as one-hot matmul --------------------------------
+    # --- atom embedding --------------------------------------------------
     if dropout_rate > 0.0 or attn_dropout > 0.0:
         embed_mask, layer_masks, attn_masks = make_dropout_masks(
             seed_ref[0, 0], pl.program_id(0) * BT, BT, M, D, n_layers,
             dropout_rate, n=N, h=H, attn_rate=attn_dropout)
 
-    zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
-    z_oh = (zcols == atomic).astype(jnp.float32)
-    centers = _mm(z_oh, embed_ref[:])                          # [R, E]
-    centers = swish(_mm(centers, wde_ref[:]) + bde_ref[:])     # [R, D]
+    if cgcnn:
+        # feature="cgcnn": a Dense projection of the 92-dim CGCNN one-hot
+        # descriptors (reference scann_model.py:363-365)
+        feat = atomic_ref[...].reshape(R, vocab)
+        emb = _mm(feat, embed_ref[:]) + bembed_ref[:]          # [R, E]
+    else:
+        # atomic numbers: embedding lookup as a one-hot matmul (MXU)
+        atomic = atomic_ref[...].reshape(R, 1)                 # int32
+        zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
+        z_oh = (zcols == atomic).astype(jnp.float32)
+        emb = _mm(z_oh, embed_ref[:])                          # [R, E]
+    if use_ring:
+        # ring/aromatic concat (scann_model.py:367-371) expressed as split
+        # partial matmuls of dense_embed's kernel rows — no lane concat
+        ring_emb = _mm(ring_ref[...].reshape(R, 2), wring_ref[:]) + bring_ref[:]
+        s_de = (_mm(emb, wde_ref[0:E, :])
+                + _mm(ring_emb, wde_ref[E:E + 10, :]) + bde_ref[:])
+    else:
+        s_de = _mm(emb, wde_ref[:]) + bde_ref[:]
+    centers = swish(s_de)                                      # [R, D]
     if dropout_rate > 0.0:
         centers = centers * embed_mask
 
@@ -364,14 +383,18 @@ def _dummy_params(cfm: ModelConfig) -> dict:
     z = lambda *s: jnp.zeros(s, jnp.float32)
     dense = lambda i, o: {"kernel": z(i, o), "bias": z(o)}
     ln = lambda: {"scale": z(D), "bias": z(D)}
+    E = cfm.embedding_dim
     params = {
-        "embed_atom": {"embedding": z(cfm.n_atoms, cfm.embedding_dim)},
-        "dense_embed": dense(cfm.embedding_dim, D),
+        "embed_atom": (dense(92, E) if cfm.feature == "cgcnn"
+                       else {"embedding": z(cfm.n_atoms, E)}),
+        "dense_embed": dense(E + 10 if cfm.use_ring else E, D),
         "after_Lc": dense(D, G),
         "global_attention": {"query": dense(G, G), "key": dense(G, G)},
         "bf_property": dense(G, O),
         "predict_property": dense(O, 1),
     }
+    if cfm.use_ring:
+        params["extra_embed"] = dense(2, 10)
     if cfm.g_update:
         params["neighbor_d"] = dense(K, D)
         params["neighbor_w"] = dense(K, D)
@@ -387,15 +410,19 @@ def _dummy_params(cfm: ModelConfig) -> dict:
     return params
 
 
-def _dummy_inputs(B: int, M: int, N: int) -> dict:
-    return {
-        "atomic": jnp.ones((B, M), jnp.int32),
+def _dummy_inputs(cfm: ModelConfig, B: int, M: int, N: int) -> dict:
+    out = {
+        "atomic": (jnp.ones((B, M, 92), jnp.float32)
+                   if cfm.feature == "cgcnn" else jnp.ones((B, M), jnp.int32)),
         "atom_mask": jnp.ones((B, M, 1), jnp.float32),
         "neighbors": jnp.zeros((B, M, N), jnp.int32),
         "neighbor_mask": jnp.ones((B, M, N), jnp.float32),
         "neighbor_weight": jnp.ones((B, M, N), jnp.float32),
         "neighbor_distance": jnp.ones((B, M, N), jnp.float32),
     }
+    if cfm.use_ring:
+        out["ring_aromatic"] = jnp.zeros((B, M, 2), jnp.float32)
+    return out
 
 
 _RESOLVED_TILES: dict = {}
@@ -404,7 +431,8 @@ _RESOLVED_TILES: dict = {}
 def _config_key(cfm: ModelConfig):
     return (cfm.n_attention, cfm.local_dim, cfm.num_head, cfm.global_dim,
             cfm.dense_out, cfm.embedding_dim, cfm.n_atoms, cfm.g_update,
-            cfm.use_ga_norm, cfm.use_drop, cfm.num_gaussian)
+            cfm.use_ga_norm, cfm.use_drop, cfm.num_gaussian, cfm.feature,
+            cfm.use_ring)
 
 
 def _probe_tile(cfm: ModelConfig, M: int, N: int, bt: int, which: str,
@@ -419,10 +447,19 @@ def _probe_tile(cfm: ModelConfig, M: int, N: int, bt: int, which: str,
     whole process (e.g. every epoch of a training run)."""
     import numpy as np
 
+    try:  # an eager probe cannot run while another computation is tracing
+        from jax._src.core import trace_state_clean
+    except ImportError:  # pragma: no cover - API drift guard
+        trace_state_clean = lambda: True
+    if not trace_state_clean():
+        # mid-trace (e.g. a caller that skipped Trainer's pre-resolution):
+        # trust the calibrated analytic pick rather than silently degrading
+        return bt
+
     while bt > 1:
         try:
             params = _dummy_params(cfm)
-            inputs = _dummy_inputs(bt, M, N)
+            inputs = _dummy_inputs(cfm, bt, M, N)
             if which == "fwd":
                 out, _ = fused_scann_forward(
                     params, inputs, cfm, dropout_rate=dropout_rate,
@@ -441,7 +478,9 @@ def _probe_tile(cfm: ModelConfig, M: int, N: int, bt: int, which: str,
                     batch_tile=bt)
                 float(np.asarray(jax.tree.leaves(grads)[0]).ravel()[0])
             return bt
-        except Exception:  # VMEM OOM (or any compile failure): halve
+        except Exception as e:  # VMEM OOM (or any compile failure): halve
+            print(f"[scann_tpu] fused {which} kernel batch_tile={bt} failed "
+                  f"({str(e).splitlines()[0][:100]}); retrying at {bt // 2}")
             bt //= 2
     return 1
 
@@ -468,10 +507,13 @@ def resolve_tile(cfm: ModelConfig, B: int, M: int, N: int, which: str,
 def pick_batch_tile(cfm: ModelConfig, B: int, M: int, N: int,
                     budget_bytes: int = VMEM_BUDGET_BYTES) -> int:
     """Molecules per forward Pallas program: larger tiles feed the MXU bigger
-    matmuls ([BT*M*N, D] rows); bounded by VMEM working set."""
+    matmuls ([BT*M*N, D] rows); bounded by VMEM working set. Capped at 16:
+    kernel size (and so Mosaic compile time) grows with the tile, and the
+    measured step-time curve flattens past (fwd 16, bwd 4) — a (32, 8) pair
+    was still compiling after 25 minutes for ~no expected gain."""
     per_mol = _fwd_mol_bytes(cfm, M, N)
     static = _param_bytes(cfm)
-    for bt in (32, 16, 8, 4, 2, 1):
+    for bt in (16, 8, 4, 2, 1):
         if B % bt:
             continue
         if bt * per_mol + static < budget_bytes:
@@ -482,10 +524,11 @@ def pick_batch_tile(cfm: ModelConfig, B: int, M: int, N: int,
 def pick_backward_tile(cfm: ModelConfig, B: int, M: int, N: int,
                        budget_bytes: int = VMEM_BUDGET_BYTES) -> int:
     """Molecules per backward Pallas program (the stash working set is much
-    bigger than the forward's, so the backward usually tiles smaller)."""
+    bigger than the forward's, so the backward tiles smaller; capped at 4 —
+    see pick_batch_tile on compile time)."""
     per_mol = _bwd_mol_bytes(cfm, M, N)
     static = 2 * _param_bytes(cfm)  # params + grad accumulators
-    for bt in (16, 8, 4, 2, 1):
+    for bt in (4, 2, 1):
         if B % bt:
             continue
         if bt * per_mol + static < budget_bytes:
@@ -514,6 +557,7 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
     N = inputs["neighbors"].shape[2]
     L = cfm.n_attention
     D = cfm.local_dim
+    cgcnn = cfm.feature == "cgcnn"
     # dropout no longer pins the tile: masks are keyed to the global molecule
     # index (per-molecule PRNG streams), so the backward replays them at any
     # tile size
@@ -541,17 +585,35 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
     else:
         dropout_seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
 
-    operands = [
+    if cgcnn:
+        atomic_op = f32(inputs["atomic"])                      # [B, M, 92]
+        w_embed = f32(params["embed_atom"]["kernel"])
+        b_embed = f32(params["embed_atom"]["bias"])
+    else:
         # batched rank-2 arrays carry a trailing singleton so every block's
         # last two dims equal the array dims (Mosaic block-shape rule)
-        jnp.asarray(inputs["atomic"], jnp.int32)[..., None],
+        atomic_op = jnp.asarray(inputs["atomic"], jnp.int32)[..., None]
+        w_embed = f32(params["embed_atom"]["embedding"])
+        b_embed = jnp.zeros((w_embed.shape[1],), jnp.float32)
+    if cfm.use_ring:
+        ring_op = f32(inputs["ring_aromatic"])                 # [B, M, 2]
+        w_ring = f32(params["extra_embed"]["kernel"])
+        b_ring = f32(params["extra_embed"]["bias"])
+    else:
+        ring_op = jnp.zeros((B, M, 2), jnp.float32)
+        w_ring = jnp.zeros((2, 10), jnp.float32)
+        b_ring = jnp.zeros((10,), jnp.float32)
+
+    operands = [
+        atomic_op,
         f32(inputs["atom_mask"]),
         jnp.asarray(inputs["neighbors"], jnp.int32),
         f32(inputs["neighbor_mask"]),
         f32(inputs["neighbor_weight"]),
         f32(inputs["neighbor_distance"]),
+        ring_op,
         dropout_seed,
-        f32(params["embed_atom"]["embedding"]),
+        w_embed, b_embed, w_ring, b_ring,
         f32(params["dense_embed"]["kernel"]), f32(params["dense_embed"]["bias"]),
         f32(wnd), f32(bnd), f32(wnw), f32(bnw),
         f32(sp["wfg"]), f32(sp["bfg"]), f32(sp["wk"]), f32(sp["bk"]),
@@ -578,7 +640,7 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
             idx_map = lambda b, nd=x.ndim: (0,) * nd
         return pl.BlockSpec(blk, idx_map, memory_space=pltpu.VMEM)
 
-    in_specs = [spec_for(x, i < 6) for i, x in enumerate(operands)]
+    in_specs = [spec_for(x, i < 7) for i, x in enumerate(operands)]
 
     out, ga = pl.pallas_call(
         functools.partial(
@@ -588,6 +650,7 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
             # reference use_drop: Dropout(0.05) on the attention weights,
             # training only (attention.py:115-116)
             attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
+            use_ring=cfm.use_ring, cgcnn=cgcnn,
         ),
         grid=(B // BT,),
         in_specs=in_specs,

@@ -1,0 +1,208 @@
+"""Production serving: request-coalescing batched inference over HTTP.
+
+The reference has no serving story (inference = one-off CLI scripts,
+``predict_files.py`` / ``predict_model.py``); this module completes the
+deployment path for the TPU framework:
+
+- ``BatchedPredictor`` — a thread-safe front end over a trained run dir.
+  Concurrent callers enqueue structures; a single worker thread coalesces
+  everything queued within a short window into one shape-grouped batch and
+  runs it through ``Scann.predict_structures`` (fused forward, one kernel
+  launch per padded shape group). This turns many small concurrent requests
+  into large MXU-friendly batches — the right shape for TPU serving.
+- ``PredictionServer`` — a stdlib ``ThreadingHTTPServer`` wrapper:
+
+      POST /predict   {"structures": [{"species": [...], "coords": [[...]],
+                                       "lattice": [[...]] | null}, ...]}
+                   or a raw (multi-)xyz body with Content-Type text/plain
+      GET  /healthz   liveness + model metadata
+
+  Response: {"predictions": [...], "ga_scores": [[...], ...],
+             "target": "...", "batch_size": N}
+
+CLI: ``python -m scann_tpu.cli.serve <model_dir> [--port 8421]``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from scann_tpu.data.structure import Structure
+
+
+@dataclass
+class _Request:
+    structs: List[Structure]
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[List[Tuple[float, np.ndarray]]] = None
+    error: Optional[Exception] = None
+
+
+class BatchedPredictor:
+    """Coalesces concurrent prediction requests into device batches.
+
+    ``max_batch`` bounds structures per device batch; ``window_ms`` is how
+    long the worker waits to accumulate more requests after the first one
+    arrives (latency/throughput knob; 0 = no coalescing delay).
+    """
+
+    def __init__(self, scann, max_batch: int = 64, window_ms: float = 5.0):
+        self.scann = scann
+        self.max_batch = max_batch
+        self.window_ms = window_ms
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    @classmethod
+    def from_model_dir(cls, model_dir: str, **kw) -> "BatchedPredictor":
+        from scann_tpu.api import Scann
+
+        return cls(Scann.load_model_infer(model_dir), **kw)
+
+    # --- client side -----------------------------------------------------
+
+    def predict(self, structs: List[Structure], timeout: float = 120.0):
+        """Blocking: returns [(value, ga_scores)] for the given structures."""
+        req = _Request(structs=structs)
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # --- worker side -----------------------------------------------------
+
+    def _drain(self) -> List[_Request]:
+        """Block for one request, then coalesce the window's arrivals."""
+        try:
+            first = self._queue.get(timeout=0.2)
+        except queue.Empty:
+            return []
+        batch = [first]
+        n = len(first.structs)
+        deadline = threading.Event()
+        deadline.wait(self.window_ms / 1000.0)
+        while n < self.max_batch:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            batch.append(req)
+            n += len(req.structs)
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            reqs = self._drain()
+            if not reqs:
+                continue
+            structs = [s for r in reqs for s in r.structs]
+            try:
+                results = self.scann.predict_structures(structs)
+            except Exception as e:  # report to every waiter, keep serving
+                for r in reqs:
+                    r.error = e
+                    r.event.set()
+                continue
+            pos = 0
+            for r in reqs:
+                r.result = results[pos:pos + len(r.structs)]
+                pos += len(r.structs)
+                r.event.set()
+
+
+def _parse_structures(body: bytes, content_type: str) -> List[Structure]:
+    if "json" in (content_type or ""):
+        payload = json.loads(body)
+        out = []
+        for s in payload["structures"]:
+            lattice = s.get("lattice")
+            out.append(Structure(list(s["species"]),
+                                 np.asarray(s["coords"], np.float64),
+                                 None if lattice is None
+                                 else np.asarray(lattice, np.float64)))
+        return out
+    # raw (multi-)xyz text
+    lines = body.decode().splitlines()
+    out, i = [], 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        n = int(lines[i].split()[0])
+        out.append(Structure.from_xyz_lines(lines[i:i + 2 + n]))
+        i += 2 + n
+    return out
+
+
+class PredictionServer:
+    """HTTP front end over a BatchedPredictor (stdlib only, no deps)."""
+
+    def __init__(self, predictor: BatchedPredictor, host: str = "127.0.0.1",
+                 port: int = 8421):
+        self.predictor = predictor
+        target = predictor.scann.config.hyper.target
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok", "target": target})
+                else:
+                    self._send(404, {"error": "unknown path"})
+
+            def do_POST(self_handler):
+                if self_handler.path != "/predict":
+                    self_handler._send(404, {"error": "unknown path"})
+                    return
+                try:
+                    n = int(self_handler.headers.get("Content-Length", 0))
+                    structs = _parse_structures(
+                        self_handler.rfile.read(n),
+                        self_handler.headers.get("Content-Type", ""))
+                    results = self.predictor.predict(structs)
+                    self_handler._send(200, {
+                        "predictions": [float(v) for v, _ in results],
+                        "ga_scores": [g.tolist() for _, g in results],
+                        "target": target,
+                        "batch_size": len(structs),
+                    })
+                except Exception as e:
+                    self_handler._send(400, {"error": str(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address
+
+    def serve_forever(self):
+        print(f"scann-tpu serving on http://{self.host}:{self.port} "
+              f"(POST /predict, GET /healthz)")
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self.predictor.close()

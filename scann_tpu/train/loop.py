@@ -134,6 +134,26 @@ class Trainer:
         N = batch["neighbors"].shape[2]
         return fits_vmem(self.config.model, M, N)
 
+    def _preresolve_tiles(self, buckets: List[PackedBucket], training: bool,
+                          batch_size: Optional[int] = None):
+        """Resolve (and device-validate) the fused kernels' batch tiles for
+        every bucket shape BEFORE jit tracing: the resolver's compile probe
+        must run eagerly, which is impossible once tracing has started."""
+        if not self._use_fused_eval:
+            return
+        from scann_tpu.kernels.scann_forward import fits_vmem, resolve_tile
+
+        B = batch_size or self.config.hyper.batch_size
+        for b in buckets:
+            M = b.inputs["atomic"].shape[1]
+            N = b.inputs["neighbors"].shape[2]
+            if not fits_vmem(self.config.model, M, N):
+                continue
+            resolve_tile(self.config.model, B, M, N, "fwd",
+                         0.1 if training else 0.0)
+            if training:
+                resolve_tile(self.config.model, B, M, N, "bwd", 0.1)
+
     def forward_eval(self, params, batch):
         """Deterministic forward -> (property [B,1], ga_score [B,M,1]),
         through the fastest available path (whole-model fused kernel >
@@ -325,6 +345,11 @@ class Trainer:
                 {k: v[:1] for k, v in train_buckets[0].inputs.items()}, hyper.seed
             )
 
+        # device-validate fused batch tiles eagerly, before any jit tracing
+        self._preresolve_tiles(train_buckets, training=True)
+        self._preresolve_tiles(list(train_buckets) + list(valid_buckets),
+                               training=False)
+
         dev_train = self._put_buckets(train_buckets, "train")
         dev_valid = self._put_buckets(valid_buckets, "valid")
 
@@ -445,6 +470,7 @@ class Trainer:
         reference's ``evaluate`` (``scann_model.py:247-313``)."""
         if self._eval_step is None:
             self._make_steps()
+        self._preresolve_tiles(test_buckets, training=False)
         dev = self._put_buckets(test_buckets, "test")
         mae, r2, pred, y = self._evaluate_buckets(test_buckets, dev)
         std = self.config.hyper.target_std
@@ -473,8 +499,15 @@ class Trainer:
     def predict(self, buckets: List[PackedBucket], batch_size: Optional[int] = None,
                 with_ga: bool = False):
         """Predict (un-standardized) targets for packed structures, in the
-        original dataset order; optionally also per-atom GA scores."""
+        original dataset order; optionally also per-atom GA scores.
+
+        Serving-path notes: the final partial batch of each bucket is padded
+        up to ``batch_size`` (one compiled shape per bucket instead of two),
+        and GA scores are gathered bucket-at-a-time with numpy split instead
+        of a per-structure Python loop (this is the path ``predict_model``
+        runs over 130k structures)."""
         bs = batch_size or self.config.hyper.batch_size
+        self._preresolve_tiles(buckets, training=False, batch_size=bs)
 
         @jax.jit
         def fwd(params, batch):
@@ -486,17 +519,23 @@ class Trainer:
         gas: Dict[int, np.ndarray] = {}
         for b in buckets:
             S = b.num_structures
+            bucket_preds = []
+            bucket_gas = []
             for s0 in range(0, S, bs):
-                sl = slice(s0, min(s0 + bs, S))
-                batch = {k: v[sl] for k, v in b.inputs.items()}
+                end = min(s0 + bs, S)
+                idx = np.arange(s0, s0 + bs) % S  # wrap-pad the tail batch
+                batch = {k: v[idx] for k, v in b.inputs.items()}
                 p, ga = fwd(self.state.params, batch)
-                orig = b.indices[sl]
-                preds[orig] = np.asarray(p)
+                bucket_preds.append(np.asarray(p)[: end - s0])
                 if with_ga:
-                    ga = np.asarray(ga)
-                    na = b.inputs["atom_mask"][sl, :, 0].sum(-1).astype(int)
-                    for j, oi in enumerate(orig):
-                        gas[int(oi)] = ga[j, : na[j]]
+                    bucket_gas.append(np.asarray(ga)[: end - s0])
+            orig = b.indices[:S]
+            preds[orig] = np.concatenate(bucket_preds)
+            if with_ga:
+                ga_all = np.concatenate(bucket_gas)               # [S, M]
+                na = b.inputs["atom_mask"][:S, :, 0].sum(-1).astype(int)
+                for j, oi in enumerate(orig):
+                    gas[int(oi)] = ga_all[j, : na[j]]  # view, no copy
         std, mean = self.config.hyper.target_std, self.config.hyper.target_mean
         preds = preds * std + mean
         if with_ga:

@@ -134,10 +134,15 @@ def test_model_with_pallas_matches_without(rng):
         kmod._pallas_forward = orig
 
 
-@pytest.mark.parametrize("g_update,ga_norm,mrelu", [
-    (True, True, False), (False, False, True), (True, False, False),
+@pytest.mark.parametrize("g_update,ga_norm,mrelu,ring,cgcnn", [
+    (True, True, False, False, False),
+    (False, False, True, False, False),
+    (True, False, False, False, False),
+    (False, True, False, True, False),   # QM9+ring workflow (train.py:37-43)
+    (True, True, False, False, True),    # cgcnn 92-dim feature mode
+    (True, True, False, True, False),    # ring with SCANN+
 ])
-def test_fused_whole_model_forward(rng, g_update, ga_norm, mrelu):
+def test_fused_whole_model_forward(rng, g_update, ga_norm, mrelu, ring, cgcnn):
     """The single-kernel whole-model forward == flax model (interpret mode)."""
     from scann_tpu.config import ModelConfig
     from scann_tpu.kernels.scann_forward import fused_scann_forward, supports_config
@@ -146,9 +151,11 @@ def test_fused_whole_model_forward(rng, g_update, ga_norm, mrelu):
 
     cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2, local_dim=32,
                       num_head=4, global_dim=32, dense_out=16,
-                      g_update=g_update, use_ga_norm=ga_norm)
+                      g_update=g_update, use_ga_norm=ga_norm,
+                      use_ring=ring, feature="cgcnn" if cgcnn else "atomic")
     assert supports_config(cfg)
-    inputs = make_synthetic_batch(rng, B=3, M=12, N=6)
+    inputs = make_synthetic_batch(rng, B=3, M=12, N=6, use_ring=ring,
+                                  cgcnn=cgcnn)
     model = ScannModel(config=cfg, mrelu_head=mrelu)
     params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
     ref = model.apply(params, inputs, deterministic=True)
@@ -164,15 +171,19 @@ def test_fused_forward_rejects_unsupported_config():
     from scann_tpu.config import ModelConfig
     from scann_tpu.kernels.scann_forward import supports_config
 
-    assert not supports_config(ModelConfig(feature="cgcnn"))
-    assert not supports_config(ModelConfig(use_ring=True))
-    assert not supports_config(ModelConfig(use_attn_norm=False))
-    # use_drop IS supported (in-kernel attention dropout)
+    # ring, cgcnn, and use_drop are all fused now; only the unpublished
+    # use_attn_norm=False configuration falls back to XLA
+    assert supports_config(ModelConfig(feature="cgcnn"))
+    assert supports_config(ModelConfig(use_ring=True))
     assert supports_config(ModelConfig(use_drop=True))
+    assert not supports_config(ModelConfig(use_attn_norm=False))
 
 
-@pytest.mark.parametrize("g_update,ga_norm", [(True, True), (False, False)])
-def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm):
+@pytest.mark.parametrize("g_update,ga_norm,ring,cgcnn", [
+    (True, True, False, False), (False, False, False, False),
+    (False, True, True, False), (True, True, False, True),
+])
+def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm, ring, cgcnn):
     """The hand-written whole-model backward kernel == jax.grad of the flax
     model, for every parameter (interpret mode)."""
     from scann_tpu.config import ModelConfig
@@ -182,8 +193,10 @@ def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm):
 
     cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2, local_dim=32,
                       num_head=4, global_dim=32, dense_out=16,
-                      g_update=g_update, use_ga_norm=ga_norm)
-    inputs = make_synthetic_batch(rng, B=3, M=12, N=6)
+                      g_update=g_update, use_ga_norm=ga_norm,
+                      use_ring=ring, feature="cgcnn" if cgcnn else "atomic")
+    inputs = make_synthetic_batch(rng, B=3, M=12, N=6, use_ring=ring,
+                                  cgcnn=cgcnn)
     model = ScannModel(config=cfg)
     params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
     y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))

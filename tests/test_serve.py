@@ -1,0 +1,100 @@
+"""Serving-path tests: request coalescing + HTTP front end."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from scann_tpu.api import Scann
+from scann_tpu.config import HyperConfig, ModelConfig, ScannConfig, TpuConfig
+from scann_tpu.data.structure import Structure
+from scann_tpu.serve import BatchedPredictor, PredictionServer
+
+pytestmark = pytest.mark.slow  # spins up model + http server
+
+
+@pytest.fixture(scope="module")
+def scann(tmp_path_factory):
+    cfg = ScannConfig(
+        model=ModelConfig(n_atoms=95, embedding_dim=16, n_attention=2,
+                          local_dim=32, num_head=4, global_dim=32,
+                          dense_out=16, g_update=True),
+        hyper=HyperConfig(batch_size=8, target="homo",
+                          save_path=str(tmp_path_factory.mktemp("serve"))),
+        tpu=TpuConfig(use_pallas=False),
+    )
+    s = Scann(cfg)
+    s.trainer.init_state(s._example_inputs())
+    return s
+
+
+WATER = Structure(["O", "H", "H"],
+                  [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+CO = Structure(["C", "O"], [[0, 0, 0], [1.13, 0, 0]])
+
+
+def test_batched_predictor_coalesces_concurrent_requests(scann):
+    p = BatchedPredictor(scann, max_batch=16, window_ms=30.0)
+    try:
+        results = [None, None]
+
+        def call(i, structs):
+            results[i] = p.predict(structs)
+
+        t1 = threading.Thread(target=call, args=(0, [WATER]))
+        t2 = threading.Thread(target=call, args=(1, [CO, WATER]))
+        t1.start(); t2.start(); t1.join(60); t2.join(60)
+
+        assert len(results[0]) == 1 and len(results[1]) == 2
+        v, ga = results[0][0]
+        assert np.isfinite(v) and ga.shape == (3,)
+        v2, ga2 = results[1][0]
+        assert np.isfinite(v2) and ga2.shape == (2,)
+        # same structure through either request path gives the same answer
+        np.testing.assert_allclose(results[1][1][0], results[0][0][0],
+                                   rtol=1e-5)
+    finally:
+        p.close()
+
+
+def test_http_server_json_and_xyz(scann):
+    server = PredictionServer(BatchedPredictor(scann, window_ms=0.0), port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["target"] == "homo"
+
+        payload = json.dumps({"structures": [
+            {"species": ["O", "H", "H"],
+             "coords": [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]],
+             "lattice": None},
+        ]}).encode()
+        req = urllib.request.Request(base + "/predict", data=payload,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["predictions"]) == 1
+        assert len(out["ga_scores"][0]) == 3
+
+        xyz = b"3\nwater\nO 0 0 0\nH 0.96 0 0\nH -0.24 0.93 0\n2\nco\nC 0 0 0\nO 1.13 0 0\n"
+        req = urllib.request.Request(base + "/predict", data=xyz,
+                                     headers={"Content-Type": "text/plain"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out2 = json.loads(r.read())
+        assert out2["batch_size"] == 2
+        assert out2["predictions"][0] == pytest.approx(out["predictions"][0],
+                                                       rel=1e-5)
+
+        # malformed request -> 400, server stays alive
+        bad = urllib.request.Request(base + "/predict", data=b"not json",
+                                     headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad, timeout=30)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
