@@ -293,6 +293,7 @@ def test_vmem_guards():
     assert pick_backward_tile(qm9, B=7, M=32, N=16) == 1
 
 
+@pytest.mark.slow
 def test_dropout_masks_are_tiling_invariant(rng):
     """Dropout masks are keyed to GLOBAL molecule indices: the fused forward
     at any batch_tile and the fused backward at any (other) batch_tile see
@@ -342,6 +343,7 @@ def test_dropout_masks_are_tiling_invariant(rng):
                                        rtol=0, atol=3e-5 * scale)
 
 
+@pytest.mark.slow
 def test_dropout_gradient_matches_finite_difference(rng):
     """With a fixed dropout seed the fused loss is a deterministic function
     of params; its hand-written backward must match central finite

@@ -136,3 +136,30 @@ class TestGlobalAttentionCore:
         )
         np.testing.assert_allclose(np.asarray(attn)[0, 0, 0], 1.0, rtol=1e-5)
         np.testing.assert_allclose(ctx[0], k[0, 0], rtol=1e-5)
+
+
+def test_gather_strategies_agree(rng):
+    """one-hot-matmul gather == dynamic gather, values and gradients (the
+    one-hot path is the TPU default at crystal sizes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scann_tpu.ops.attention import gather_neighbor_states
+
+    B, M, N, D = 3, 10, 5, 8
+    states = jnp.asarray(rng.normal(size=(B, M, D)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, M, size=(B, M, N)), jnp.int32)
+
+    take = gather_neighbor_states(states, idx, strategy="take")
+    onehot = gather_neighbor_states(states, idx, strategy="onehot")
+    np.testing.assert_allclose(np.asarray(onehot), np.asarray(take),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(strategy):
+        return lambda s: jnp.sum(
+            jnp.sin(gather_neighbor_states(s, idx, strategy=strategy)))
+
+    g_take = jax.grad(loss("take"))(states)
+    g_oh = jax.grad(loss("onehot"))(states)
+    np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_take),
+                               rtol=1e-5, atol=1e-6)
