@@ -23,6 +23,8 @@ fall back to the flax model automatically (see ``supports_config``).
 from __future__ import annotations
 
 import functools
+import json
+import os
 from typing import Tuple
 
 import jax
@@ -427,6 +429,38 @@ def _dummy_inputs(cfm: ModelConfig, B: int, M: int, N: int) -> dict:
 
 _RESOLVED_TILES: dict = {}
 
+# Probes only run when the analytic estimate lands within this fraction of
+# the VMEM budget — picks with more headroom are trusted outright (the
+# calibration data says they are safe), which avoids minutes of probe
+# compiles at training startup for the common shapes.
+PROBE_ABOVE_FRACTION = 0.6
+
+_TILE_CACHE_PATH = os.path.join(
+    os.path.expanduser("~"), ".cache", "scann_tpu", "tiles.json")
+
+
+def _load_tile_cache() -> dict:
+    try:
+        with open(_TILE_CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _store_tile_cache(key: str, bt: int) -> None:
+    """Best-effort persistent cache: probe results survive process restarts
+    (a probe compile can cost minutes)."""
+    try:
+        os.makedirs(os.path.dirname(_TILE_CACHE_PATH), exist_ok=True)
+        cache = _load_tile_cache()
+        cache[key] = bt
+        tmp = _TILE_CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f)
+        os.replace(tmp, _TILE_CACHE_PATH)
+    except Exception:
+        pass
+
 
 def _config_key(cfm: ModelConfig):
     return (cfm.n_attention, cfm.local_dim, cfm.num_head, cfm.global_dim,
@@ -488,18 +522,30 @@ def _probe_tile(cfm: ModelConfig, M: int, N: int, bt: int, which: str,
 def resolve_tile(cfm: ModelConfig, B: int, M: int, N: int, which: str,
                  dropout_rate: float = 0.0) -> int:
     """Batch tile for the fused ``which`` ('fwd'/'bwd') kernel at bucket
-    (B, M, N): analytic estimate, validated once on a real TPU."""
+    (B, M, N): analytic estimate; picks close to the VMEM budget are
+    additionally validated once on a real TPU (result cached in memory and
+    on disk)."""
     key = (_config_key(cfm), B, M, N, which, dropout_rate > 0)
     if key in _RESOLVED_TILES:
         return _RESOLVED_TILES[key]
     if which == "fwd":
         bt = pick_batch_tile(cfm, B, M, N)
+        est = bt * _fwd_mol_bytes(cfm, M, N) + _param_bytes(cfm)
     else:
         bt = pick_backward_tile(cfm, B, M, N)
-    if bt > 1 and jax.default_backend() == "tpu":
-        bt = _probe_tile(cfm, M, N, bt, which, dropout_rate)
-        while B % bt:
-            bt //= 2
+        est = bt * _bwd_mol_bytes(cfm, M, N) + 2 * _param_bytes(cfm)
+    needs_probe = (bt > 1 and jax.default_backend() == "tpu"
+                   and est >= PROBE_ABOVE_FRACTION * VMEM_BUDGET_BYTES)
+    if needs_probe:
+        disk_key = repr(key)
+        cached = _load_tile_cache().get(disk_key)
+        if isinstance(cached, int) and cached >= 1 and B % cached == 0:
+            bt = min(bt, cached)
+        else:
+            bt = _probe_tile(cfm, M, N, bt, which, dropout_rate)
+            while B % bt:
+                bt //= 2
+            _store_tile_cache(disk_key, bt)
     _RESOLVED_TILES[key] = bt
     return bt
 

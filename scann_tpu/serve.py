@@ -37,6 +37,10 @@ import numpy as np
 from scann_tpu.data.structure import Structure
 
 
+class Overloaded(RuntimeError):
+    """The pending-request queue is full (HTTP 503 at the server layer)."""
+
+
 @dataclass
 class _Request:
     structs: List[Structure]
@@ -53,11 +57,14 @@ class BatchedPredictor:
     arrives (latency/throughput knob; 0 = no coalescing delay).
     """
 
-    def __init__(self, scann, max_batch: int = 64, window_ms: float = 5.0):
+    def __init__(self, scann, max_batch: int = 64, window_ms: float = 5.0,
+                 max_pending: int = 256):
         self.scann = scann
         self.max_batch = max_batch
         self.window_ms = window_ms
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # bounded queue = backpressure: when the device can't keep up,
+        # callers get an immediate Overloaded instead of unbounded latency
+        self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_pending)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -71,9 +78,15 @@ class BatchedPredictor:
     # --- client side -----------------------------------------------------
 
     def predict(self, structs: List[Structure], timeout: float = 120.0):
-        """Blocking: returns [(value, ga_scores)] for the given structures."""
+        """Blocking: returns [(value, ga_scores)] for the given structures.
+
+        Raises ``Overloaded`` immediately when the pending queue is full."""
         req = _Request(structs=structs)
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            raise Overloaded(
+                f"{self._queue.maxsize} requests already pending")
         if not req.event.wait(timeout):
             raise TimeoutError("prediction timed out")
         if req.error is not None:
@@ -191,6 +204,8 @@ class PredictionServer:
                         "target": target,
                         "batch_size": len(structs),
                     })
+                except Overloaded as e:
+                    self_handler._send(503, {"error": str(e)})
                 except Exception as e:
                     self_handler._send(400, {"error": str(e)})
 

@@ -59,6 +59,42 @@ def test_batched_predictor_coalesces_concurrent_requests(scann):
         p.close()
 
 
+def test_backpressure_overloaded(scann):
+    """A full pending queue rejects immediately with Overloaded (503)."""
+    from scann_tpu.serve import Overloaded
+
+    release = threading.Event()
+    started = threading.Event()
+    real = scann.predict_structures
+
+    def blocking_predict(structs, **kw):
+        started.set()
+        release.wait(30)
+        return real(structs, **kw)
+
+    scann.predict_structures = blocking_predict
+    p = BatchedPredictor(scann, max_batch=4, window_ms=0.0, max_pending=1)
+    try:
+        t_busy = threading.Thread(target=lambda: p.predict([WATER]))
+        t_busy.start()
+        assert started.wait(30)       # worker is now stuck inside the model
+        t_fill = threading.Thread(target=lambda: p.predict([CO]))
+        t_fill.start()                # occupies the single queue slot
+        deadline = 100
+        while p._queue.qsize() < 1 and deadline:
+            deadline -= 1
+            threading.Event().wait(0.01)
+        with pytest.raises(Overloaded):
+            p.predict([WATER])        # queue full -> immediate rejection
+        release.set()
+        t_busy.join(60)
+        t_fill.join(60)
+    finally:
+        release.set()
+        scann.predict_structures = real
+        p.close()
+
+
 def test_http_server_json_and_xyz(scann):
     server = PredictionServer(BatchedPredictor(scann, window_ms=0.0), port=0)
     t = threading.Thread(target=server.serve_forever, daemon=True)
