@@ -1,0 +1,794 @@
+"""Loop-based whole-model fused kernels for CRYSTAL-scale structures.
+
+The unrolled kernels (``scann_forward``/``scann_backward``) inline all
+``n_attention`` layers as straight-line code — unbeatable at molecule scale
+(M <= 64) but unusable for crystals: Mosaic compile time grows superlinearly
+with the unrolled instruction stream (an M=96/L=9 backward exceeded 25
+minutes), and the per-program working set outgrows VMEM.
+
+This module implements the same math (reference graph
+``scann_model.py:329-453``) with a ``jax.lax.fori_loop`` over layers:
+
+- the loop body compiles ONCE regardless of depth (compile time bounded),
+- stacked [L, ...] parameters are indexed dynamically inside the loop,
+- per-layer gradient accumulation uses dynamic-index stores
+  (``d_wk[l] = d_wk[l] + g``),
+- the backward stashes each layer's INPUTS (center stream + geometry
+  stream) in VMEM scratch arrays and recomputes activations in the reverse
+  walk — the standard recompute schedule, now with O(1) code size,
+- embed/residual dropout masks are pre-drawn into a scratch array (the
+  reverse walk needs them in reverse order; the PRNG only streams forward).
+
+One molecule per program (crystals are large; batching molecules would blow
+VMEM anyway). Scope: feature="atomic", no ring features, no attention
+dropout (``use_drop``) — i.e. exactly the published crystal workflows
+(mp2018, smfe); everything else falls back to XLA via ``supports_loop``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scann_tpu.config import ModelConfig
+from scann_tpu.kernels.scann_forward import (
+    VMEM_BUDGET_BYTES,
+    _pad8,
+    _pad128,
+    _param_bytes,
+    stack_layer_params,
+)
+from scann_tpu.ops.rbf import make_centers
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _mm_tA(a, b):
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mm_tB(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot3(x, w):
+    return jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot3_tB(x, w):
+    return jax.lax.dot_general(x, w, (((2,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mm3_tA(x, dy):
+    M, N, X = x.shape
+    return _mm_tA(x.reshape(M * N, X), dy.reshape(M * N, dy.shape[-1]))
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _swish_grad(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _ln_fwd(x, gamma, beta, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mu) * inv
+    return xhat * gamma + beta, (xhat, inv)
+
+
+def _ln_bwd(dy, xhat, inv, gamma):
+    dgamma = dy * xhat
+    dxhat = dy * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = inv * (dxhat - m1 - xhat * m2)
+    return dx, dgamma, dy
+
+
+def supports_loop(cfm: ModelConfig) -> bool:
+    """The published crystal workflows: atomic features, no ring, no
+    attention dropout (none of the crystal configs set use_drop)."""
+    return (cfm.use_attn_norm and cfm.feature == "atomic"
+            and not cfm.use_ring and not cfm.use_drop)
+
+
+def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
+                   budget_bytes: int = VMEM_BUDGET_BYTES) -> bool:
+    """Per-program VMEM of the loop backward: the layer-input stashes (the
+    dominant term at crystal sizes) + ONE layer's recomputed working set
+    (the loop body reuses its allocation across iterations)."""
+    D, L = cfm.local_dim, cfm.n_attention
+    rnd = M * _pad8(N) * _pad128(D) * 4
+    c_stash = (L + 1) * M * _pad128(D) * 4
+    g_stash = (L + 1) * rnd if cfm.g_update else 0
+    work = 18 * rnd                      # one reverse-iteration working set
+    onehot = M * _pad8(N) * _pad128(M) * 4
+    masks = (L + 1) * M * _pad128(D) * 4
+    static = 2 * _param_bytes(cfm)
+    return c_stash + g_stash + work + onehot + masks + static < budget_bytes
+
+
+# ---------------------------------------------------------------------------
+# forward kernel (one molecule per program; fori_loop over layers)
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
+    atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
+    seed_ref,
+    embed_ref, wde_ref, bde_ref,
+    wnd_ref, bnd_ref, wnw_ref, bnw_ref,
+    wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
+    ln_s_ref, ln_b_ref, lng_s_ref, lng_b_ref,
+    wr1_ref, br1_ref, wr2_ref, br2_ref, rln_s_ref, rln_b_ref,
+    wal_ref, bal_ref, wgq_ref, bgq_ref, wgk_ref, bgk_ref,
+    wbf_ref, bbf_ref, wp_ref, bp_ref,
+    dist_centers_ref, angle_centers_ref,
+    out_ref, ga_ref,
+    mask_scratch,
+    *, n_layers: int, num_head: int, scale: float, g_update: bool,
+    ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
+):
+    M = atomic_ref.shape[1]
+    N = idx_ref.shape[2]
+    vocab = embed_ref.shape[0]
+    D = wk_ref.shape[2]
+    H = num_head
+    hd = D // H
+    L = n_layers
+
+    atomic = atomic_ref[0]
+    am = atom_mask_ref[0]
+    nmask = nmask_ref[0]
+
+    # dropout: per-molecule stream (seed + global molecule index), drawn
+    # up-front in a fixed order (embed, then layer 0..L-1) into scratch
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        keep = jnp.uint32(int((1.0 - dropout_rate) * (2 ** 32 - 1)))
+        inv_keep = jnp.float32(1.0 / (1.0 - dropout_rate))
+
+        def draw():
+            bits = pltpu.bitcast(pltpu.prng_random_bits((M, D)), jnp.uint32)
+            return (bits < keep).astype(jnp.float32) * inv_keep
+
+        embed_mask = draw()
+        for l in range(L):  # static unroll: PRNG draws need a fixed schedule
+            mask_scratch[l] = draw()
+
+    zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
+    z_oh = (zcols == atomic).astype(jnp.float32)
+    ncols = jax.lax.broadcasted_iota(jnp.int32, (M, N, M), dimension=2)
+    n_oh = (ncols == idx_ref[0][:, :, None]).astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=1)
+    seg_sum = (lane // hd == head).astype(jnp.float32)
+    seg_expand = jnp.transpose(seg_sum)
+    dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
+
+    centers = _swish(_mm(_mm(z_oh, embed_ref[:]), wde_ref[:]) + bde_ref[:])
+    if dropout_rate > 0.0:
+        centers = centers * embed_mask
+
+    d3 = dist_ref[0][:, :, None]
+    rbf_d = jnp.exp(-jnp.square(d3 - dist_centers_ref[0]) / rbf_width)
+    if g_update:
+        w3 = weight_ref[0][:, :, None]
+        rbf_w = jnp.exp(-jnp.square(w3 - angle_centers_ref[0]) / rbf_width)
+        geometry = (_swish(_dot3(rbf_d, wnd_ref[:]) + bnd_ref[:])
+                    * _swish(_dot3(rbf_w, wnw_ref[:]) + bnw_ref[:]))
+    else:
+        geometry = jnp.zeros((M, N, D), jnp.float32)  # unused carry slot
+
+    def layer(l, c, g):
+        ns = _dot3(n_oh, c)
+        if g_update:
+            wfg = wfg_ref[l]
+            cw = _mm(c, wfg[0:D, :])
+            u = (jnp.broadcast_to(cw.reshape(M, 1, D), (M, N, D))
+                 + _dot3(g, wfg[D:2 * D, :]) + _dot3(ns, wfg[2 * D:3 * D, :])
+                 + bfg_ref[l])
+            g, _ = _ln_fwd(_swish(u) + g, lng_s_ref[l], lng_b_ref[l])
+            geo_term = g
+        else:
+            u = _swish(_dot3(rbf_d, wfg_ref[l]) + bfg_ref[l])
+            geo_term = u * weight_ref[0][:, :, None]
+        key = _dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]
+        query = _mm(c, wq_ref[l]) + bq_ref[l]
+        prod = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D),
+                                (M, N, D)) * key
+        energy = _dot3(prod, seg_sum)
+        energy = energy + (1.0 - nmask)[:, :, None] * (-1e9)
+        energy = energy - jnp.max(energy, axis=1, keepdims=True)
+        e = jnp.exp(energy)
+        attn = e / jnp.sum(e, axis=1, keepdims=True)
+        a_lanes = _dot3(attn, seg_expand)
+        ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
+        o1, _ = _ln_fwd(ctx + query, ln_s_ref[l], ln_b_ref[l])
+        h = _swish(_mm(o1, wr1_ref[l]) + br1_ref[l])
+        h = _mm(h, wr2_ref[l]) + br2_ref[l]
+        if dropout_rate > 0.0:
+            h = h * mask_scratch[l]
+        c, _ = _ln_fwd(o1 + h, rln_s_ref[l], rln_b_ref[l])
+        return c, g
+
+    def body(l, carry):
+        c, g = carry
+        return layer(l, c, g)
+
+    centers, _ = jax.lax.fori_loop(0, L, body, (centers, geometry))
+
+    # readout (identical to the unrolled kernel at BT=1)
+    centers = _swish(_mm(centers, wal_ref[:]) + bal_ref[:])
+    gq = _mm(centers, wgq_ref[:]) + bgq_ref[:]
+    gk = _mm(centers, wgk_ref[:]) + bgk_ref[:]
+    mq = am * gq
+    mk = am * gk
+    qsum = jnp.sum(mq, axis=0, keepdims=True)
+    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)
+    diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
+    agg = am * (cross - diag)
+    if ga_norm:
+        nrm = jnp.sqrt(jnp.sum(agg * agg, axis=0, keepdims=True))
+        agg = agg / jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+    agg = agg + (1.0 - am) * (-1e9)
+    agg = agg - jnp.max(agg, axis=0, keepdims=True)
+    e = jnp.exp(agg)
+    ga = e / jnp.sum(e, axis=0, keepdims=True)
+    struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)
+    struc = _swish(_mm(struc, wbf_ref[:]) + bbf_ref[:])
+    pred = _mm(struc, wp_ref[:]) + bp_ref[:]
+    if mrelu:
+        pred = jnp.maximum(pred, 0.0)
+
+    out_ref[...] = pred[:, :, None] if pred.ndim == 2 else pred
+    ga_ref[0] = ga
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(
+    atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
+    ct_pred_ref, ct_ga_ref, seed_ref,
+    embed_ref, wde_ref, bde_ref,
+    wnd_ref, bnd_ref, wnw_ref, bnw_ref,
+    wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
+    ln_s_ref, ln_b_ref, lng_s_ref, lng_b_ref,
+    wr1_ref, br1_ref, wr2_ref, br2_ref, rln_s_ref, rln_b_ref,
+    wal_ref, bal_ref, wgq_ref, bgq_ref, wgk_ref, bgk_ref,
+    wbf_ref, bbf_ref, wp_ref, bp_ref,
+    dist_centers_ref, angle_centers_ref,
+    d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
+    d_wfg, d_bfg, d_wk, d_bk, d_wq, d_bq,
+    d_ln_s, d_ln_b, d_lng_s, d_lng_b,
+    d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
+    d_wal, d_bal, d_wgq, d_bgq, d_wgk, d_bgk,
+    d_wbf, d_bbf, d_wp, d_bp,
+    c_stash, g_stash, mask_scratch,
+    *, n_layers: int, num_head: int, scale: float, g_update: bool,
+    ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
+):
+    b = pl.program_id(0)
+    grads = [d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
+             d_wfg, d_bfg, d_wk, d_bk, d_wq, d_bq,
+             d_ln_s, d_ln_b, d_lng_s, d_lng_b,
+             d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
+             d_wal, d_bal, d_wgq, d_bgq, d_wgk, d_bgk,
+             d_wbf, d_bbf, d_wp, d_bp]
+
+    @pl.when(b == 0)
+    def _zero():
+        for g in grads:
+            g[...] = jnp.zeros_like(g)
+
+    M = atomic_ref.shape[1]
+    N = idx_ref.shape[2]
+    vocab = embed_ref.shape[0]
+    D = wk_ref.shape[2]
+    H = num_head
+    hd = D // H
+    L = n_layers
+
+    atomic = atomic_ref[0]
+    am = atom_mask_ref[0]
+    nmask = nmask_ref[0]
+
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0] + b)
+        keep = jnp.uint32(int((1.0 - dropout_rate) * (2 ** 32 - 1)))
+        inv_keep = jnp.float32(1.0 / (1.0 - dropout_rate))
+
+        def draw():
+            bits = pltpu.bitcast(pltpu.prng_random_bits((M, D)), jnp.uint32)
+            return (bits < keep).astype(jnp.float32) * inv_keep
+
+        embed_mask = draw()
+        for l in range(L):  # same fixed draw order as the forward kernel
+            mask_scratch[l] = draw()
+
+    zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
+    z_oh = (zcols == atomic).astype(jnp.float32)
+    ncols = jax.lax.broadcasted_iota(jnp.int32, (M, N, M), dimension=2)
+    n_oh = (ncols == idx_ref[0][:, :, None]).astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=1)
+    seg_sum = (lane // hd == head).astype(jnp.float32)
+    seg_expand = jnp.transpose(seg_sum)
+    dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
+
+    # ---------------- forward (stash per-layer inputs) --------------------
+    emb = _mm(z_oh, embed_ref[:])
+    s_de = _mm(emb, wde_ref[:]) + bde_ref[:]
+    centers = _swish(s_de)
+    if dropout_rate > 0.0:
+        centers = centers * embed_mask
+
+    d3 = dist_ref[0][:, :, None]
+    rbf_d = jnp.exp(-jnp.square(d3 - dist_centers_ref[0]) / rbf_width)
+    if g_update:
+        w3 = weight_ref[0][:, :, None]
+        rbf_w = jnp.exp(-jnp.square(w3 - angle_centers_ref[0]) / rbf_width)
+        s_nd = _dot3(rbf_d, wnd_ref[:]) + bnd_ref[:]
+        s_nw = _dot3(rbf_w, wnw_ref[:]) + bnw_ref[:]
+        d_emb_v = _swish(s_nd)
+        w_emb_v = _swish(s_nw)
+        geometry = d_emb_v * w_emb_v
+    else:
+        geometry = jnp.zeros((M, N, D), jnp.float32)
+
+    def layer_fwd(l, c, g):
+        """One layer from its inputs; returns (c_out, g_out, acts tuple)."""
+        ns = _dot3(n_oh, c)
+        if g_update:
+            wfg = wfg_ref[l]
+            cw = _mm(c, wfg[0:D, :])
+            u_pre = (jnp.broadcast_to(cw.reshape(M, 1, D), (M, N, D))
+                     + _dot3(g, wfg[D:2 * D, :]) + _dot3(ns, wfg[2 * D:3 * D, :])
+                     + bfg_ref[l])
+            r = _swish(u_pre) + g
+            g_out, (g_xhat, g_inv) = _ln_fwd(r, lng_s_ref[l], lng_b_ref[l])
+            geo_term = g_out
+        else:
+            u_pre = _dot3(rbf_d, wfg_ref[l]) + bfg_ref[l]
+            geo_term = _swish(u_pre) * weight_ref[0][:, :, None]
+            g_out = g
+            g_xhat = jnp.zeros_like(geo_term)
+            g_inv = jnp.zeros((M, N, 1), jnp.float32)
+        key = _dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]
+        query = _mm(c, wq_ref[l]) + bq_ref[l]
+        prod = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D),
+                                (M, N, D)) * key
+        energy = _dot3(prod, seg_sum)
+        energy = energy + (1.0 - nmask)[:, :, None] * (-1e9)
+        energy = energy - jnp.max(energy, axis=1, keepdims=True)
+        e = jnp.exp(energy)
+        attn = e / jnp.sum(e, axis=1, keepdims=True)
+        a_lanes = _dot3(attn, seg_expand)
+        ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
+        o1, (o_xhat, o_inv) = _ln_fwd(ctx + query, ln_s_ref[l], ln_b_ref[l])
+        s1 = _mm(o1, wr1_ref[l]) + br1_ref[l]
+        h1 = _swish(s1)
+        h2 = _mm(h1, wr2_ref[l]) + br2_ref[l]
+        if dropout_rate > 0.0:
+            h2 = h2 * mask_scratch[l]
+        c_out, (c_xhat, c_inv) = _ln_fwd(o1 + h2, rln_s_ref[l], rln_b_ref[l])
+        acts = (ns, u_pre, geo_term, g_xhat, g_inv, key, query, attn,
+                o1, o_xhat, o_inv, s1, h1, c_xhat, c_inv)
+        return c_out, g_out, acts
+
+    def stash_body(l, carry):
+        c, g = carry
+        c_stash[l] = c
+        if g_update:
+            g_stash[l] = g
+        c, g, _ = layer_fwd(l, c, g)
+        return (c, g)
+
+    cL, gL = jax.lax.fori_loop(0, L, stash_body, (centers, geometry))
+    c_stash[L] = cL
+    if g_update:
+        g_stash[L] = gL
+
+    # ---------------- readout forward + backward --------------------------
+    s_al = _mm(cL, wal_ref[:]) + bal_ref[:]
+    cg = _swish(s_al)
+    gq = _mm(cg, wgq_ref[:]) + bgq_ref[:]
+    gk = _mm(cg, wgk_ref[:]) + bgk_ref[:]
+    mq = am * gq
+    mk = am * gk
+    qsum = jnp.sum(mq, axis=0, keepdims=True)
+    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)
+    diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
+    agg0 = am * (cross - diag)
+    if ga_norm:
+        nrm = jnp.sqrt(jnp.sum(agg0 * agg0, axis=0, keepdims=True))
+        nrm_safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+        agg = agg0 / nrm_safe
+    else:
+        agg = agg0
+    aggm = agg + (1.0 - am) * (-1e9)
+    aggm = aggm - jnp.max(aggm, axis=0, keepdims=True)
+    e = jnp.exp(aggm)
+    ga = e / jnp.sum(e, axis=0, keepdims=True)
+    struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)
+    s_bf = _mm(struc, wbf_ref[:]) + bbf_ref[:]
+    sb = _swish(s_bf)
+
+    ct_pred = ct_pred_ref[0]
+    ct_ga = ct_ga_ref[0]
+
+    d_wp[...] += _mm_tA(sb, ct_pred)
+    d_bp[...] += jnp.sum(ct_pred, axis=0)
+    dsb = _mm_tB(ct_pred, wp_ref[:])
+    ds_bf = dsb * _swish_grad(s_bf)
+    d_wbf[...] += _mm_tA(struc, ds_bf)
+    d_bbf[...] += jnp.sum(ds_bf, axis=0)
+    dstruc = _mm_tB(ds_bf, wbf_ref[:])
+
+    dga = jnp.sum(am * gk * dstruc, axis=-1, keepdims=True) + ct_ga
+    dgk = am * ga * dstruc
+    dagg = ga * (dga - jnp.sum(ga * dga, axis=0, keepdims=True))
+    if ga_norm:
+        dagg0 = (dagg / nrm_safe
+                 - agg0 * (jnp.sum(agg0 * dagg, axis=0, keepdims=True)
+                           / (nrm_safe * nrm_safe * nrm_safe)))
+    else:
+        dagg0 = dagg
+    dcd = dagg0 * am
+    dmk = dcd * qsum - dcd * mq
+    dmq = -dcd * mk
+    dqsum = jnp.sum(dcd * mk, axis=0, keepdims=True)
+    dmq = dmq + jnp.broadcast_to(dqsum, mq.shape)
+    dgq = am * dmq
+    dgk = dgk + am * dmk
+
+    d_wgq[...] += _mm_tA(cg, dgq)
+    d_bgq[...] += jnp.sum(dgq, axis=0)
+    d_wgk[...] += _mm_tA(cg, dgk)
+    d_bgk[...] += jnp.sum(dgk, axis=0)
+    dcg = _mm_tB(dgq, wgq_ref[:]) + _mm_tB(dgk, wgk_ref[:])
+    ds_al = dcg * _swish_grad(s_al)
+    d_wal[...] += _mm_tA(cL, ds_al)
+    d_bal[...] += jnp.sum(ds_al, axis=0)
+    dc0 = _mm_tB(ds_al, wal_ref[:])
+
+    # ---------------- reverse walk over layers ----------------------------
+    def rev_body(i, carry):
+        dc, dg = carry
+        l = L - 1 - i
+        c_in = c_stash[l]
+        g_in = g_stash[l] if g_update else jnp.zeros((M, N, D), jnp.float32)
+        (ns, u_pre, geo_term, g_xhat, g_inv, key, query, attn,
+         o1, o_xhat, o_inv, s1, h1, c_xhat, c_inv) = layer_fwd(l, c_in, g_in)[2]
+
+        dsum, dgam, dbet = _ln_bwd(dc, c_xhat, c_inv, rln_s_ref[l])
+        d_rln_s[l] = d_rln_s[l] + jnp.sum(dgam, axis=0)
+        d_rln_b[l] = d_rln_b[l] + jnp.sum(dbet, axis=0)
+        dh2 = dsum * mask_scratch[l] if dropout_rate > 0.0 else dsum
+        d_wr2[l] = d_wr2[l] + _mm_tA(h1, dh2)
+        d_br2[l] = d_br2[l] + jnp.sum(dh2, axis=0)
+        dh1 = _mm_tB(dh2, wr2_ref[l])
+        ds1 = dh1 * _swish_grad(s1)
+        d_wr1[l] = d_wr1[l] + _mm_tA(o1, ds1)
+        d_br1[l] = d_br1[l] + jnp.sum(ds1, axis=0)
+        do1 = dsum + _mm_tB(ds1, wr1_ref[l])
+
+        dcq, dgam, dbet = _ln_bwd(do1, o_xhat, o_inv, ln_s_ref[l])
+        d_ln_s[l] = d_ln_s[l] + jnp.sum(dgam, axis=0)
+        d_ln_b[l] = d_ln_b[l] + jnp.sum(dbet, axis=0)
+        dctx = dcq
+        dquery = dcq
+
+        dctx3 = jnp.broadcast_to(dctx.reshape(M, 1, D), (M, N, D))
+        a_lanes = _dot3(attn, seg_expand)
+        nm3 = nmask[:, :, None]
+        dal3 = dctx3 * nm3 * key
+        dkey = dctx3 * a_lanes * nm3
+        dattn = _dot3(dal3, seg_sum)
+        de = attn * (dattn - jnp.sum(attn * dattn, axis=1, keepdims=True))
+        dprod = _dot3(de, seg_expand)
+        qs = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D), (M, N, D))
+        dkey = dkey + dprod * qs
+        dquery = dquery + jnp.sum(dprod * key, axis=1) * dk_scale
+
+        kin = ns * geo_term
+        d_wk[l] = d_wk[l] + _mm3_tA(kin, dkey)
+        d_bk[l] = d_bk[l] + jnp.sum(jnp.sum(dkey, axis=0), axis=0)
+        dkin = _dot3_tB(dkey, wk_ref[l])
+        dns = dkin * geo_term
+        dgeo_term = dkin * ns
+
+        d_wq[l] = d_wq[l] + _mm_tA(c_in, dquery)
+        d_bq[l] = d_bq[l] + jnp.sum(dquery, axis=0)
+        dc_new = _mm_tB(dquery, wq_ref[l])
+
+        if g_update:
+            dgout = dgeo_term + dg
+            dr, dgam3, dbet3 = _ln_bwd(dgout, g_xhat, g_inv, lng_s_ref[l])
+            d_lng_s[l] = d_lng_s[l] + jnp.sum(jnp.sum(dgam3, axis=0), axis=0)
+            d_lng_b[l] = d_lng_b[l] + jnp.sum(jnp.sum(dbet3, axis=0), axis=0)
+            du_pre = dr * _swish_grad(u_pre)
+            dg_new = dr
+            wfg = wfg_ref[l]
+            dcw = jnp.sum(du_pre, axis=1)
+            # one dynamic accumulate for the whole [3D, D] stacked kernel
+            d_wfg[l] = d_wfg[l] + jnp.concatenate(
+                [_mm_tA(c_in, dcw), _mm3_tA(g_in, du_pre),
+                 _mm3_tA(ns, du_pre)], axis=0)
+            d_bfg[l] = d_bfg[l] + jnp.sum(jnp.sum(du_pre, axis=0), axis=0)
+            dc_new = dc_new + _mm_tB(dcw, wfg[0:D, :])
+            dg_new = dg_new + _dot3_tB(du_pre, wfg[D:2 * D, :])
+            dns = dns + _dot3_tB(du_pre, wfg[2 * D:3 * D, :])
+            dg = dg_new
+        else:
+            du = dgeo_term * weight_ref[0][:, :, None]
+            du_pre = du * _swish_grad(u_pre)
+            d_wfg[l] = d_wfg[l] + _mm3_tA(rbf_d, du_pre)
+            d_bfg[l] = d_bfg[l] + jnp.sum(jnp.sum(du_pre, axis=0), axis=0)
+
+        dc_new = dc_new + _mm_tA(n_oh.reshape(M * N, M), dns.reshape(M * N, D))
+        return (dc_new, dg)
+
+    dc, dg = jax.lax.fori_loop(
+        0, L, rev_body, (dc0, jnp.zeros((M, N, D), jnp.float32)))
+
+    # embedding backward
+    if dropout_rate > 0.0:
+        dc = dc * embed_mask
+    ds_de = dc * _swish_grad(s_de)
+    d_wde[...] += _mm_tA(emb, ds_de)
+    d_bde[...] += jnp.sum(ds_de, axis=0)
+    demb = _mm_tB(ds_de, wde_ref[:])
+    d_embed[...] += _mm_tA(z_oh, demb)
+
+    if g_update:
+        dd_emb = dg * w_emb_v
+        dw_emb = dg * d_emb_v
+        ds_nd = dd_emb * _swish_grad(s_nd)
+        ds_nw = dw_emb * _swish_grad(s_nw)
+        d_wnd[...] += _mm3_tA(rbf_d, ds_nd)
+        d_bnd[...] += jnp.sum(jnp.sum(ds_nd, axis=0), axis=0)
+        d_wnw[...] += _mm3_tA(rbf_w, ds_nw)
+        d_bnw[...] += jnp.sum(jnp.sum(ds_nw, axis=0), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+def _assemble(params, cfm: ModelConfig):
+    params = params.get("params", params)
+    L, D = cfm.n_attention, cfm.local_dim
+    sp = stack_layer_params(params, L, cfm.g_update)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    if cfm.g_update:
+        wnd, bnd = params["neighbor_d"]["kernel"], params["neighbor_d"]["bias"]
+        wnw, bnw = params["neighbor_w"]["kernel"], params["neighbor_w"]["bias"]
+    else:
+        K = cfm.num_gaussian
+        wnd = jnp.zeros((K, D), jnp.float32)
+        bnd = jnp.zeros((D,), jnp.float32)
+        wnw, bnw = wnd, bnd
+    return [
+        f32(params["embed_atom"]["embedding"]),
+        f32(params["dense_embed"]["kernel"]), f32(params["dense_embed"]["bias"]),
+        f32(wnd), f32(bnd), f32(wnw), f32(bnw),
+        f32(sp["wfg"]), f32(sp["bfg"]), f32(sp["wk"]), f32(sp["bk"]),
+        f32(sp["wq"]), f32(sp["bq"]),
+        f32(sp["ln_s"]), f32(sp["ln_b"]), f32(sp["lng_s"]), f32(sp["lng_b"]),
+        f32(sp["wr1"]), f32(sp["br1"]), f32(sp["wr2"]), f32(sp["br2"]),
+        f32(sp["rln_s"]), f32(sp["rln_b"]),
+        f32(params["after_Lc"]["kernel"]), f32(params["after_Lc"]["bias"]),
+        f32(params["global_attention"]["query"]["kernel"]),
+        f32(params["global_attention"]["query"]["bias"]),
+        f32(params["global_attention"]["key"]["kernel"]),
+        f32(params["global_attention"]["key"]["bias"]),
+        f32(params["bf_property"]["kernel"]), f32(params["bf_property"]["bias"]),
+        f32(params["predict_property"]["kernel"]),
+        f32(params["predict_property"]["bias"]),
+    ]
+
+
+def _batch_operands(inputs, f32=lambda x: jnp.asarray(x, jnp.float32)):
+    return [
+        jnp.asarray(inputs["atomic"], jnp.int32)[..., None],
+        f32(inputs["atom_mask"]),
+        jnp.asarray(inputs["neighbors"], jnp.int32),
+        f32(inputs["neighbor_mask"]),
+        f32(inputs["neighbor_weight"]),
+        f32(inputs["neighbor_distance"]),
+    ]
+
+
+def _specs(operands, n_batched):
+    def spec_for(x, batched):
+        if batched:
+            blk = (1,) + x.shape[1:]
+            idx_map = lambda bb, nd=x.ndim: (bb,) + (0,) * (nd - 1)
+        else:
+            blk = x.shape
+            idx_map = lambda bb, nd=x.ndim: (0,) * nd
+        return pl.BlockSpec(blk, idx_map, memory_space=pltpu.VMEM)
+
+    return [spec_for(x, i < n_batched) for i, x in enumerate(operands)]
+
+
+def _seed_operand(dropout_seed):
+    if dropout_seed is None:
+        return jnp.zeros((1, 1), jnp.int32)
+    return jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
+
+def loop_scann_forward(params, inputs, cfm: ModelConfig,
+                       mrelu_head: bool = False, interpret: bool = False,
+                       dropout_rate: float = 0.0, dropout_seed=None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Crystal-scale fused forward (fori_loop over layers, one molecule per
+    program). Returns (property [B, 1], ga_score [B, M, 1])."""
+    assert supports_loop(cfm), "config not supported by the loop kernels"
+    B, M = inputs["atomic"].shape[:2]
+    N = inputs["neighbors"].shape[2]
+    L, D = cfm.n_attention, cfm.local_dim
+
+    dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
+    angle_centers = jnp.asarray(make_centers(2 * np.pi, cfm.num_gaussian))[None]
+    operands = (_batch_operands(inputs) + [_seed_operand(dropout_seed)]
+                + _assemble(params, cfm) + [dist_centers, angle_centers])
+
+    out, ga = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
+            g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
+            rbf_width=0.25, dropout_rate=dropout_rate),
+        grid=(B,),
+        in_specs=_specs(operands, 6),
+        out_specs=[
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((max(L, 1), M, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES + (16 << 20)),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :, 0], ga
+
+
+def loop_scann_grad(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
+                    interpret: bool = False, dropout_rate: float = 0.0,
+                    dropout_seed=None) -> dict:
+    """Parameter gradients via the loop backward kernel."""
+    assert supports_loop(cfm)
+    params = params.get("params", params)
+    B, M = inputs["atomic"].shape[:2]
+    N = inputs["neighbors"].shape[2]
+    L, D = cfm.n_attention, cfm.local_dim
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+
+    dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
+    angle_centers = jnp.asarray(make_centers(2 * np.pi, cfm.num_gaussian))[None]
+    param_operands = _assemble(params, cfm)
+    operands = (_batch_operands(inputs)
+                + [f32(ct_pred)[..., None], f32(ct_ga), _seed_operand(dropout_seed)]
+                + param_operands + [dist_centers, angle_centers])
+
+    out_specs = _specs(param_operands, 0)
+    out_shape = [jax.ShapeDtypeStruct(x.shape, jnp.float32)
+                 for x in param_operands]
+
+    g_shape = (L + 1, M, N, D) if cfm.g_update else (1, 1, 1, 1)
+    grads_flat = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
+            g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
+            dropout_rate=dropout_rate),
+        grid=(B,),
+        in_specs=_specs(operands, 8),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((L + 1, M, D), jnp.float32),    # c_stash
+            pltpu.VMEM(g_shape, jnp.float32),          # g_stash
+            pltpu.VMEM((max(L, 1), M, D), jnp.float32),  # dropout masks
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES + (16 << 20)),
+        interpret=interpret,
+    )(*operands)
+
+    (g_embed, g_wde, g_bde, g_wnd, g_bnd, g_wnw, g_bnw,
+     g_wfg, g_bfg, g_wk, g_bk, g_wq, g_bq,
+     g_ln_s, g_ln_b, g_lng_s, g_lng_b,
+     g_wr1, g_br1, g_wr2, g_br2, g_rln_s, g_rln_b,
+     g_wal, g_bal, g_wgq, g_bgq, g_wgk, g_bgk,
+     g_wbf, g_bbf, g_wp, g_bp) = grads_flat
+
+    out = {
+        "embed_atom": {"embedding": g_embed},
+        "dense_embed": {"kernel": g_wde, "bias": g_bde},
+        "after_Lc": {"kernel": g_wal, "bias": g_bal},
+        "global_attention": {
+            "query": {"kernel": g_wgq, "bias": g_bgq},
+            "key": {"kernel": g_wgk, "bias": g_bgk},
+        },
+        "bf_property": {"kernel": g_wbf, "bias": g_bbf},
+        "predict_property": {"kernel": g_wp, "bias": g_bp},
+    }
+    if cfm.g_update:
+        out["neighbor_d"] = {"kernel": g_wnd, "bias": g_bnd}
+        out["neighbor_w"] = {"kernel": g_wnw, "bias": g_bnw}
+    for i in range(L):
+        la = {
+            "filter_geo": {"kernel": g_wfg[i], "bias": g_bfg[i]},
+            "key": {"kernel": g_wk[i], "bias": g_bk[i]},
+            "query": {"kernel": g_wq[i], "bias": g_bq[i]},
+            "layer_norm": {"scale": g_ln_s[i], "bias": g_ln_b[i]},
+        }
+        if cfm.g_update:
+            la["layer_norm_g"] = {"scale": g_lng_s[i], "bias": g_lng_b[i]}
+        out[f"local_attention_{i}"] = la
+        out[f"residual_norm_{i}"] = {
+            "dense_1": {"kernel": g_wr1[i], "bias": g_br1[i]},
+            "dense_2": {"kernel": g_wr2[i], "bias": g_br2[i]},
+            "layer_norm": {"scale": g_rln_s[i], "bias": g_rln_b[i]},
+        }
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def loop_scann_apply(params, inputs, cfm: ModelConfig,
+                     mrelu_head: bool = False, interpret: bool = False,
+                     dropout_rate: float = 0.0, dropout_seed=None):
+    """Differentiable crystal-scale fused forward (loop kernels)."""
+    return loop_scann_forward(params, inputs, cfm, mrelu_head=mrelu_head,
+                              interpret=interpret, dropout_rate=dropout_rate,
+                              dropout_seed=dropout_seed)
+
+
+def _la_fwd(params, inputs, cfm, mrelu_head, interpret, dropout_rate,
+            dropout_seed):
+    out = loop_scann_apply(params, inputs, cfm, mrelu_head, interpret,
+                           dropout_rate, dropout_seed)
+    return out, (params, inputs, dropout_seed)
+
+
+def _la_bwd(cfm, mrelu_head, interpret, dropout_rate, res, cts):
+    params, inputs, dropout_seed = res
+    ct_pred, ct_ga = cts
+    dparams = loop_scann_grad(params, inputs, cfm, ct_pred, ct_ga,
+                              interpret=interpret, dropout_rate=dropout_rate,
+                              dropout_seed=dropout_seed)
+    if isinstance(params, dict) and "params" in params:
+        dparams = {"params": dparams}
+    dinputs = jax.tree.map(jnp.zeros_like,
+                           {k: jnp.asarray(v) for k, v in inputs.items()})
+    dseed = None if dropout_seed is None else jnp.zeros_like(
+        jnp.asarray(dropout_seed))
+    return dparams, dinputs, dseed
+
+
+loop_scann_apply.defvjp(_la_fwd, _la_bwd)

@@ -134,6 +134,20 @@ class Trainer:
         N = batch["neighbors"].shape[2]
         return fits_vmem(self.config.model, M, N)
 
+    def _batch_fits_loop(self, batch) -> bool:
+        """Crystal-scale buckets (too big for the unrolled kernels) that the
+        fori_loop fused kernels cover — single-chip meshes only (the loop
+        path has no shard_map wrapper yet)."""
+        from scann_tpu.kernels.scann_loop import fits_loop_vmem, supports_loop
+
+        if not self._use_fused_eval or len(self.mesh.devices.flat) > 1:
+            return False
+        if not supports_loop(self.config.model):
+            return False
+        M = batch["atomic"].shape[1]
+        N = batch["neighbors"].shape[2]
+        return fits_loop_vmem(self.config.model, M, N)
+
     def _preresolve_tiles(self, buckets: List[PackedBucket], training: bool,
                           batch_size: Optional[int] = None):
         """Resolve (and device-validate) the fused kernels' batch tiles for
@@ -164,6 +178,11 @@ class Trainer:
 
             return fused_scann_forward(params, batch, self.config.model,
                                        mrelu_head=self.model.mrelu_head)
+        if self._batch_fits_loop(batch):
+            from scann_tpu.kernels.scann_loop import loop_scann_forward
+
+            return loop_scann_forward(params, batch, self.config.model,
+                                      mrelu_head=self.model.mrelu_head)
         out = self.eval_model.apply({"params": params}, batch, deterministic=True)
         return out["property"], out["ga_score"]
 
@@ -252,6 +271,16 @@ class Trainer:
                                                   self.config.model,
                                                   self.model.mrelu_head, False,
                                                   0.1, seed)
+                        pred = pred[:, 0]
+                    elif self._use_fused_train and self._batch_fits_loop(batch):
+                        from scann_tpu.kernels.scann_loop import loop_scann_apply
+
+                        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                                                  dtype=jnp.int32)
+                        pred, _ = loop_scann_apply(params, batch,
+                                                   self.config.model,
+                                                   self.model.mrelu_head,
+                                                   False, 0.1, seed)
                         pred = pred[:, 0]
                     else:
                         out = model.apply({"params": params}, batch,

@@ -1,0 +1,98 @@
+"""Loop-kernel parity tests (crystal-scale fused path, interpret mode).
+
+The fori_loop-based kernels must reproduce the flax model (and therefore the
+reference graph, via test_golden) exactly like the unrolled kernels do.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scann_tpu.config import ModelConfig
+from scann_tpu.kernels.scann_loop import (
+    fits_loop_vmem,
+    loop_scann_apply,
+    loop_scann_forward,
+    loop_scann_grad,
+    supports_loop,
+)
+from scann_tpu.models import ScannModel
+from conftest import make_synthetic_batch
+
+
+def _case(rng, g_update=True, ga_norm=True, B=3, M=24, N=8, L=3):
+    cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=L,
+                      local_dim=32, num_head=4, global_dim=32, dense_out=16,
+                      g_update=g_update, use_ga_norm=ga_norm)
+    inputs = make_synthetic_batch(rng, B=B, M=M, N=N)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    return cfg, inputs, model, params
+
+
+@pytest.mark.parametrize("g_update,ga_norm", [(True, True), (False, False)])
+def test_loop_forward_matches_flax(rng, g_update, ga_norm):
+    cfg, inputs, model, params = _case(rng, g_update, ga_norm)
+    ref = model.apply(params, inputs, deterministic=True)
+    pred, ga = loop_scann_forward(params, inputs, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ref["ga_score"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_loop_forward_matches_unrolled(rng):
+    """Loop and unrolled fused kernels agree bit-closely on the same data."""
+    from scann_tpu.kernels.scann_forward import fused_scann_forward
+
+    cfg, inputs, _, params = _case(rng)
+    p1, g1 = loop_scann_forward(params, inputs, cfg, interpret=True)
+    p2, g2 = fused_scann_forward(params, inputs, cfg, interpret=True,
+                                 batch_tile=1)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("g_update,ga_norm", [(True, True), (False, True)])
+def test_loop_backward_matches_jax_grad(rng, g_update, ga_norm):
+    cfg, inputs, model, params = _case(rng, g_update, ga_norm)
+    y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))
+
+    def loss_ref(p):
+        out = model.apply(p, inputs, deterministic=True)
+        return (jnp.sqrt(jnp.mean((out["property"][:, 0] - y) ** 2))
+                + 0.1 * jnp.sum(out["ga_score"] ** 2))
+
+    def loss_loop(p):
+        pred, ga = loop_scann_apply(p, inputs, cfg, False, True)
+        return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+                + 0.1 * jnp.sum(ga ** 2))
+
+    l1, g1 = jax.value_and_grad(loss_ref)(params)
+    l2, g2 = jax.value_and_grad(loss_loop)(params)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(g2)[0]
+    assert len(flat1) == len(flat2)
+    for (p1, v1), (p2, v2) in zip(flat1, flat2):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        scale_ref = np.abs(np.asarray(v1)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), rtol=0, atol=2e-4 * scale_ref,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
+
+
+def test_loop_gates():
+    mp = ModelConfig(n_attention=9, local_dim=128, g_update=True)
+    assert supports_loop(mp)
+    assert not supports_loop(ModelConfig(use_ring=True))
+    assert not supports_loop(ModelConfig(feature="cgcnn"))
+    assert not supports_loop(ModelConfig(use_drop=True))
+    assert not supports_loop(ModelConfig(use_attn_norm=False))
+    # mp2018 crystal buckets fit the loop kernels' VMEM model
+    assert fits_loop_vmem(mp, M=96, N=32)
+    assert fits_loop_vmem(mp, M=128, N=32)
+    assert not fits_loop_vmem(mp, M=512, N=64)
