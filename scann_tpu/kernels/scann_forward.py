@@ -550,17 +550,29 @@ def resolve_tile(cfm: ModelConfig, B: int, M: int, N: int, which: str,
     return bt
 
 
+# Compile-cost bounds: Mosaic compile time AND the compile helper's host
+# memory scale with the kernel's tile count (~ BT * M * N rows of work).
+# The caps below are the largest configurations compiled successfully on
+# this toolchain (fwd 16*32*16, bwd 4*32*16 at the QM9 flagship shape);
+# larger-N buckets take smaller tiles instead of risking a helper OOM
+# (observed: SIGKILLed compile helper at BT=16 with N=32 buckets).
+MAX_FWD_TILE_ROWS = 16 * 32 * 16
+MAX_BWD_TILE_ROWS = 4 * 32 * 16
+
+
 def pick_batch_tile(cfm: ModelConfig, B: int, M: int, N: int,
                     budget_bytes: int = VMEM_BUDGET_BYTES) -> int:
     """Molecules per forward Pallas program: larger tiles feed the MXU bigger
-    matmuls ([BT*M*N, D] rows); bounded by VMEM working set. Capped at 16:
-    kernel size (and so Mosaic compile time) grows with the tile, and the
-    measured step-time curve flattens past (fwd 16, bwd 4) — a (32, 8) pair
-    was still compiling after 25 minutes for ~no expected gain."""
+    matmuls ([BT*M*N, D] rows); bounded by the VMEM working set and the
+    compile-cost row cap. The measured step-time curve flattens past
+    (fwd 16, bwd 4) at the flagship shape — a (32, 8) pair was still
+    compiling after 25 minutes for ~no expected gain."""
     per_mol = _fwd_mol_bytes(cfm, M, N)
     static = _param_bytes(cfm)
     for bt in (16, 8, 4, 2, 1):
         if B % bt:
+            continue
+        if bt * M * _pad8(N) > MAX_FWD_TILE_ROWS:
             continue
         if bt * per_mol + static < budget_bytes:
             return bt
@@ -570,12 +582,14 @@ def pick_batch_tile(cfm: ModelConfig, B: int, M: int, N: int,
 def pick_backward_tile(cfm: ModelConfig, B: int, M: int, N: int,
                        budget_bytes: int = VMEM_BUDGET_BYTES) -> int:
     """Molecules per backward Pallas program (the stash working set is much
-    bigger than the forward's, so the backward tiles smaller; capped at 4 —
-    see pick_batch_tile on compile time)."""
+    bigger than the forward's, so the backward tiles smaller; see
+    pick_batch_tile on the compile-cost caps)."""
     per_mol = _bwd_mol_bytes(cfm, M, N)
     static = 2 * _param_bytes(cfm)  # params + grad accumulators
     for bt in (4, 2, 1):
         if B % bt:
+            continue
+        if bt * M * _pad8(N) > MAX_BWD_TILE_ROWS:
             continue
         if bt * per_mol + static < budget_bytes:
             return bt

@@ -792,3 +792,39 @@ def _la_bwd(cfm, mrelu_head, interpret, dropout_rate, res, cts):
 
 
 loop_scann_apply.defvjp(_la_fwd, _la_bwd)
+
+
+def make_sharded_loop_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
+                            interpret: bool = False,
+                            dropout_rate: float = 0.0):
+    """Data-parallel wrapper for the loop kernels: params replicated, batch
+    sharded over 'data', gradient psum over ICI — same layout as the
+    unrolled kernels' ``make_sharded_scann_apply``. The dropout seed is
+    offset by shard_index * local_batch so per-molecule PRNG streams never
+    collide across shards."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(params, inputs, seed):
+        ax = jax.lax.axis_index("data")
+        b_local = inputs["atomic"].shape[0]
+        shard_seed = (None if seed is None
+                      else seed + ax.astype(jnp.int32) * b_local)
+        return loop_scann_apply(params, inputs, cfm, mrelu_head, interpret,
+                                dropout_rate, shard_seed)
+
+    batch_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
+                  "neighbor_weight", "neighbor_distance")
+    in_specs = (P(), {k: P("data") for k in batch_keys}, P())
+    sharded = shard_map(fn, mesh=mesh,
+                        in_specs=in_specs,
+                        out_specs=(P("data"), P("data")),
+                        check_vma=False)
+
+    def wrapper(params, inputs, seed):
+        extra = set(inputs) - set(batch_keys)
+        if extra:
+            raise ValueError(f"unsupported inputs for the loop kernels: {extra}")
+        return sharded(params, {k: inputs[k] for k in batch_keys}, seed)
+
+    return wrapper

@@ -86,12 +86,21 @@ class Trainer:
         # per-shard under shard_map with the gradient psum over ICI.
         self._use_fused_train = self._use_fused_eval
         self._sharded_apply = None
+        self._sharded_loop_apply = None
         if self._use_fused_train and len(self.mesh.devices.flat) > 1:
             from scann_tpu.kernels.scann_backward import make_sharded_scann_apply
+            from scann_tpu.kernels.scann_loop import (
+                make_sharded_loop_apply,
+                supports_loop,
+            )
 
             self._sharded_apply = make_sharded_scann_apply(
                 self.mesh, config.model, self.model.mrelu_head,
                 dropout_rate=0.1)
+            if supports_loop(config.model):
+                self._sharded_loop_apply = make_sharded_loop_apply(
+                    self.mesh, config.model, self.model.mrelu_head,
+                    dropout_rate=0.1)
         self.workdir = workdir or "{}_{}".format(config.hyper.save_path, config.hyper.target)
         # Keras Adam defaults: b1=0.9, b2=0.999, eps=1e-7 (scann_model.py:212);
         # lr is applied separately per step so SGDR can drive it from the host.
@@ -134,13 +143,16 @@ class Trainer:
         N = batch["neighbors"].shape[2]
         return fits_vmem(self.config.model, M, N)
 
-    def _batch_fits_loop(self, batch) -> bool:
+    def _batch_fits_loop(self, batch, training: bool = False) -> bool:
         """Crystal-scale buckets (too big for the unrolled kernels) that the
-        fori_loop fused kernels cover — single-chip meshes only (the loop
-        path has no shard_map wrapper yet)."""
+        fori_loop fused kernels cover. Multi-chip meshes are supported for
+        TRAINING (shard_map wrapper); eval on multi-chip uses XLA."""
         from scann_tpu.kernels.scann_loop import fits_loop_vmem, supports_loop
 
-        if not self._use_fused_eval or len(self.mesh.devices.flat) > 1:
+        if not self._use_fused_eval:
+            return False
+        if len(self.mesh.devices.flat) > 1 and not (
+                training and self._sharded_loop_apply is not None):
             return False
         if not supports_loop(self.config.model):
             return False
@@ -272,15 +284,20 @@ class Trainer:
                                                   self.model.mrelu_head, False,
                                                   0.1, seed)
                         pred = pred[:, 0]
-                    elif self._use_fused_train and self._batch_fits_loop(batch):
+                    elif (self._use_fused_train
+                          and self._batch_fits_loop(batch, training=True)):
                         from scann_tpu.kernels.scann_loop import loop_scann_apply
 
                         seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
                                                   dtype=jnp.int32)
-                        pred, _ = loop_scann_apply(params, batch,
-                                                   self.config.model,
-                                                   self.model.mrelu_head,
-                                                   False, 0.1, seed)
+                        if self._sharded_loop_apply is not None:
+                            pred, _ = self._sharded_loop_apply(params, batch,
+                                                               seed)
+                        else:
+                            pred, _ = loop_scann_apply(params, batch,
+                                                       self.config.model,
+                                                       self.model.mrelu_head,
+                                                       False, 0.1, seed)
                         pred = pred[:, 0]
                     else:
                         out = model.apply({"params": params}, batch,
@@ -341,6 +358,29 @@ class Trainer:
         return out
 
     # --- training ------------------------------------------------------------
+
+    @staticmethod
+    def _retry_transient(fn, *args, attempts: int = 3, log_fn=print):
+        """Run ``fn(*args)``, retrying on transient remote-compile failures.
+
+        On shared TPU hosts the compile-helper subprocess occasionally gets
+        OOM-killed by OTHER tenants' compiles (observed: 'remote_compile:
+        HTTP 500 ... SIGKILL'); a retry recompiles — usually successfully —
+        instead of killing a long training run. Non-compile errors and
+        final failures propagate."""
+        import time as _time
+
+        for attempt in range(attempts):
+            try:
+                return fn(*args)
+            except Exception as e:
+                transient = "remote_compile" in str(e) or "INTERNAL" in str(e)
+                if not transient or attempt == attempts - 1:
+                    raise
+                log_fn(f"transient compile failure "
+                       f"({str(e).splitlines()[0][:90]}); "
+                       f"retrying in 20s ({attempt + 1}/{attempts - 1})")
+                _time.sleep(20)
 
     def fit(
         self,
@@ -431,9 +471,9 @@ class Trainer:
             for bi, (binputs, btargets) in enumerate(dev_train):
                 sub = jax.random.fold_in(base_rng,
                                          epoch * len(dev_train) + bi)
-                self.state, m = self._train_epoch(
-                    self.state, binputs, btargets, sub,
-                    jnp.asarray(epoch_lr, jnp.float32))
+                self.state, m = self._retry_transient(
+                    self._train_epoch, self.state, binputs, btargets, sub,
+                    jnp.asarray(epoch_lr, jnp.float32), log_fn=log_fn)
                 losses.append(m["loss"])
                 maes.append(m["mae"])
                 step += -(-btargets.shape[0] // hyper.batch_size)
@@ -484,7 +524,8 @@ class Trainer:
     def _evaluate_buckets(self, buckets: List[PackedBucket], dev_buckets):
         preds, ys = [], []
         for b, (binputs, btargets) in zip(buckets, dev_buckets):
-            p = np.asarray(self._eval_epoch(self.state.params, binputs, btargets))
+            p = np.asarray(self._retry_transient(
+                self._eval_epoch, self.state.params, binputs, btargets))
             preds.append(p[: b.num_structures])  # trim the wrap-padded tail
             ys.append(b.targets)
         pred = np.concatenate(preds)

@@ -85,6 +85,36 @@ def test_loop_backward_matches_jax_grad(rng, g_update, ga_norm):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
 
 
+@pytest.mark.slow
+def test_sharded_loop_apply_matches_single_device(rng):
+    """shard_map-wrapped loop kernels over the 8-device mesh == single
+    device, including the psum'd parameter gradients (interpret mode)."""
+    from scann_tpu.kernels.scann_loop import make_sharded_loop_apply
+    from scann_tpu.parallel import make_mesh
+
+    cfg, inputs, _, params = _case(rng, B=16, M=16, N=6, L=2)
+    y = jnp.asarray(np.linspace(-1, 1, 16, dtype=np.float32))
+    mesh = make_mesh(n_devices=8)
+    f8 = make_sharded_loop_apply(mesh, cfg, interpret=True)
+
+    def loss8(p):
+        pred, _ = f8(p, {k: jnp.asarray(v) for k, v in inputs.items()},
+                     jnp.int32(0))
+        return jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+
+    def loss1(p):
+        pred, _ = loop_scann_apply(p, inputs, cfg, False, True, 0.0, None)
+        return jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+
+    l8, g8 = jax.jit(jax.value_and_grad(loss8))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss1))(params)
+    assert float(l8) == pytest.approx(float(l1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        scale = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=5e-5 * scale)
+
+
 def test_loop_gates():
     mp = ModelConfig(n_attention=9, local_dim=128, g_update=True)
     assert supports_loop(mp)
