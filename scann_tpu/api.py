@@ -44,7 +44,7 @@ def prepare_input(
     angle: bool = True,
     cutoff: float = 7.0,
     atoms_multiple: int = 8,
-    neighbors_multiple: int = 4,
+    neighbors_multiple: int = 8,
     use_ring: bool = False,
     feature: str = "atomic",
 ) -> Dict[str, np.ndarray]:
@@ -116,6 +116,9 @@ class Scann:
         self.trainer = Trainer(config, mesh=mesh)
         self.model: ScannModel = self.trainer.model
         self._buckets = None
+        self.train_buckets = None
+        self.valid_buckets = None
+        self.test_buckets = None
 
         if pretrained:
             self.load_pretrained(pretrained)
@@ -242,10 +245,20 @@ class Scann:
         return result
 
     def predict_data(self, buckets=None, with_ga: bool = False):
-        """Predict over packed buckets (defaults to prepare_dataset(split=False)
-        buckets), un-standardized, in dataset order."""
+        """Predict over packed buckets, un-standardized, in dataset order.
+
+        Defaults to the ``prepare_dataset(split=False)`` buckets; after a
+        split prepare, predicts over the union of the train/valid/test
+        subsets (which together cover the full dataset in original order)."""
         if buckets is None:
-            buckets = self._buckets
+            if self._buckets is not None:
+                buckets = self._buckets
+            elif self.train_buckets is not None:
+                buckets = (list(self.train_buckets) + list(self.valid_buckets)
+                           + list(self.test_buckets))
+            else:
+                raise RuntimeError("no packed data: call prepare_dataset() "
+                                   "or pass buckets explicitly")
         return self.trainer.predict(buckets, with_ga=with_ga)
 
     def predict_structure(self, struct: Structure, d_t: float = 4.0,

@@ -87,7 +87,12 @@ class TpuConfig:
     data_parallel: bool = True     # shard batch over the 'data' mesh axis
     mesh_shape: Optional[list] = None   # e.g. [8] -> Mesh(('data',), 8)
     atoms_pad_multiple: int = 8    # pad M (atom axis) to a multiple
-    neighbors_pad_multiple: int = 4   # pad N (neighbor axis) to a multiple
+    # pad N (neighbor axis) to a multiple of 8: N is the SUBLANE dim of
+    # every [M, N, D] tensor in the Pallas kernels (f32 tile = (8, 128));
+    # a non-multiple (e.g. 12) forces masked sublane handling in every
+    # rank-3 op and was observed to blow Mosaic compile time/memory up
+    # (37-minute compile, then compile-helper OOM) on unrolled kernels
+    neighbors_pad_multiple: int = 8
     max_buckets: int = 4           # static-shape (M, N) bucket count
     device_resident_data: bool = True  # keep the whole padded dataset in HBM
     donate_state: bool = True

@@ -128,7 +128,7 @@ def _round_up(x: int, m: int) -> int:
 def choose_buckets(
     sizes: Sequence[Tuple[int, int]],
     atoms_multiple: int = 8,
-    neighbors_multiple: int = 4,
+    neighbors_multiple: int = 8,
     max_buckets: int = 4,
 ) -> List[Tuple[int, int]]:
     """Pick <= max_buckets (M, N) shapes covering all (n_atoms, max_nbr) sizes.
@@ -250,7 +250,7 @@ def pack_dataset(
     feature: str = "atomic",
     use_ring: bool = False,
     atoms_multiple: int = 8,
-    neighbors_multiple: int = 4,
+    neighbors_multiple: int = 8,
     max_buckets: int = 4,
     converter: float = 1.0,
     csr_cache_path: Optional[str] = None,

@@ -569,8 +569,12 @@ def pick_batch_tile(cfm: ModelConfig, B: int, M: int, N: int,
     compiling after 25 minutes for ~no expected gain."""
     per_mol = _fwd_mol_bytes(cfm, M, N)
     static = _param_bytes(cfm)
+    # small-M anomaly: at M=16 a BT=16 forward took 14 min of Mosaic compile
+    # (every per-molecule gather matmul is a tiny heavily-lane-padded op, and
+    # the unroll multiplies them) — cap the tile below 32 atoms
+    max_bt = 16 if M >= 32 else 8
     for bt in (16, 8, 4, 2, 1):
-        if B % bt:
+        if bt > max_bt or B % bt:
             continue
         if bt * M * _pad8(N) > MAX_FWD_TILE_ROWS:
             continue

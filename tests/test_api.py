@@ -144,3 +144,17 @@ class TestBatchedInference:
             v_s, ga_s = scann.predict_structure(mol)
             assert v_b == pytest.approx(v_s, rel=1e-4)
             np.testing.assert_allclose(ga_b, ga_s, rtol=1e-4, atol=1e-6)
+
+
+def test_predict_data_after_split_prepare(synth, tmp_path):
+    """predict_data() after a split prepare_dataset covers the full dataset
+    (union of train/valid/test in original order) — regression: it used to
+    crash with buckets=None (found by the full-lifecycle rehearsal)."""
+    e, n = synth
+    cfg = small_config(str(tmp_path / "pd"), e, n)
+    s = Scann(cfg)
+    s.prepare_dataset(split=True)
+    s.trainer.init_state(s._example_inputs())
+    preds = s.predict_data()
+    assert preds.shape == (cfg.hyper.data_size,)
+    assert np.all(np.isfinite(preds))
