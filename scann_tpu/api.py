@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Tuple, Union
 
+import jax
 import numpy as np
 
 from scann_tpu.config import ScannConfig, load_config, save_config
@@ -119,6 +120,7 @@ class Scann:
         self.train_buckets = None
         self.valid_buckets = None
         self.test_buckets = None
+        self._serve_fwd = None  # cached jitted serving forward
 
         if pretrained:
             self.load_pretrained(pretrained)
@@ -275,13 +277,19 @@ class Scann:
 
     def predict_structures(self, structs: List[Structure], d_t: float = 4.0,
                            w_t: float = 0.4,
-                           featurize_pool: int = 0) -> List[Tuple[float, np.ndarray]]:
+                           featurize_pool: int = 0,
+                           batch_size: Optional[int] = None
+                           ) -> List[Tuple[float, np.ndarray]]:
         """Batched inference over many structures (the serving path).
 
-        Structures are featurized (optionally in a process pool), grouped by
-        padded (M, N) shape, and run through the fused forward in shape
-        batches — one compile and one kernel launch per shape group instead
-        of per structure. Returns [(value, ga_scores)] in input order.
+        Structures are featurized (optionally in a process pool), padded to
+        ONE common (M, N) bucket shape, and run through the fused forward in
+        fixed-size batches: one XLA/Pallas compile for the whole request
+        stream and one kernel launch per ``batch_size`` structures. (An
+        earlier version grouped by each structure's own padded shape; with
+        heterogeneous inputs that meant a fresh compile per group and
+        ~1000x lower throughput.) Returns [(value, ga_scores)] in input
+        order.
         """
         cfm = self.config.model
         kw = dict(d_t=d_t, w_t=w_t, angle=cfm.g_update, use_ring=cfm.use_ring,
@@ -295,20 +303,51 @@ class Scann:
         else:
             all_inputs = [prepare_input(s, **kw) for s in structs]
 
-        groups: Dict[Tuple[int, int], List[int]] = {}
-        for i, inp in enumerate(all_inputs):
-            key = (inp["atomic"].shape[1], inp["neighbors"].shape[2])
-            groups.setdefault(key, []).append(i)
+        # one common bucket shape for the whole request stream
+        M = max(inp["atomic"].shape[1] for inp in all_inputs)
+        N = max(inp["neighbors"].shape[2] for inp in all_inputs)
+        M = _round_up(M, self.config.tpu.atoms_pad_multiple)
+        N = _round_up(N, self.config.tpu.neighbors_pad_multiple)
 
+        def repad(inp):
+            out = {}
+            for k, v in inp.items():
+                pad = [(0, 0)] * v.ndim
+                if k == "atom_mask" or (k == "ring_aromatic"):
+                    pad[1] = (0, M - v.shape[1])
+                elif k == "atomic":
+                    pad[1] = (0, M - v.shape[1])
+                else:  # neighbor tensors [1, M, N]
+                    pad[1] = (0, M - v.shape[1])
+                    pad[2] = (0, N - v.shape[2])
+                out[k] = np.pad(v, pad)
+            return out
+
+        all_inputs = [repad(inp) for inp in all_inputs]
+        bs = batch_size or self.config.hyper.batch_size
         hyper = self.config.hyper
-        results: List[Optional[Tuple[float, np.ndarray]]] = [None] * len(structs)
-        for _shape, idxs in groups.items():
+        S = len(structs)
+
+        # ONE jit object per Scann instance: jax.jit caches compilations by
+        # (function identity, shapes) — a fresh jit per call would recompile
+        # on every serving request (~45 s each over the tunnel)
+        if self._serve_fwd is None:
+            def fwd(params, batch):
+                pred, ga = self.trainer.forward_eval(params, batch)
+                return pred[:, 0], ga[..., 0]
+
+            self._serve_fwd = jax.jit(fwd)
+        fwd = self._serve_fwd
+
+        results: List[Optional[Tuple[float, np.ndarray]]] = [None] * S
+        for s0 in range(0, S, bs):
+            idxs = [i % S for i in range(s0, s0 + bs)]  # wrap-pad tail batch
             batch = {k: np.concatenate([all_inputs[i][k] for i in idxs])
-                     for k in all_inputs[idxs[0]]}
-            pred, ga = self.trainer.forward_eval(self.trainer.state.params, batch)
-            pred = np.asarray(pred)[:, 0] * hyper.target_std + hyper.target_mean
+                     for k in all_inputs[0]}
+            pred, ga = fwd(self.trainer.state.params, batch)
+            pred = np.asarray(pred) * hyper.target_std + hyper.target_mean
             ga = np.asarray(ga)
-            for row, i in enumerate(idxs):
+            for row, i in enumerate(idxs[: min(bs, S - s0)]):
                 na = len(structs[i])
-                results[i] = (float(pred[row]), ga[row, :na, 0])
+                results[i] = (float(pred[row]), ga[row, :na])
         return results
