@@ -295,11 +295,20 @@ class Scann:
         kw = dict(d_t=d_t, w_t=w_t, angle=cfm.g_update, use_ring=cfm.use_ring,
                   feature=cfm.feature)
         if featurize_pool > 1:
+            # spawn (not fork): forking a process that has initialized JAX's
+            # thread pools risks deadlock; spawn pays a ~seconds child
+            # startup, amortized over large request streams. Featurization
+            # (host-side Voronoi, ~tens of ms/structure/core) dominates
+            # serving latency — the device forward is microseconds per
+            # structure — so the pool is the serving-throughput knob.
+            import multiprocessing as mp
             from concurrent.futures import ProcessPoolExecutor
             from functools import partial
 
-            with ProcessPoolExecutor(featurize_pool) as ex:
-                all_inputs = list(ex.map(partial(prepare_input, **kw), structs))
+            with ProcessPoolExecutor(
+                    featurize_pool, mp_context=mp.get_context("spawn")) as ex:
+                all_inputs = list(ex.map(partial(prepare_input, **kw), structs,
+                                         chunksize=16))
         else:
             all_inputs = [prepare_input(s, **kw) for s in structs]
 

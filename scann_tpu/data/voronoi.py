@@ -32,18 +32,23 @@ from scipy.spatial import QhullError
 from scann_tpu.data.structure import Structure
 
 
-def _triangle_solid_angle(r1, r2, r3) -> float:
-    """Solid angle of the triangle (r1, r2, r3) seen from the origin
-    (van Oosterom & Strackee 1983)."""
-    n1, n2, n3 = (np.linalg.norm(r) for r in (r1, r2, r3))
-    numer = abs(np.dot(r1, np.cross(r2, r3)))
-    denom = (
-        n1 * n2 * n3
-        + np.dot(r1, r2) * n3
-        + np.dot(r1, r3) * n2
-        + np.dot(r2, r3) * n1
-    )
-    return 2.0 * np.arctan2(numer, denom)
+def _fan_solid_angle(v: np.ndarray) -> float:
+    """Solid angle at the origin of the triangle fan (v[0], v[i], v[i+1])
+    over an ordered polygon ``v`` [k, 3] (van Oosterom & Strackee 1983),
+    all triangles evaluated in one vectorized pass — this is the serving
+    hot loop (~100 ms/structure when done with per-triangle Python)."""
+    r1 = v[0]
+    r2 = v[1:-1]                                   # [t, 3]
+    r3 = v[2:]                                     # [t, 3]
+    n1 = np.linalg.norm(r1)
+    n2 = np.linalg.norm(r2, axis=1)
+    n3 = np.linalg.norm(r3, axis=1)
+    numer = np.abs(np.cross(r2, r3) @ r1)
+    denom = (n1 * n2 * n3
+             + (r2 @ r1) * n3
+             + (r3 @ r1) * n2
+             + np.einsum("ij,ij->i", r2, r3) * n1)
+    return float(2.0 * np.sum(np.arctan2(numer, denom)))
 
 
 def solid_angle(center: np.ndarray, polygon: np.ndarray) -> float:
@@ -74,11 +79,7 @@ def solid_angle(center: np.ndarray, polygon: np.ndarray) -> float:
     u /= un
     w = np.cross(normal, u)
     order = np.argsort(np.arctan2(rel @ w, rel @ u))
-    v = v[order]
-    total = 0.0
-    for i in range(1, len(v) - 1):
-        total += _triangle_solid_angle(v[0], v[i], v[i + 1])
-    return total
+    return _fan_solid_angle(v[order])
 
 
 def _image_ranges(lattice: np.ndarray, cutoff: float) -> List[int]:
