@@ -32,6 +32,16 @@ from scipy.spatial import QhullError
 from scann_tpu.data.structure import Structure
 
 
+def _cross3(a, b):
+    """Component-wise cross product (np.cross's moveaxis machinery is ~5x
+    slower on the small arrays this hot path uses)."""
+    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    return np.stack([a1 * b2 - a2 * b1,
+                     a2 * b0 - a0 * b2,
+                     a0 * b1 - a1 * b0], axis=-1)
+
+
 def _fan_solid_angle(v: np.ndarray) -> float:
     """Solid angle at the origin of the triangle fan (v[0], v[i], v[i+1])
     over an ordered polygon ``v`` [k, 3] (van Oosterom & Strackee 1983),
@@ -40,10 +50,10 @@ def _fan_solid_angle(v: np.ndarray) -> float:
     r1 = v[0]
     r2 = v[1:-1]                                   # [t, 3]
     r3 = v[2:]                                     # [t, 3]
-    n1 = np.linalg.norm(r1)
-    n2 = np.linalg.norm(r2, axis=1)
-    n3 = np.linalg.norm(r3, axis=1)
-    numer = np.abs(np.cross(r2, r3) @ r1)
+    n1 = np.sqrt(r1 @ r1)
+    n2 = np.sqrt(np.einsum("ij,ij->i", r2, r2))
+    n3 = np.sqrt(np.einsum("ij,ij->i", r3, r3))
+    numer = np.abs(_cross3(r2, r3) @ r1)
     denom = (n1 * n2 * n3
              + (r2 @ r1) * n3
              + (r3 @ r1) * n2
@@ -62,22 +72,22 @@ def solid_angle(center: np.ndarray, polygon: np.ndarray) -> float:
     rel = v - centroid
     # polygon-plane normal from the vertex scatter (largest cross product of
     # centroid-relative vertex pairs — robust to near-collinear pairs)
-    normal = np.cross(rel[0], rel[1])
+    normal = _cross3(rel[0], rel[1])
     for j in range(2, len(rel)):
-        if np.linalg.norm(normal) > 1e-10:
+        if normal @ normal > 1e-20:
             break
-        normal = np.cross(rel[0], rel[j])
-    nn = np.linalg.norm(normal)
+        normal = _cross3(rel[0], rel[j])
+    nn = np.sqrt(normal @ normal)
     if nn < 1e-12:
         return 0.0  # degenerate (collinear) polygon
     normal = normal / nn
     # in-plane basis
     u = rel[0] - np.dot(rel[0], normal) * normal
-    un = np.linalg.norm(u)
+    un = np.sqrt(u @ u)
     if un < 1e-12:
         return 0.0
     u /= un
-    w = np.cross(normal, u)
+    w = _cross3(normal, u)
     order = np.argsort(np.arctan2(rel @ w, rel @ u))
     return _fan_solid_angle(v[order])
 
