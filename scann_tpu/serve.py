@@ -65,6 +65,7 @@ class BatchedPredictor:
         # bounded queue = backpressure: when the device can't keep up,
         # callers get an immediate Overloaded instead of unbounded latency
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_pending)
+        self._deferred: Optional[_Request] = None  # worker-thread only
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -100,19 +101,32 @@ class BatchedPredictor:
     # --- worker side -----------------------------------------------------
 
     def _drain(self) -> List[_Request]:
-        """Block for one request, then coalesce the window's arrivals."""
-        try:
-            first = self._queue.get(timeout=0.2)
-        except queue.Empty:
-            return []
+        """Block for one request, then coalesce the window's arrivals.
+
+        ``max_batch`` is enforced: a request whose structures would overshoot
+        the batch is deferred (put back) for the next cycle rather than
+        appended. The coalescing window is skipped when the first request
+        already fills the batch."""
+        if self._deferred is not None:
+            first, self._deferred = self._deferred, None
+        else:
+            try:
+                first = self._queue.get(timeout=0.2)
+            except queue.Empty:
+                return []
         batch = [first]
         n = len(first.structs)
+        if n >= self.max_batch:
+            return batch
         deadline = threading.Event()
         deadline.wait(self.window_ms / 1000.0)
         while n < self.max_batch:
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
+                break
+            if n + len(req.structs) > self.max_batch:
+                self._deferred = req  # would overshoot: run it next cycle
                 break
             batch.append(req)
             n += len(req.structs)
@@ -126,9 +140,16 @@ class BatchedPredictor:
             structs = [s for r in reqs for s in r.structs]
             try:
                 results = self.scann.predict_structures(structs)
-            except Exception as e:  # report to every waiter, keep serving
+            except Exception:
+                # One bad structure (e.g. a degenerate geometry failing
+                # Voronoi tessellation) must not fail every coalesced
+                # request: retry each request individually so only the
+                # offending one errors.
                 for r in reqs:
-                    r.error = e
+                    try:
+                        r.result = self.scann.predict_structures(r.structs)
+                    except Exception as e:
+                        r.error = e
                     r.event.set()
                 continue
             pos = 0
@@ -166,9 +187,11 @@ class PredictionServer:
     """HTTP front end over a BatchedPredictor (stdlib only, no deps)."""
 
     def __init__(self, predictor: BatchedPredictor, host: str = "127.0.0.1",
-                 port: int = 8421):
+                 port: int = 8421, max_body_bytes: int = 8 * 1024 * 1024):
         self.predictor = predictor
+        self.max_body_bytes = max_body_bytes
         target = predictor.scann.config.hyper.target
+        body_limit = max_body_bytes
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -192,11 +215,25 @@ class PredictionServer:
                 if self_handler.path != "/predict":
                     self_handler._send(404, {"error": "unknown path"})
                     return
+                n = int(self_handler.headers.get("Content-Length", 0))
+                if n > body_limit:
+                    self_handler._send(413, {
+                        "error": f"request body {n} bytes exceeds "
+                                 f"limit {body_limit}"})
+                    return
+                # Parse errors are the CLIENT's fault (400); everything
+                # after a successful parse is server-side: overload -> 503,
+                # timeout -> 504, anything else -> 500.
                 try:
-                    n = int(self_handler.headers.get("Content-Length", 0))
                     structs = _parse_structures(
                         self_handler.rfile.read(n),
                         self_handler.headers.get("Content-Type", ""))
+                    if not structs:
+                        raise ValueError("no structures in request body")
+                except Exception as e:
+                    self_handler._send(400, {"error": f"bad request: {e}"})
+                    return
+                try:
                     results = self.predictor.predict(structs)
                     self_handler._send(200, {
                         "predictions": [float(v) for v, _ in results],
@@ -206,8 +243,10 @@ class PredictionServer:
                     })
                 except Overloaded as e:
                     self_handler._send(503, {"error": str(e)})
+                except TimeoutError as e:
+                    self_handler._send(504, {"error": str(e)})
                 except Exception as e:
-                    self_handler._send(400, {"error": str(e)})
+                    self_handler._send(500, {"error": str(e)})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address

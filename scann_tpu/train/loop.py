@@ -374,7 +374,13 @@ class Trainer:
             try:
                 return fn(*args)
             except Exception as e:
-                transient = "remote_compile" in str(e) or "INTERNAL" in str(e)
+                # Only the observed compile-helper kill signatures count as
+                # transient; a bare XLA 'INTERNAL' error is a real failure
+                # and must surface immediately (ADVICE r2).
+                msg = str(e)
+                transient = "remote_compile" in msg and (
+                    "SIGKILL" in msg or "HTTP 500" in msg
+                    or "Connection reset" in msg or "Socket closed" in msg)
                 if not transient or attempt == attempts - 1:
                     raise
                 log_fn(f"transient compile failure "

@@ -95,6 +95,65 @@ def test_backpressure_overloaded(scann):
         p.close()
 
 
+def test_one_bad_request_does_not_fail_the_batch(scann):
+    """ADVICE r2 (medium): a failing structure in a coalesced batch must only
+    fail its own request; co-batched requests still get results."""
+    real = scann.predict_structures
+    poison = Structure(["H"], [[0.0, 0.0, 0.0]])
+
+    def fragile_predict(structs, **kw):
+        if any(s is poison for s in structs):
+            raise ValueError("degenerate geometry")
+        return real(structs, **kw)
+
+    scann.predict_structures = fragile_predict
+    p = BatchedPredictor(scann, max_batch=16, window_ms=50.0)
+    try:
+        outcomes = [None, None]
+
+        def call(i, structs):
+            try:
+                outcomes[i] = ("ok", p.predict(structs))
+            except Exception as e:
+                outcomes[i] = ("err", e)
+
+        t1 = threading.Thread(target=call, args=(0, [poison]))
+        t2 = threading.Thread(target=call, args=(1, [WATER]))
+        t1.start(); t2.start(); t1.join(60); t2.join(60)
+
+        assert outcomes[0][0] == "err"
+        assert isinstance(outcomes[0][1], ValueError)
+        assert outcomes[1][0] == "ok" and len(outcomes[1][1]) == 1
+    finally:
+        scann.predict_structures = real
+        p.close()
+
+
+def test_max_batch_enforced(scann):
+    """ADVICE r2: _drain must never coalesce beyond max_batch structures."""
+    real = scann.predict_structures
+    sizes = []
+
+    def recording_predict(structs, **kw):
+        sizes.append(len(structs))
+        return real(structs, **kw)
+
+    scann.predict_structures = recording_predict
+    p = BatchedPredictor(scann, max_batch=3, window_ms=50.0)
+    try:
+        threads = [threading.Thread(target=lambda: p.predict([WATER, CO]))
+                   for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert sizes and max(sizes) <= 3
+        assert sum(sizes) == 6  # every structure still served exactly once
+    finally:
+        scann.predict_structures = real
+        p.close()
+
+
 def test_http_server_json_and_xyz(scann):
     server = PredictionServer(BatchedPredictor(scann, window_ms=0.0), port=0)
     t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -132,5 +191,108 @@ def test_http_server_json_and_xyz(scann):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(bad, timeout=30)
         assert exc.value.code == 400
+
+        # empty body -> 400 (no structures)
+        empty = urllib.request.Request(
+            base + "/predict", data=json.dumps({"structures": []}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(empty, timeout=30)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_http_body_size_cap_413(scann):
+    """Oversized request bodies are rejected with 413 before parsing."""
+    server = PredictionServer(BatchedPredictor(scann, window_ms=0.0), port=0,
+                              max_body_bytes=1024)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        big = b"x" * 2048
+        req = urllib.request.Request(base + "/predict", data=big,
+                                     headers={"Content-Type": "text/plain"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 413
+    finally:
+        server.shutdown()
+
+
+def test_http_internal_error_is_500_not_400(scann):
+    """Post-parse (server-side) failures map to 500; 400 is parse-only."""
+    real = scann.predict_structures
+
+    def broken_predict(structs, **kw):
+        raise RuntimeError("device fell over")
+
+    scann.predict_structures = broken_predict
+    server = PredictionServer(BatchedPredictor(scann, window_ms=0.0), port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        payload = json.dumps({"structures": [
+            {"species": ["C", "O"], "coords": [[0, 0, 0], [1.13, 0, 0]],
+             "lattice": None}]}).encode()
+        req = urllib.request.Request(base + "/predict", data=payload,
+                                     headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 500
+    finally:
+        scann.predict_structures = real
+        server.shutdown()
+
+
+def test_http_load_concurrent_clients(scann):
+    """Load test (round-2 VERDICT #7): N concurrent clients against a small
+    pending queue; every request resolves as 200 or 503 (backpressure), none
+    hang, and the server stays healthy afterwards."""
+    import time
+
+    server = PredictionServer(
+        BatchedPredictor(scann, max_batch=8, window_ms=2.0, max_pending=4),
+        port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{server.host}:{server.port}"
+    payload = json.dumps({"structures": [
+        {"species": ["O", "H", "H"],
+         "coords": [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]],
+         "lattice": None}]}).encode()
+    codes, latencies = [], []
+    lock = threading.Lock()
+
+    def client():
+        req = urllib.request.Request(
+            base + "/predict", data=payload,
+            headers={"Content-Type": "application/json"})
+        t0 = time.monotonic()
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        with lock:
+            codes.append(code)
+            latencies.append(time.monotonic() - t0)
+
+    try:
+        # warm the compile once so the load phase measures steady state
+        client()
+        threads = [threading.Thread(target=client) for _ in range(24)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(180)
+        assert len(codes) == 25
+        assert set(codes) <= {200, 503}
+        assert codes.count(200) >= 5  # real work got through under load
+        assert max(latencies) < 120
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
     finally:
         server.shutdown()

@@ -210,7 +210,8 @@ def main(argv=None):
 
     result = {"case": vars(args), "reference": ref, "scann_tpu": ours}
     path = args.out or os.path.join(os.path.dirname(__file__), "..",
-                                    "training_dynamics_comparison.json")
+                                    "results", "training_dynamics_comparison.json")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(f"\nwrote {path}")
