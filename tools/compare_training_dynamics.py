@@ -106,6 +106,16 @@ def train_reference(batches, val_batches, epochs, scheduler):
     model.compile(loss=root_mean_squared_error,
                   optimizer=tf.keras.optimizers.legacy.Adam(lr, decay=1e-5),
                   metrics=["mae"])
+    # Sample-level per-epoch reshuffle, like the real reference DataIterator
+    # (datagenerator.py:61-64). Training TF in a fixed batch order (the
+    # round-2 version of this harness) measurably slows its convergence and
+    # confounded the comparison — root-caused by compare_step_parity.py.
+    rows = {k: np.concatenate([i[k] for i, _ in batches])
+            for k in batches[0][0]}
+    row_y = np.concatenate([y for _, y in batches])
+    n_rows = len(row_y)
+    bsz = len(batches[0][1])
+    shuffle_rng = np.random.default_rng(0)
     hist = {"loss": [], "val_mae": [], "lr": []}
     for ep in range(epochs):
         if sgdrc is not None:
@@ -115,8 +125,12 @@ def train_reference(batches, val_batches, epochs, scheduler):
             tf.keras.backend.set_value(model.optimizer.lr, epoch_lr)
             hist["lr"].append(float(epoch_lr))
         losses = []
-        for inp, y in batches:
-            logs = model.train_on_batch(inp, y, return_dict=True)
+        perm = shuffle_rng.permutation(n_rows)
+        for s in range(0, n_rows - bsz + 1, bsz):
+            sel = perm[s:s + bsz]
+            logs = model.train_on_batch(
+                {k: v[sel] for k, v in rows.items()}, row_y[sel],
+                return_dict=True)
             losses.append(logs["loss"])
         maes = []
         for inp, y in val_batches:
@@ -220,10 +234,10 @@ def main(argv=None):
     # (a) for SGDR, the lr trajectory must match the reference's stateful
     #     SGDRC callback EXACTLY (warm restarts + val-driven compression),
     # (b) loss curves must be strongly correlated (same convergence shape),
-    # (c) our best val MAE must be at least as good as the reference's
-    #     (+20% slack) — empirically ours converges faster on synthetic
-    #     tasks (different init/dropout streams), so a symmetric band would
-    #     reject favorable gaps.
+    # (c) best val MAE within a SYMMETRIC band: the round-2 "2-5x better"
+    #     gap was root-caused (compare_step_parity.py) as independent inits
+    #     plus this harness training TF in a fixed batch order — both fixed;
+    #     residual spread is init/dropout/shuffle RNG (±20%).
     r_best, o_best = min(ref["val_mae"]), min(ours["val_mae"])
     ratio = o_best / r_best
     # correlation after a 20% burn-in: the reference graph shows an early
@@ -234,7 +248,7 @@ def main(argv=None):
     corr = float(np.corrcoef(ref["loss"][k:], ours["loss"][k:])[0, 1])
     print(f"best val MAE: reference {r_best:.4f}, scann-tpu {o_best:.4f} "
           f"(ratio {ratio:.3f}); post-burn-in loss-curve corr {corr:.4f}")
-    ok = ratio <= 1.2 and corr > 0.85
+    ok = 0.8 <= ratio <= 1.2 and corr > 0.85
     if ref.get("lr") and ours.get("lr"):
         n = min(len(ref["lr"]), len(ours["lr"]))
         lr_equal = bool(np.allclose(ref["lr"][:n], ours["lr"][:n], rtol=1e-5))
