@@ -67,7 +67,8 @@ def test_kernel_matches_reference(rng, g_update):
                                    rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("g_update", [True, False])
+@pytest.mark.parametrize("g_update", [
+    pytest.param(True, marks=pytest.mark.slow), False])
 def test_custom_vjp_matches_reference_grad(rng, g_update, monkeypatch):
     centers, idx, geometry, mask, weight, params = make_layer_inputs(
         rng, B=2, M=8, N=4, D=16, g_update=g_update)
@@ -180,8 +181,12 @@ def test_fused_forward_rejects_unsupported_config():
 
 
 @pytest.mark.parametrize("g_update,ga_norm,ring,cgcnn", [
-    (True, True, False, False), (False, False, False, False),
-    (False, True, True, False), (True, True, False, True),
+    # one representative combo stays in the fast suite; the rest are
+    # interpret-mode-heavy (10-25 s each on 1 CPU) and run in the slow tier
+    (False, False, False, False),
+    pytest.param(True, True, False, False, marks=pytest.mark.slow),
+    pytest.param(False, True, True, False, marks=pytest.mark.slow),
+    pytest.param(True, True, False, True, marks=pytest.mark.slow),
 ])
 def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm, ring, cgcnn):
     """The hand-written whole-model backward kernel == jax.grad of the flax
@@ -225,6 +230,7 @@ def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm, ring, cgcnn):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
 
 
+@pytest.mark.slow  # 8-device interpret-mode: ~27 s on 1 CPU
 def test_sharded_fused_apply_matches_single_device(rng):
     """shard_map-wrapped fused kernels over the 8-device mesh == single
     device, including the psum'd parameter gradients (interpret mode)."""

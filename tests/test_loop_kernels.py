@@ -31,7 +31,9 @@ def _case(rng, g_update=True, ga_norm=True, B=3, M=24, N=8, L=3):
     return cfg, inputs, model, params
 
 
-@pytest.mark.parametrize("g_update,ga_norm", [(True, True), (False, False)])
+@pytest.mark.parametrize("g_update,ga_norm", [
+    pytest.param(True, True, marks=pytest.mark.slow),  # ~9 s interpret mode
+    (False, False)])
 def test_loop_forward_matches_flax(rng, g_update, ga_norm):
     cfg, inputs, model, params = _case(rng, g_update, ga_norm)
     ref = model.apply(params, inputs, deterministic=True)
@@ -56,7 +58,9 @@ def test_loop_forward_matches_unrolled(rng):
                                rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("g_update,ga_norm", [(True, True), (False, True)])
+@pytest.mark.parametrize("g_update,ga_norm", [
+    pytest.param(True, True, marks=pytest.mark.slow),  # ~25 s interpret mode
+    (False, True)])
 def test_loop_backward_matches_jax_grad(rng, g_update, ga_norm):
     cfg, inputs, model, params = _case(rng, g_update, ga_norm)
     y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))

