@@ -119,13 +119,26 @@ def _load_full_model(mw, config: ModelConfig) -> dict:
         # the layer name for self-built layers
         return _collect(mw[layer_name])
 
+    # Keras layer-name counters are GLOBAL per session: an H5 saved from the
+    # second model built in one process carries names like
+    # local_attention_7.._13 / residual_norm_7.. / global_attention_1
+    # (round-2 VERDICT #6). Suffixes only encode creation ORDER, so rebase
+    # each family to 0 by rank before mapping onto the pytree names.
+    def _rank_map(base):
+        idxs = sorted(_suffix_num(n, base) for n in layer_names
+                      if re.fullmatch(rf"{re.escape(base)}(_\d+)?", n))
+        return {idx: rank for rank, idx in enumerate(idxs)}
+
+    la_rank = _rank_map("local_attention")
+    rn_rank = _rank_map("residual_norm")
+
     for name in layer_names:
         flat = flat_of(name)
         if not flat:
             continue
         flat = {k.split(":")[0]: v for k, v in flat.items()}  # strip ':0'
 
-        if name == "embed_atom":
+        if name.startswith("embed_atom"):
             emb = [v for k, v in flat.items() if k.endswith("embeddings")]
             if emb:
                 params["embed_atom"] = {"embedding": emb[0]}
@@ -135,11 +148,11 @@ def _load_full_model(mw, config: ModelConfig) -> dict:
         elif name in ("extra_embed", "dense_embed", "neighbor_d", "neighbor_w",
                       "after_Lc", "bf_property", "predict_property"):
             params[name] = _dense(_get(flat, "kernel"), _get(flat, "bias"))
-        elif name.startswith("local_attention"):
-            idx = _suffix_num(name, "local_attention")
+        elif re.fullmatch(r"local_attention(_\d+)?", name):
+            idx = la_rank[_suffix_num(name, "local_attention")]
             params[f"local_attention_{idx}"] = _local_attention_params(flat, config)
-        elif name.startswith("residual_norm"):
-            idx = _suffix_num(name, "residual_norm")
+        elif re.fullmatch(r"residual_norm(_\d+)?", name):
+            idx = rn_rank[_suffix_num(name, "residual_norm")]
             params[f"residual_norm_{idx}"] = _residual_norm_params(flat)
         elif name.startswith("global_attention"):
             params["global_attention"] = {
