@@ -17,22 +17,38 @@ at two shapes:
 
 Best of 3 epochs per shape (the shared TPU's load varies).
 
+Beside structures/sec it reports ``tflops_per_sec`` and ``mfu`` from the
+analytic FLOP model (``scann_tpu/utils/flops.py``, validated against XLA
+cost_analysis in ``tests/test_flops.py``) and the chip's published bf16
+peak.
+
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 The QM9 denominator 1500 structures/sec is our documented estimate of the
 TF 2.10 single-GPU reference (batch 128, ~90 s/epoch over 110k QM9
-structures on a paper-era V100-class card). The MP2018 denominator scales
-that estimate by the per-structure attention cost ratio — (M*N)
-32*16 -> 96*32, x6 — and layer count 7 -> 9 (x1.29): 1500 / 7.7 ~= 195/s.
-BASELINE.md targets >= 5x.
+structures on a paper-era V100-class card). Round 3 anchors that estimate
+with a MEASUREMENT: ``tools/measure_tf_reference.py`` runs the actual
+reference graph (create_model + train_on_batch, legacy Adam, RMSE) on this
+host's CPU at the exact bench shapes and stores the result in
+``benchmarks/tf_reference_cpu.json``; bench.py re-reports it as
+``measured_ref_baseline``. Measured: 8.3 structures/s on this 1-core x86
+host at the QM9 shape = 8.3 x ~1.2 GFLOP/structure ~= 10 GFLOP/s, i.e.
+~10% of the core's ~100 GFLOP/s f32 peak. Scaling argument CPU -> GPU: at
+the SAME ~10-12% efficiency-of-peak, a paper-era V100 (14.9 f32 TFLOP/s)
+runs ~1.5-1.8 TFLOP/s effective -> ~1,250-1,500 structures/s — the
+1,500/s estimate is the optimistic end of the measured-CPU projection,
+which is why we keep it as the honest GPU-equivalent denominator. The
+MP2018 denominator scales the QM9 one by the per-structure FLOP ratio of
+the two shapes, computed from the same FLOP model. BASELINE.md targets
+>= 5x.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_STRUCTURES_PER_SEC = 1500.0  # documented TF-GPU reference estimate
-BASELINE_MP2018_PER_SEC = 195.0  # scaled by FLOP ratio (docstring)
 
 
 def _ensure_backend():
@@ -115,18 +131,54 @@ def main():
     mp_cfg.hyper.scheduler = "cosine"
     mp = run_case(mp_cfg, S=2048, M=96, N=32)
 
-    print(json.dumps({
+    # FLOP accounting -> TFLOP/s + MFU (round-2 VERDICT #2)
+    import jax
+
+    from scann_tpu.utils.flops import peak_tflops, train_flops_per_structure
+
+    qm9_fps = train_flops_per_structure(cfg.model, 32, 16)
+    mp_fps = train_flops_per_structure(mp_cfg.model, 96, 32)
+    peak = peak_tflops(jax.devices()[0].device_kind)
+    qm9_tflops = qm9 * qm9_fps / 1e12
+    mp_tflops = mp * mp_fps / 1e12
+
+    # the MP2018 baseline = QM9 baseline scaled by the per-structure FLOP
+    # ratio of the two shapes (same FLOP model)
+    mp_baseline = BASELINE_STRUCTURES_PER_SEC * qm9_fps / mp_fps
+
+    # measured TF-reference CPU throughput at these exact shapes
+    # (tools/measure_tf_reference.py; see docstring for the GPU scaling
+    # argument that connects it to the 1,500/s denominator)
+    measured = None
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "tf_reference_cpu.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            measured = json.load(f)["cases"]
+
+    out = {
         "metric": "train_structures_per_sec_per_chip_qm9_scann_plus",
         "value": round(qm9, 1),
         "unit": "structures/s/chip",
         "vs_baseline": round(qm9 / BASELINE_STRUCTURES_PER_SEC, 3),
+        "tflops_per_sec": round(qm9_tflops, 2),
+        "mfu": round(qm9_tflops / peak, 4) if peak else None,
+        "flops_per_structure": round(qm9_fps),
+        "measured_ref_baseline": (
+            measured["qm9_b128_m32_n16"] if measured else None),
         "secondary": {
             "metric": "train_structures_per_sec_per_chip_mp2018_M96_scann_plus",
             "value": round(mp, 1),
             "unit": "structures/s/chip",
-            "vs_baseline": round(mp / BASELINE_MP2018_PER_SEC, 3),
+            "vs_baseline": round(mp / mp_baseline, 3),
+            "tflops_per_sec": round(mp_tflops, 2),
+            "mfu": round(mp_tflops / peak, 4) if peak else None,
+            "flops_per_structure": round(mp_fps),
+            "measured_ref_baseline": (
+                measured["mp2018_b64_m96_n32"] if measured else None),
         },
-    }))
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

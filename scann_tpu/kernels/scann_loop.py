@@ -794,6 +794,36 @@ def _la_bwd(cfm, mrelu_head, interpret, dropout_rate, res, cts):
 loop_scann_apply.defvjp(_la_fwd, _la_bwd)
 
 
+def make_sharded_loop_forward(mesh, cfm: ModelConfig, mrelu_head: bool = False,
+                              interpret: bool = False):
+    """Data-parallel EVAL wrapper for the loop forward: params replicated,
+    batch sharded over 'data'. Round-2 VERDICT #3b: multi-chip eval at
+    crystal scale previously fell back to XLA because Pallas kernels can't
+    be auto-partitioned by GSPMD; this shard_map wrapper runs the fused
+    forward per shard instead."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(params, inputs):
+        return loop_scann_forward(params, inputs, cfm, mrelu_head=mrelu_head,
+                                  interpret=interpret)
+
+    batch_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
+                  "neighbor_weight", "neighbor_distance")
+    sharded = shard_map(fn, mesh=mesh,
+                        in_specs=(P(), {k: P("data") for k in batch_keys}),
+                        out_specs=(P("data"), P("data")),
+                        check_vma=False)
+
+    def wrapper(params, inputs):
+        extra = set(inputs) - set(batch_keys)
+        if extra:
+            raise ValueError(f"unsupported inputs for the loop kernels: {extra}")
+        return sharded(params, {k: inputs[k] for k in batch_keys})
+
+    return wrapper
+
+
 def make_sharded_loop_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
                             interpret: bool = False,
                             dropout_rate: float = 0.0):

@@ -87,10 +87,12 @@ class Trainer:
         self._use_fused_train = self._use_fused_eval
         self._sharded_apply = None
         self._sharded_loop_apply = None
+        self._sharded_loop_fwd = None
         if self._use_fused_train and len(self.mesh.devices.flat) > 1:
             from scann_tpu.kernels.scann_backward import make_sharded_scann_apply
             from scann_tpu.kernels.scann_loop import (
                 make_sharded_loop_apply,
+                make_sharded_loop_forward,
                 supports_loop,
             )
 
@@ -101,6 +103,8 @@ class Trainer:
                 self._sharded_loop_apply = make_sharded_loop_apply(
                     self.mesh, config.model, self.model.mrelu_head,
                     dropout_rate=0.1)
+                self._sharded_loop_fwd = make_sharded_loop_forward(
+                    self.mesh, config.model, self.model.mrelu_head)
         self.workdir = workdir or "{}_{}".format(config.hyper.save_path, config.hyper.target)
         # Keras Adam defaults: b1=0.9, b2=0.999, eps=1e-7 (scann_model.py:212);
         # lr is applied separately per step so SGDR can drive it from the host.
@@ -145,14 +149,15 @@ class Trainer:
 
     def _batch_fits_loop(self, batch, training: bool = False) -> bool:
         """Crystal-scale buckets (too big for the unrolled kernels) that the
-        fori_loop fused kernels cover. Multi-chip meshes are supported for
-        TRAINING (shard_map wrapper); eval on multi-chip uses XLA."""
+        fori_loop fused kernels cover. Multi-chip meshes run the shard_map
+        wrappers (training AND eval, round-2 VERDICT #3b)."""
         from scann_tpu.kernels.scann_loop import fits_loop_vmem, supports_loop
 
         if not self._use_fused_eval:
             return False
         if len(self.mesh.devices.flat) > 1 and not (
-                training and self._sharded_loop_apply is not None):
+                (training and self._sharded_loop_apply is not None)
+                or (not training and self._sharded_loop_fwd is not None)):
             return False
         if not supports_loop(self.config.model):
             return False
@@ -193,6 +198,8 @@ class Trainer:
         if self._batch_fits_loop(batch):
             from scann_tpu.kernels.scann_loop import loop_scann_forward
 
+            if self._sharded_loop_fwd is not None:
+                return self._sharded_loop_fwd(params, batch)
             return loop_scann_forward(params, batch, self.config.model,
                                       mrelu_head=self.model.mrelu_head)
         out = self.eval_model.apply({"params": params}, batch, deterministic=True)

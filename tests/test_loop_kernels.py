@@ -44,6 +44,28 @@ def test_loop_forward_matches_flax(rng, g_update, ga_norm):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # 8-device interpret mode
+def test_sharded_loop_forward_matches_single_device(rng):
+    """Multi-chip crystal EVAL (round-2 VERDICT #3b): the shard_map-wrapped
+    loop forward over the 8-device mesh == single-device loop forward."""
+    from scann_tpu.kernels.scann_loop import make_sharded_loop_forward
+    from scann_tpu.parallel import make_mesh
+
+    cfg, inputs, model, params = _case(rng, B=8, M=24, N=8, L=2)
+    mesh = make_mesh(8)
+    fwd = make_sharded_loop_forward(mesh, cfg, interpret=True)
+    pred_s, ga_s = jax.jit(fwd)(params, inputs)
+    pred_1, ga_1 = loop_scann_forward(params, inputs, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(pred_s), np.asarray(pred_1),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ga_s), np.asarray(ga_1),
+                               rtol=1e-6, atol=1e-7)
+    # and therefore == the flax model
+    ref = model.apply(params, inputs, deterministic=True)
+    np.testing.assert_allclose(np.asarray(pred_s), np.asarray(ref["property"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_loop_forward_matches_unrolled(rng):
     """Loop and unrolled fused kernels agree bit-closely on the same data."""
     from scann_tpu.kernels.scann_forward import fused_scann_forward
