@@ -144,6 +144,7 @@ def _fwd_kernel(
     mask_scratch,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
+    bf16: bool = False,
 ):
     M = atomic_ref.shape[1]
     N = idx_ref.shape[2]
@@ -152,6 +153,22 @@ def _fwd_kernel(
     H = num_head
     hd = D // H
     L = n_layers
+
+    # opt-in bf16 MXU mode (model.dtype == 'bfloat16'): operands of every
+    # dot are cast to bf16, accumulation stays f32
+    # (preferred_element_type). One-hot/RBF operands are exact in bf16;
+    # only activations lose mantissa. LN/softmax stay f32 elementwise.
+    if bf16:
+        _c = lambda x: x.astype(jnp.bfloat16)
+        mm = lambda a, b: _mm(_c(a), _c(b))
+        mm_tA = lambda a, b: _mm_tA(_c(a), _c(b))
+        mm_tB = lambda a, b: _mm_tB(_c(a), _c(b))
+        dot3 = lambda a, b: _dot3(_c(a), _c(b))
+        dot3_tB = lambda a, b: _dot3_tB(_c(a), _c(b))
+        mm3_tA = lambda a, b: _mm3_tA(_c(a), _c(b))
+    else:
+        mm, mm_tA, mm_tB = _mm, _mm_tA, _mm_tB
+        dot3, dot3_tB, mm3_tA = _dot3, _dot3_tB, _mm3_tA
 
     atomic = atomic_ref[0]
     am = atom_mask_ref[0]
@@ -183,7 +200,7 @@ def _fwd_kernel(
     seg_expand = jnp.transpose(seg_sum)
     dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
 
-    centers = _swish(_mm(_mm(z_oh, embed_ref[:]), wde_ref[:]) + bde_ref[:])
+    centers = _swish(mm(mm(z_oh, embed_ref[:]), wde_ref[:]) + bde_ref[:])
     if dropout_rate > 0.0:
         centers = centers * embed_mask
 
@@ -192,38 +209,38 @@ def _fwd_kernel(
     if g_update:
         w3 = weight_ref[0][:, :, None]
         rbf_w = jnp.exp(-jnp.square(w3 - angle_centers_ref[0]) / rbf_width)
-        geometry = (_swish(_dot3(rbf_d, wnd_ref[:]) + bnd_ref[:])
-                    * _swish(_dot3(rbf_w, wnw_ref[:]) + bnw_ref[:]))
+        geometry = (_swish(dot3(rbf_d, wnd_ref[:]) + bnd_ref[:])
+                    * _swish(dot3(rbf_w, wnw_ref[:]) + bnw_ref[:]))
     else:
         geometry = jnp.zeros((M, N, D), jnp.float32)  # unused carry slot
 
     def layer(l, c, g):
-        ns = _dot3(n_oh, c)
+        ns = dot3(n_oh, c)
         if g_update:
             wfg = wfg_ref[l]
-            cw = _mm(c, wfg[0:D, :])
+            cw = mm(c, wfg[0:D, :])
             u = (jnp.broadcast_to(cw.reshape(M, 1, D), (M, N, D))
-                 + _dot3(g, wfg[D:2 * D, :]) + _dot3(ns, wfg[2 * D:3 * D, :])
+                 + dot3(g, wfg[D:2 * D, :]) + dot3(ns, wfg[2 * D:3 * D, :])
                  + bfg_ref[l])
             g, _ = _ln_fwd(_swish(u) + g, lng_s_ref[l], lng_b_ref[l])
             geo_term = g
         else:
-            u = _swish(_dot3(rbf_d, wfg_ref[l]) + bfg_ref[l])
+            u = _swish(dot3(rbf_d, wfg_ref[l]) + bfg_ref[l])
             geo_term = u * weight_ref[0][:, :, None]
-        key = _dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]
-        query = _mm(c, wq_ref[l]) + bq_ref[l]
+        key = dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]
+        query = mm(c, wq_ref[l]) + bq_ref[l]
         prod = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D),
                                 (M, N, D)) * key
-        energy = _dot3(prod, seg_sum)
+        energy = dot3(prod, seg_sum)
         energy = energy + (1.0 - nmask)[:, :, None] * (-1e9)
         energy = energy - jnp.max(energy, axis=1, keepdims=True)
         e = jnp.exp(energy)
         attn = e / jnp.sum(e, axis=1, keepdims=True)
-        a_lanes = _dot3(attn, seg_expand)
+        a_lanes = dot3(attn, seg_expand)
         ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
         o1, _ = _ln_fwd(ctx + query, ln_s_ref[l], ln_b_ref[l])
-        h = _swish(_mm(o1, wr1_ref[l]) + br1_ref[l])
-        h = _mm(h, wr2_ref[l]) + br2_ref[l]
+        h = _swish(mm(o1, wr1_ref[l]) + br1_ref[l])
+        h = mm(h, wr2_ref[l]) + br2_ref[l]
         if dropout_rate > 0.0:
             h = h * mask_scratch[l]
         c, _ = _ln_fwd(o1 + h, rln_s_ref[l], rln_b_ref[l])
@@ -236,9 +253,9 @@ def _fwd_kernel(
     centers, _ = jax.lax.fori_loop(0, L, body, (centers, geometry))
 
     # readout (identical to the unrolled kernel at BT=1)
-    centers = _swish(_mm(centers, wal_ref[:]) + bal_ref[:])
-    gq = _mm(centers, wgq_ref[:]) + bgq_ref[:]
-    gk = _mm(centers, wgk_ref[:]) + bgk_ref[:]
+    centers = _swish(mm(centers, wal_ref[:]) + bal_ref[:])
+    gq = mm(centers, wgq_ref[:]) + bgq_ref[:]
+    gk = mm(centers, wgk_ref[:]) + bgk_ref[:]
     mq = am * gq
     mk = am * gk
     qsum = jnp.sum(mq, axis=0, keepdims=True)
@@ -253,8 +270,8 @@ def _fwd_kernel(
     e = jnp.exp(agg)
     ga = e / jnp.sum(e, axis=0, keepdims=True)
     struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)
-    struc = _swish(_mm(struc, wbf_ref[:]) + bbf_ref[:])
-    pred = _mm(struc, wp_ref[:]) + bp_ref[:]
+    struc = _swish(mm(struc, wbf_ref[:]) + bbf_ref[:])
+    pred = mm(struc, wp_ref[:]) + bp_ref[:]
     if mrelu:
         pred = jnp.maximum(pred, 0.0)
 
@@ -286,6 +303,7 @@ def _bwd_kernel(
     c_stash, g_stash, mask_scratch,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
+    bf16: bool = False,
 ):
     b = pl.program_id(0)
     grads = [d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
@@ -307,6 +325,22 @@ def _bwd_kernel(
     H = num_head
     hd = D // H
     L = n_layers
+
+    # opt-in bf16 MXU mode (model.dtype == 'bfloat16'): operands of every
+    # dot are cast to bf16, accumulation stays f32
+    # (preferred_element_type). One-hot/RBF operands are exact in bf16;
+    # only activations lose mantissa. LN/softmax stay f32 elementwise.
+    if bf16:
+        _c = lambda x: x.astype(jnp.bfloat16)
+        mm = lambda a, b: _mm(_c(a), _c(b))
+        mm_tA = lambda a, b: _mm_tA(_c(a), _c(b))
+        mm_tB = lambda a, b: _mm_tB(_c(a), _c(b))
+        dot3 = lambda a, b: _dot3(_c(a), _c(b))
+        dot3_tB = lambda a, b: _dot3_tB(_c(a), _c(b))
+        mm3_tA = lambda a, b: _mm3_tA(_c(a), _c(b))
+    else:
+        mm, mm_tA, mm_tB = _mm, _mm_tA, _mm_tB
+        dot3, dot3_tB, mm3_tA = _dot3, _dot3_tB, _mm3_tA
 
     atomic = atomic_ref[0]
     am = atom_mask_ref[0]
@@ -337,8 +371,8 @@ def _bwd_kernel(
     dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
 
     # ---------------- forward (stash per-layer inputs) --------------------
-    emb = _mm(z_oh, embed_ref[:])
-    s_de = _mm(emb, wde_ref[:]) + bde_ref[:]
+    emb = mm(z_oh, embed_ref[:])
+    s_de = mm(emb, wde_ref[:]) + bde_ref[:]
     centers = _swish(s_de)
     if dropout_rate > 0.0:
         centers = centers * embed_mask
@@ -348,8 +382,8 @@ def _bwd_kernel(
     if g_update:
         w3 = weight_ref[0][:, :, None]
         rbf_w = jnp.exp(-jnp.square(w3 - angle_centers_ref[0]) / rbf_width)
-        s_nd = _dot3(rbf_d, wnd_ref[:]) + bnd_ref[:]
-        s_nw = _dot3(rbf_w, wnw_ref[:]) + bnw_ref[:]
+        s_nd = dot3(rbf_d, wnd_ref[:]) + bnd_ref[:]
+        s_nw = dot3(rbf_w, wnw_ref[:]) + bnw_ref[:]
         d_emb_v = _swish(s_nd)
         w_emb_v = _swish(s_nw)
         geometry = d_emb_v * w_emb_v
@@ -358,37 +392,37 @@ def _bwd_kernel(
 
     def layer_fwd(l, c, g):
         """One layer from its inputs; returns (c_out, g_out, acts tuple)."""
-        ns = _dot3(n_oh, c)
+        ns = dot3(n_oh, c)
         if g_update:
             wfg = wfg_ref[l]
-            cw = _mm(c, wfg[0:D, :])
+            cw = mm(c, wfg[0:D, :])
             u_pre = (jnp.broadcast_to(cw.reshape(M, 1, D), (M, N, D))
-                     + _dot3(g, wfg[D:2 * D, :]) + _dot3(ns, wfg[2 * D:3 * D, :])
+                     + dot3(g, wfg[D:2 * D, :]) + dot3(ns, wfg[2 * D:3 * D, :])
                      + bfg_ref[l])
             r = _swish(u_pre) + g
             g_out, (g_xhat, g_inv) = _ln_fwd(r, lng_s_ref[l], lng_b_ref[l])
             geo_term = g_out
         else:
-            u_pre = _dot3(rbf_d, wfg_ref[l]) + bfg_ref[l]
+            u_pre = dot3(rbf_d, wfg_ref[l]) + bfg_ref[l]
             geo_term = _swish(u_pre) * weight_ref[0][:, :, None]
             g_out = g
             g_xhat = jnp.zeros_like(geo_term)
             g_inv = jnp.zeros((M, N, 1), jnp.float32)
-        key = _dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]
-        query = _mm(c, wq_ref[l]) + bq_ref[l]
+        key = dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]
+        query = mm(c, wq_ref[l]) + bq_ref[l]
         prod = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D),
                                 (M, N, D)) * key
-        energy = _dot3(prod, seg_sum)
+        energy = dot3(prod, seg_sum)
         energy = energy + (1.0 - nmask)[:, :, None] * (-1e9)
         energy = energy - jnp.max(energy, axis=1, keepdims=True)
         e = jnp.exp(energy)
         attn = e / jnp.sum(e, axis=1, keepdims=True)
-        a_lanes = _dot3(attn, seg_expand)
+        a_lanes = dot3(attn, seg_expand)
         ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
         o1, (o_xhat, o_inv) = _ln_fwd(ctx + query, ln_s_ref[l], ln_b_ref[l])
-        s1 = _mm(o1, wr1_ref[l]) + br1_ref[l]
+        s1 = mm(o1, wr1_ref[l]) + br1_ref[l]
         h1 = _swish(s1)
-        h2 = _mm(h1, wr2_ref[l]) + br2_ref[l]
+        h2 = mm(h1, wr2_ref[l]) + br2_ref[l]
         if dropout_rate > 0.0:
             h2 = h2 * mask_scratch[l]
         c_out, (c_xhat, c_inv) = _ln_fwd(o1 + h2, rln_s_ref[l], rln_b_ref[l])
@@ -410,10 +444,10 @@ def _bwd_kernel(
         g_stash[L] = gL
 
     # ---------------- readout forward + backward --------------------------
-    s_al = _mm(cL, wal_ref[:]) + bal_ref[:]
+    s_al = mm(cL, wal_ref[:]) + bal_ref[:]
     cg = _swish(s_al)
-    gq = _mm(cg, wgq_ref[:]) + bgq_ref[:]
-    gk = _mm(cg, wgk_ref[:]) + bgk_ref[:]
+    gq = mm(cg, wgq_ref[:]) + bgq_ref[:]
+    gk = mm(cg, wgk_ref[:]) + bgk_ref[:]
     mq = am * gq
     mk = am * gk
     qsum = jnp.sum(mq, axis=0, keepdims=True)
@@ -431,19 +465,19 @@ def _bwd_kernel(
     e = jnp.exp(aggm)
     ga = e / jnp.sum(e, axis=0, keepdims=True)
     struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)
-    s_bf = _mm(struc, wbf_ref[:]) + bbf_ref[:]
+    s_bf = mm(struc, wbf_ref[:]) + bbf_ref[:]
     sb = _swish(s_bf)
 
     ct_pred = ct_pred_ref[0]
     ct_ga = ct_ga_ref[0]
 
-    d_wp[...] += _mm_tA(sb, ct_pred)
+    d_wp[...] += mm_tA(sb, ct_pred)
     d_bp[...] += jnp.sum(ct_pred, axis=0)
-    dsb = _mm_tB(ct_pred, wp_ref[:])
+    dsb = mm_tB(ct_pred, wp_ref[:])
     ds_bf = dsb * _swish_grad(s_bf)
-    d_wbf[...] += _mm_tA(struc, ds_bf)
+    d_wbf[...] += mm_tA(struc, ds_bf)
     d_bbf[...] += jnp.sum(ds_bf, axis=0)
-    dstruc = _mm_tB(ds_bf, wbf_ref[:])
+    dstruc = mm_tB(ds_bf, wbf_ref[:])
 
     dga = jnp.sum(am * gk * dstruc, axis=-1, keepdims=True) + ct_ga
     dgk = am * ga * dstruc
@@ -462,15 +496,15 @@ def _bwd_kernel(
     dgq = am * dmq
     dgk = dgk + am * dmk
 
-    d_wgq[...] += _mm_tA(cg, dgq)
+    d_wgq[...] += mm_tA(cg, dgq)
     d_bgq[...] += jnp.sum(dgq, axis=0)
-    d_wgk[...] += _mm_tA(cg, dgk)
+    d_wgk[...] += mm_tA(cg, dgk)
     d_bgk[...] += jnp.sum(dgk, axis=0)
-    dcg = _mm_tB(dgq, wgq_ref[:]) + _mm_tB(dgk, wgk_ref[:])
+    dcg = mm_tB(dgq, wgq_ref[:]) + mm_tB(dgk, wgk_ref[:])
     ds_al = dcg * _swish_grad(s_al)
-    d_wal[...] += _mm_tA(cL, ds_al)
+    d_wal[...] += mm_tA(cL, ds_al)
     d_bal[...] += jnp.sum(ds_al, axis=0)
-    dc0 = _mm_tB(ds_al, wal_ref[:])
+    dc0 = mm_tB(ds_al, wal_ref[:])
 
     # ---------------- reverse walk over layers ----------------------------
     def rev_body(i, carry):
@@ -485,13 +519,13 @@ def _bwd_kernel(
         d_rln_s[l] = d_rln_s[l] + jnp.sum(dgam, axis=0)
         d_rln_b[l] = d_rln_b[l] + jnp.sum(dbet, axis=0)
         dh2 = dsum * mask_scratch[l] if dropout_rate > 0.0 else dsum
-        d_wr2[l] = d_wr2[l] + _mm_tA(h1, dh2)
+        d_wr2[l] = d_wr2[l] + mm_tA(h1, dh2)
         d_br2[l] = d_br2[l] + jnp.sum(dh2, axis=0)
-        dh1 = _mm_tB(dh2, wr2_ref[l])
+        dh1 = mm_tB(dh2, wr2_ref[l])
         ds1 = dh1 * _swish_grad(s1)
-        d_wr1[l] = d_wr1[l] + _mm_tA(o1, ds1)
+        d_wr1[l] = d_wr1[l] + mm_tA(o1, ds1)
         d_br1[l] = d_br1[l] + jnp.sum(ds1, axis=0)
-        do1 = dsum + _mm_tB(ds1, wr1_ref[l])
+        do1 = dsum + mm_tB(ds1, wr1_ref[l])
 
         dcq, dgam, dbet = _ln_bwd(do1, o_xhat, o_inv, ln_s_ref[l])
         d_ln_s[l] = d_ln_s[l] + jnp.sum(dgam, axis=0)
@@ -500,27 +534,27 @@ def _bwd_kernel(
         dquery = dcq
 
         dctx3 = jnp.broadcast_to(dctx.reshape(M, 1, D), (M, N, D))
-        a_lanes = _dot3(attn, seg_expand)
+        a_lanes = dot3(attn, seg_expand)
         nm3 = nmask[:, :, None]
         dal3 = dctx3 * nm3 * key
         dkey = dctx3 * a_lanes * nm3
-        dattn = _dot3(dal3, seg_sum)
+        dattn = dot3(dal3, seg_sum)
         de = attn * (dattn - jnp.sum(attn * dattn, axis=1, keepdims=True))
-        dprod = _dot3(de, seg_expand)
+        dprod = dot3(de, seg_expand)
         qs = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D), (M, N, D))
         dkey = dkey + dprod * qs
         dquery = dquery + jnp.sum(dprod * key, axis=1) * dk_scale
 
         kin = ns * geo_term
-        d_wk[l] = d_wk[l] + _mm3_tA(kin, dkey)
+        d_wk[l] = d_wk[l] + mm3_tA(kin, dkey)
         d_bk[l] = d_bk[l] + jnp.sum(jnp.sum(dkey, axis=0), axis=0)
-        dkin = _dot3_tB(dkey, wk_ref[l])
+        dkin = dot3_tB(dkey, wk_ref[l])
         dns = dkin * geo_term
         dgeo_term = dkin * ns
 
-        d_wq[l] = d_wq[l] + _mm_tA(c_in, dquery)
+        d_wq[l] = d_wq[l] + mm_tA(c_in, dquery)
         d_bq[l] = d_bq[l] + jnp.sum(dquery, axis=0)
-        dc_new = _mm_tB(dquery, wq_ref[l])
+        dc_new = mm_tB(dquery, wq_ref[l])
 
         if g_update:
             dgout = dgeo_term + dg
@@ -533,20 +567,20 @@ def _bwd_kernel(
             dcw = jnp.sum(du_pre, axis=1)
             # one dynamic accumulate for the whole [3D, D] stacked kernel
             d_wfg[l] = d_wfg[l] + jnp.concatenate(
-                [_mm_tA(c_in, dcw), _mm3_tA(g_in, du_pre),
-                 _mm3_tA(ns, du_pre)], axis=0)
+                [mm_tA(c_in, dcw), mm3_tA(g_in, du_pre),
+                 mm3_tA(ns, du_pre)], axis=0)
             d_bfg[l] = d_bfg[l] + jnp.sum(jnp.sum(du_pre, axis=0), axis=0)
-            dc_new = dc_new + _mm_tB(dcw, wfg[0:D, :])
-            dg_new = dg_new + _dot3_tB(du_pre, wfg[D:2 * D, :])
-            dns = dns + _dot3_tB(du_pre, wfg[2 * D:3 * D, :])
+            dc_new = dc_new + mm_tB(dcw, wfg[0:D, :])
+            dg_new = dg_new + dot3_tB(du_pre, wfg[D:2 * D, :])
+            dns = dns + dot3_tB(du_pre, wfg[2 * D:3 * D, :])
             dg = dg_new
         else:
             du = dgeo_term * weight_ref[0][:, :, None]
             du_pre = du * _swish_grad(u_pre)
-            d_wfg[l] = d_wfg[l] + _mm3_tA(rbf_d, du_pre)
+            d_wfg[l] = d_wfg[l] + mm3_tA(rbf_d, du_pre)
             d_bfg[l] = d_bfg[l] + jnp.sum(jnp.sum(du_pre, axis=0), axis=0)
 
-        dc_new = dc_new + _mm_tA(n_oh.reshape(M * N, M), dns.reshape(M * N, D))
+        dc_new = dc_new + mm_tA(n_oh.reshape(M * N, M), dns.reshape(M * N, D))
         return (dc_new, dg)
 
     dc, dg = jax.lax.fori_loop(
@@ -556,19 +590,19 @@ def _bwd_kernel(
     if dropout_rate > 0.0:
         dc = dc * embed_mask
     ds_de = dc * _swish_grad(s_de)
-    d_wde[...] += _mm_tA(emb, ds_de)
+    d_wde[...] += mm_tA(emb, ds_de)
     d_bde[...] += jnp.sum(ds_de, axis=0)
-    demb = _mm_tB(ds_de, wde_ref[:])
-    d_embed[...] += _mm_tA(z_oh, demb)
+    demb = mm_tB(ds_de, wde_ref[:])
+    d_embed[...] += mm_tA(z_oh, demb)
 
     if g_update:
         dd_emb = dg * w_emb_v
         dw_emb = dg * d_emb_v
         ds_nd = dd_emb * _swish_grad(s_nd)
         ds_nw = dw_emb * _swish_grad(s_nw)
-        d_wnd[...] += _mm3_tA(rbf_d, ds_nd)
+        d_wnd[...] += mm3_tA(rbf_d, ds_nd)
         d_bnd[...] += jnp.sum(jnp.sum(ds_nd, axis=0), axis=0)
-        d_wnw[...] += _mm3_tA(rbf_w, ds_nw)
+        d_wnw[...] += mm3_tA(rbf_w, ds_nw)
         d_bnw[...] += jnp.sum(jnp.sum(ds_nw, axis=0), axis=0)
 
 
@@ -659,7 +693,8 @@ def loop_scann_forward(params, inputs, cfm: ModelConfig,
         functools.partial(
             _fwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
-            rbf_width=0.25, dropout_rate=dropout_rate),
+            rbf_width=0.25, dropout_rate=dropout_rate,
+            bf16=(cfm.dtype == "bfloat16")),
         grid=(B,),
         in_specs=_specs(operands, 6),
         out_specs=[
@@ -705,7 +740,7 @@ def loop_scann_grad(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
         functools.partial(
             _bwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
-            dropout_rate=dropout_rate),
+            dropout_rate=dropout_rate, bf16=(cfm.dtype == "bfloat16")),
         grid=(B,),
         in_specs=_specs(operands, 8),
         out_specs=out_specs,

@@ -66,6 +66,37 @@ def test_sharded_loop_forward_matches_single_device(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+
+@pytest.mark.slow  # two extra kernel builds in interpret mode (~36 s)
+def test_loop_bf16_mode_tracks_f32(rng):
+    """model.dtype='bfloat16' runs the loop kernels' dots in bf16 (f32
+    accumulation); results must track the f32 kernels within bf16 mantissa
+    tolerance (round-2 VERDICT #3c — the bandwidth-bound crystal tail)."""
+    import dataclasses
+
+    cfg, inputs, model, params = _case(rng, B=2, M=24, N=8, L=2)
+    cfg_bf = dataclasses.replace(cfg, dtype="bfloat16")
+    p32, g32 = loop_scann_forward(params, inputs, cfg, interpret=True)
+    pbf, gbf = loop_scann_forward(params, inputs, cfg_bf, interpret=True)
+    np.testing.assert_allclose(np.asarray(pbf), np.asarray(p32),
+                               rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(gbf), np.asarray(g32),
+                               rtol=0.1, atol=0.02)
+
+    # gradients: direction must agree (cosine) even where magnitudes wobble
+    ct_pred = np.ones((2, 1), np.float32)
+    ct_ga = np.zeros((2, 24, 1), np.float32)
+    d32 = loop_scann_grad(params, inputs, cfg, ct_pred, ct_ga, interpret=True)
+    dbf = loop_scann_grad(params, inputs, cfg_bf, ct_pred, ct_ga,
+                          interpret=True)
+    flat32 = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(d32)])
+    flatbf = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(dbf)])
+    cos = flat32 @ flatbf / (np.linalg.norm(flat32) * np.linalg.norm(flatbf))
+    assert cos > 0.999, f"bf16 gradient direction diverged: cos={cos:.5f}"
+
+
 def test_loop_forward_matches_unrolled(rng):
     """Loop and unrolled fused kernels agree bit-closely on the same data."""
     from scann_tpu.kernels.scann_forward import fused_scann_forward
