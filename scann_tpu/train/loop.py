@@ -88,11 +88,13 @@ class Trainer:
         self._sharded_apply = None
         self._sharded_loop_apply = None
         self._sharded_loop_fwd = None
+        self._sharded_loop_train = None
         if self._use_fused_train and len(self.mesh.devices.flat) > 1:
             from scann_tpu.kernels.scann_backward import make_sharded_scann_apply
             from scann_tpu.kernels.scann_loop import (
                 make_sharded_loop_apply,
                 make_sharded_loop_forward,
+                make_sharded_loop_train,
                 supports_loop,
             )
 
@@ -105,6 +107,9 @@ class Trainer:
                     dropout_rate=0.1)
                 self._sharded_loop_fwd = make_sharded_loop_forward(
                     self.mesh, config.model, self.model.mrelu_head)
+                self._sharded_loop_train = make_sharded_loop_train(
+                    self.mesh, config.model, self.model.mrelu_head,
+                    dropout_rate=0.1)
         self.workdir = workdir or "{}_{}".format(config.hyper.save_path, config.hyper.target)
         # Keras Adam defaults: b1=0.9, b2=0.999, eps=1e-7 (scann_model.py:212);
         # lr is applied separately per step so SGDR can drive it from the host.
@@ -291,21 +296,6 @@ class Trainer:
                                                   self.model.mrelu_head, False,
                                                   0.1, seed)
                         pred = pred[:, 0]
-                    elif (self._use_fused_train
-                          and self._batch_fits_loop(batch, training=True)):
-                        from scann_tpu.kernels.scann_loop import loop_scann_apply
-
-                        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
-                                                  dtype=jnp.int32)
-                        if self._sharded_loop_apply is not None:
-                            pred, _ = self._sharded_loop_apply(params, batch,
-                                                               seed)
-                        else:
-                            pred, _ = loop_scann_apply(params, batch,
-                                                       self.config.model,
-                                                       self.model.mrelu_head,
-                                                       False, 0.1, seed)
-                        pred = pred[:, 0]
                     else:
                         out = model.apply({"params": params}, batch,
                                           deterministic=False,
@@ -316,8 +306,40 @@ class Trainer:
                     mae = jnp.mean(jnp.abs(pred - y))
                     return loss, mae
 
-                (loss, mae), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params)
+                use_loop_oneshot = (
+                    self._use_fused_train
+                    and not self._batch_fits_fused(batch)
+                    and self._batch_fits_loop(batch, training=True))
+                if use_loop_oneshot:
+                    # crystal buckets: ONE kernel per step — the loop bwd
+                    # kernel recomputes the forward anyway, so it also emits
+                    # pred and forms the RMSE residual in-kernel; here we
+                    # apply the global 1/(B*rmse) scale + the l2 term.
+                    from scann_tpu.kernels.scann_loop import (
+                        loop_scann_train_grads,
+                    )
+
+                    seed = jax.random.randint(rng, (), 0,
+                                              jnp.iinfo(jnp.int32).max,
+                                              dtype=jnp.int32)
+                    if self._sharded_loop_train is not None:
+                        pred, raw = self._sharded_loop_train(
+                            state.params, batch, y, seed)
+                    else:
+                        pred, raw = loop_scann_train_grads(
+                            state.params, batch, y, self.config.model,
+                            self.model.mrelu_head, False, 0.1, seed)
+                    pred = pred[:, 0]
+                    rmse = jnp.sqrt(jnp.mean(jnp.square(pred - y)))
+                    loss = rmse + l2_penalty(state.params, l2)
+                    mae = jnp.mean(jnp.abs(pred - y))
+                    scale = 1.0 / (y.shape[0] * rmse)
+                    l2g = jax.grad(lambda p: l2_penalty(p, l2))(state.params)
+                    grads = jax.tree.map(lambda r, g2: r * scale + g2,
+                                         raw, l2g)
+                else:
+                    (loss, mae), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(state.params)
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
                 updates = jax.tree.map(lambda u: -lr * u, updates)
                 params = optax.apply_updates(state.params, updates)

@@ -142,6 +142,70 @@ def test_loop_backward_matches_jax_grad(rng, g_update, ga_norm):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
 
 
+@pytest.mark.parametrize("mrelu", [False, pytest.param(True, marks=pytest.mark.slow)])
+def test_loop_train_grads_matches_apply_grad(rng, mrelu):
+    """One-kernel-per-step training (forward + RMSE residual + backward in a
+    single launch): raw grads scaled by 1/(B*rmse) must equal jax.grad of the
+    RMSE loss through loop_scann_apply, and the emitted pred must equal the
+    standalone loop forward."""
+    from scann_tpu.kernels.scann_loop import loop_scann_train_grads
+
+    cfg, inputs, model, params = _case(rng, False, True)
+    y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))
+
+    pred, raw = loop_scann_train_grads(params, inputs, y, cfg,
+                                       mrelu_head=mrelu, interpret=True)
+    pf, _ = loop_scann_forward(params, inputs, cfg, mrelu_head=mrelu,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pf),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss(p):
+        pr, _ = loop_scann_apply(p, inputs, cfg, mrelu, True)
+        return jnp.sqrt(jnp.mean((pr[:, 0] - y) ** 2))
+
+    ref_loss, ref_g = jax.value_and_grad(loss)(params)
+    rmse = float(jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2)))
+    assert rmse == pytest.approx(float(ref_loss), rel=1e-6)
+    scale = 1.0 / (y.shape[0] * rmse)
+    flat_ref = jax.tree_util.tree_flatten_with_path(
+        ref_g.get("params", ref_g))[0]
+    flat_raw = jax.tree_util.tree_flatten_with_path(raw)[0]
+    assert len(flat_ref) == len(flat_raw)
+    for (p1, v1), (p2, v2) in zip(flat_ref, flat_raw):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        s = np.abs(np.asarray(v1)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v2) * scale, np.asarray(v1), rtol=0, atol=2e-5 * s,
+            err_msg=f"raw-grad mismatch at {jax.tree_util.keystr(p1)}")
+
+
+@pytest.mark.slow
+def test_sharded_loop_train_matches_single_device(rng):
+    """The shard_map one-shot training wrapper (params replicated, batch +
+    targets sharded, raw-grad psum over ICI) == the single-device path."""
+    from scann_tpu.kernels.scann_loop import (
+        loop_scann_train_grads,
+        make_sharded_loop_train,
+    )
+    from scann_tpu.parallel import make_mesh
+
+    cfg, inputs, _, params = _case(rng, B=16, M=16, N=6, L=2)
+    y = jnp.asarray(np.linspace(-1, 1, 16, dtype=np.float32))
+    mesh = make_mesh(n_devices=8)
+    f8 = make_sharded_loop_train(mesh, cfg, interpret=True)
+
+    pred8, raw8 = jax.jit(lambda p: f8(p, inputs, y, jnp.int32(0)))(params)
+    pred1, raw1 = loop_scann_train_grads(params, inputs, y, cfg,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(pred8), np.asarray(pred1),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(raw1), jax.tree.leaves(raw8)):
+        s = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=5e-5 * s)
+
+
 @pytest.mark.slow
 def test_sharded_loop_apply_matches_single_device(rng):
     """shard_map-wrapped loop kernels over the 8-device mesh == single
