@@ -150,21 +150,20 @@ def test_loop_train_grads_matches_apply_grad(rng, mrelu):
     standalone loop forward."""
     from scann_tpu.kernels.scann_loop import loop_scann_train_grads
 
-    cfg, inputs, model, params = _case(rng, False, True)
+    # small case: this test builds 4 interpret-mode kernels; keep it fast
+    cfg, inputs, model, params = _case(rng, False, True, B=3, M=16, N=8, L=2)
     y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))
 
     pred, raw = loop_scann_train_grads(params, inputs, y, cfg,
                                        mrelu_head=mrelu, interpret=True)
-    pf, _ = loop_scann_forward(params, inputs, cfg, mrelu_head=mrelu,
-                               interpret=True)
-    np.testing.assert_allclose(np.asarray(pred), np.asarray(pf),
-                               rtol=1e-6, atol=1e-7)
 
     def loss(p):
         pr, _ = loop_scann_apply(p, inputs, cfg, mrelu, True)
-        return jnp.sqrt(jnp.mean((pr[:, 0] - y) ** 2))
+        return jnp.sqrt(jnp.mean((pr[:, 0] - y) ** 2)), pr
 
-    ref_loss, ref_g = jax.value_and_grad(loss)(params)
+    (ref_loss, pf), ref_g = jax.value_and_grad(loss, has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pf),
+                               rtol=1e-6, atol=1e-7)
     rmse = float(jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2)))
     assert rmse == pytest.approx(float(ref_loss), rel=1e-6)
     scale = 1.0 / (y.shape[0] * rmse)
