@@ -117,10 +117,11 @@ def _kernel(
     d_ln_s, d_ln_b, d_lng_s, d_lng_b,
     d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
     d_wal, d_bal, d_wgq, d_bgq, d_wgk, d_bgk,
-    d_wbf, d_bbf, d_wp, d_bp,
+    d_wbf, d_bbf, d_wp, d_bp, pred_out,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
     attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
+    ct_from_target: bool = False, mrelu: bool = False,
 ):
     b = pl.program_id(0)
     grads = [d_embed, d_bembed, d_wring, d_bring, d_wde, d_bde,
@@ -293,11 +294,23 @@ def _kernel(
     struc = jnp.sum(am3 * ga * gk, axis=1)                     # [BT, G]
     s_bf = _mm(struc, wbf_ref[:]) + bbf_ref[:]
     sb = _swish(s_bf)                                          # [BT, O]
-    # pred = sb @ wp + bp  (mrelu: identity gradient)
+
+    pred_lin = _mm(sb, wp_ref[:]) + bp_ref[:]                  # [BT, 1]
+    pred = jnp.maximum(pred_lin, 0.0) if mrelu else pred_lin
+    pred_out[...] = pred.reshape(BT, 1, 1)
 
     # ---------------- backward -------------------------------------------
-    ct_pred = ct_pred_ref[...].reshape(BT, 1)
-    ct_ga = ct_ga_ref[...]                                     # [BT, M, 1]
+    if ct_from_target:
+        # one-shot train mode: ct_pred_ref carries the TARGET. The RMSE
+        # cotangent factorizes as (pred - t) / (B * rmse); the per-structure
+        # residual is applied here, the global 1/(B*rmse) scale in the XLA
+        # epilogue (mrelu is straight-through — ops/activations.py — so no
+        # relu gate on the residual).
+        ct_pred = pred - ct_pred_ref[...].reshape(BT, 1)
+        ct_ga = jnp.zeros((BT, M, 1), jnp.float32)
+    else:
+        ct_pred = ct_pred_ref[...].reshape(BT, 1)
+        ct_ga = ct_ga_ref[...]                                 # [BT, M, 1]
 
     d_wp[...] += _mm_tA(sb, ct_pred)
     d_bp[...] += jnp.sum(ct_pred, axis=0)
@@ -456,16 +469,21 @@ def _kernel(
         d_bnw[...] += jnp.sum(jnp.sum(ds_nw, axis=0), axis=0)
 
 
-def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
-                     ct_pred, ct_ga, interpret: bool = False,
-                     dropout_rate: float = 0.0, dropout_seed=None,
-                     batch_tile: int = None) -> dict:
-    """Parameter gradients of (pred, ga) contracted with (ct_pred, ct_ga).
+def _fused_grad_impl(params: dict, inputs: dict, cfm: ModelConfig,
+                     ct_pred, ct_ga, interpret: bool,
+                     dropout_rate: float, dropout_seed,
+                     batch_tile, ct_from_target: bool, mrelu: bool):
+    """Shared body of the fused backward: returns (grads dict, pred [B, 1]).
 
     ``batch_tile`` molecules are processed per Pallas program (auto-picked by
     VMEM budget when None; the stash working set makes the backward tile
     smaller than the forward's). Dropout masks are keyed to global molecule
-    indices, so any tile size replays the forward's masks exactly."""
+    indices, so any tile size replays the forward's masks exactly.
+
+    When ``ct_from_target`` the ``ct_pred`` operand carries per-structure
+    TARGETS and the kernel forms the RMSE residual (pred - t) itself — the
+    one-kernel-per-step training path (the 1/(B*rmse) scale and the l2 term
+    are applied by the caller in XLA)."""
     assert supports_config(cfm)
     params = params.get("params", params)
 
@@ -558,19 +576,23 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
     in_specs = [spec_for(x, i < 9) for i, x in enumerate(operands)]
 
     grad_templates = param_operands  # same order as the d_* kernel args
-    out_specs = [spec_for(x, False) for x in grad_templates]
-    out_shape = [jax.ShapeDtypeStruct(x.shape, jnp.float32)
-                 for x in grad_templates]
+    out_specs = [spec_for(x, False) for x in grad_templates] + [
+        pl.BlockSpec((BT, 1, 1), lambda bb: (bb, 0, 0),
+                     memory_space=pltpu.VMEM)]
+    out_shape = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)
+                  for x in grad_templates]
+                 + [jax.ShapeDtypeStruct((B, 1, 1), jnp.float32)])
 
     from scann_tpu.kernels.scann_forward import VMEM_BUDGET_BYTES
 
-    grads_flat = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
             dropout_rate=dropout_rate,
             attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
             use_ring=cfm.use_ring, cgcnn=cgcnn,
+            ct_from_target=ct_from_target, mrelu=mrelu,
         ),
         grid=(B // BT,),
         in_specs=in_specs,
@@ -580,6 +602,7 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
             vmem_limit_bytes=VMEM_BUDGET_BYTES + (16 << 20)),
         interpret=interpret,
     )(*operands)
+    grads_flat, pred = outs[:-1], outs[-1][:, :, 0]
 
     (g_embed, g_bembed, g_wring, g_bring, g_wde, g_bde,
      g_wnd, g_bnd, g_wnw, g_bnw,
@@ -621,7 +644,79 @@ def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
             "dense_2": {"kernel": g_wr2[i], "bias": g_br2[i]},
             "layer_norm": {"scale": g_rln_s[i], "bias": g_rln_b[i]},
         }
-    return out
+    return out, pred
+
+
+def fused_scann_grad(params: dict, inputs: dict, cfm: ModelConfig,
+                     ct_pred, ct_ga, interpret: bool = False,
+                     dropout_rate: float = 0.0, dropout_seed=None,
+                     batch_tile: int = None) -> dict:
+    """Parameter gradients of (pred, ga) contracted with (ct_pred, ct_ga)."""
+    grads, _ = _fused_grad_impl(params, inputs, cfm, ct_pred, ct_ga,
+                                interpret, dropout_rate, dropout_seed,
+                                batch_tile, ct_from_target=False, mrelu=False)
+    return grads
+
+
+def fused_scann_train_grads(params, inputs, targets, cfm: ModelConfig,
+                            mrelu_head: bool = False, interpret: bool = False,
+                            dropout_rate: float = 0.0, dropout_seed=None,
+                            batch_tile: int = None):
+    """One-kernel-per-step training: forward + RMSE residual + backward in a
+    single launch. Returns (pred [B, 1], raw grads dict).
+
+    ``raw`` are gradients of 0.5 * sum((pred - t)^2); the caller turns them
+    into RMSE + l2 gradients with ``raw / (B * rmse) + d l2`` — see
+    Trainer._make_steps. Eliminates the separate forward launch the
+    custom-vjp path needs (the bwd kernel recomputes the forward anyway)."""
+    B, M = inputs["atomic"].shape[:2]
+    targets = jnp.asarray(targets, jnp.float32).reshape(B, 1)
+    ct_ga = jnp.zeros((B, M, 1), jnp.float32)
+    grads, pred = _fused_grad_impl(params, inputs, cfm, targets, ct_ga,
+                                   interpret, dropout_rate, dropout_seed,
+                                   batch_tile, ct_from_target=True,
+                                   mrelu=mrelu_head)
+    return pred, grads
+
+
+def make_sharded_scann_train(mesh, cfm: ModelConfig, mrelu_head: bool = False,
+                             interpret: bool = False,
+                             dropout_rate: float = 0.0):
+    """Data-parallel wrapper for the one-kernel-per-step training path:
+    params replicated, batch + targets sharded over 'data', RAW gradient
+    psum over ICI. Returns (pred [B, 1] gathered, raw grads replicated);
+    the caller applies the global 1/(B*rmse) scale + l2 term in XLA."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def fn(params, inputs, targets, seed):
+        ax = jax.lax.axis_index("data")
+        b_local = inputs["atomic"].shape[0]
+        shard_seed = (None if seed is None
+                      else seed + ax.astype(jnp.int32) * b_local)
+        pred, raw = fused_scann_train_grads(params, inputs, targets, cfm,
+                                            mrelu_head, interpret,
+                                            dropout_rate, shard_seed)
+        return pred, jax.lax.psum(raw, "data")
+
+    batch_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
+                  "neighbor_weight", "neighbor_distance")
+    if cfm.use_ring:
+        batch_keys = batch_keys + ("ring_aromatic",)
+    sharded = shard_map(fn, mesh=mesh,
+                        in_specs=(P(), {k: P("data") for k in batch_keys},
+                                  P("data"), P()),
+                        out_specs=(P("data"), P()),
+                        check_vma=False)
+
+    def wrapper(params, inputs, targets, seed):
+        extra = set(inputs) - set(batch_keys)
+        if extra:
+            raise ValueError(f"unsupported inputs for the fused kernels: {extra}")
+        return sharded(params, {k: inputs[k] for k in batch_keys},
+                       jnp.asarray(targets, jnp.float32).reshape(-1, 1), seed)
+
+    return wrapper
 
 
 # ---------------- differentiable wrapper -------------------------------------

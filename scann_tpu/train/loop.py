@@ -85,12 +85,12 @@ class Trainer:
         # (1.7x over the XLA step); on multi-chip meshes the kernels run
         # per-shard under shard_map with the gradient psum over ICI.
         self._use_fused_train = self._use_fused_eval
-        self._sharded_apply = None
+        self._sharded_fused_train = None
         self._sharded_loop_apply = None
         self._sharded_loop_fwd = None
         self._sharded_loop_train = None
         if self._use_fused_train and len(self.mesh.devices.flat) > 1:
-            from scann_tpu.kernels.scann_backward import make_sharded_scann_apply
+            from scann_tpu.kernels.scann_backward import make_sharded_scann_train
             from scann_tpu.kernels.scann_loop import (
                 make_sharded_loop_apply,
                 make_sharded_loop_forward,
@@ -98,7 +98,7 @@ class Trainer:
                 supports_loop,
             )
 
-            self._sharded_apply = make_sharded_scann_apply(
+            self._sharded_fused_train = make_sharded_scann_train(
                 self.mesh, config.model, self.model.mrelu_head,
                 dropout_rate=0.1)
             if supports_loop(config.model):
@@ -283,52 +283,54 @@ class Trainer:
                 y = btargets[idx]
 
                 def loss_fn(params):
-                    if self._use_fused_train and self._batch_fits_fused(batch):
-                        from scann_tpu.kernels.scann_backward import scann_apply
-
-                        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
-                                                  dtype=jnp.int32)
-                        if self._sharded_apply is not None:
-                            pred, _ = self._sharded_apply(params, batch, seed)
-                        else:
-                            pred, _ = scann_apply(params, batch,
-                                                  self.config.model,
-                                                  self.model.mrelu_head, False,
-                                                  0.1, seed)
-                        pred = pred[:, 0]
-                    else:
-                        out = model.apply({"params": params}, batch,
-                                          deterministic=False,
-                                          rngs={"dropout": rng})
-                        pred = out["property"][:, 0]
+                    out = model.apply({"params": params}, batch,
+                                      deterministic=False,
+                                      rngs={"dropout": rng})
+                    pred = out["property"][:, 0]
                     rmse = jnp.sqrt(jnp.mean(jnp.square(pred - y)))
                     loss = rmse + l2_penalty(params, l2)
                     mae = jnp.mean(jnp.abs(pred - y))
                     return loss, mae
 
+                # Fused regimes: ONE kernel per step — the bwd kernels
+                # recompute the forward anyway, so they also emit pred and
+                # form the RMSE residual in-kernel; here we apply the global
+                # 1/(B*rmse) scale + the l2 term (measured +31% at the
+                # MP2018 crystal shape over the fwd+bwd launch pair).
+                use_fused_oneshot = (self._use_fused_train
+                                     and self._batch_fits_fused(batch))
                 use_loop_oneshot = (
                     self._use_fused_train
-                    and not self._batch_fits_fused(batch)
+                    and not use_fused_oneshot
                     and self._batch_fits_loop(batch, training=True))
-                if use_loop_oneshot:
-                    # crystal buckets: ONE kernel per step — the loop bwd
-                    # kernel recomputes the forward anyway, so it also emits
-                    # pred and forms the RMSE residual in-kernel; here we
-                    # apply the global 1/(B*rmse) scale + the l2 term.
-                    from scann_tpu.kernels.scann_loop import (
-                        loop_scann_train_grads,
-                    )
-
+                if use_fused_oneshot or use_loop_oneshot:
                     seed = jax.random.randint(rng, (), 0,
                                               jnp.iinfo(jnp.int32).max,
                                               dtype=jnp.int32)
-                    if self._sharded_loop_train is not None:
-                        pred, raw = self._sharded_loop_train(
-                            state.params, batch, y, seed)
+                    if use_fused_oneshot:
+                        from scann_tpu.kernels.scann_backward import (
+                            fused_scann_train_grads,
+                        )
+
+                        if self._sharded_fused_train is not None:
+                            pred, raw = self._sharded_fused_train(
+                                state.params, batch, y, seed)
+                        else:
+                            pred, raw = fused_scann_train_grads(
+                                state.params, batch, y, self.config.model,
+                                self.model.mrelu_head, False, 0.1, seed)
                     else:
-                        pred, raw = loop_scann_train_grads(
-                            state.params, batch, y, self.config.model,
-                            self.model.mrelu_head, False, 0.1, seed)
+                        from scann_tpu.kernels.scann_loop import (
+                            loop_scann_train_grads,
+                        )
+
+                        if self._sharded_loop_train is not None:
+                            pred, raw = self._sharded_loop_train(
+                                state.params, batch, y, seed)
+                        else:
+                            pred, raw = loop_scann_train_grads(
+                                state.params, batch, y, self.config.model,
+                                self.model.mrelu_head, False, 0.1, seed)
                     pred = pred[:, 0]
                     rmse = jnp.sqrt(jnp.mean(jnp.square(pred - y)))
                     loss = rmse + l2_penalty(state.params, l2)

@@ -230,6 +230,87 @@ def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm, ring, cgcnn):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
 
 
+@pytest.mark.parametrize("mrelu", [False, pytest.param(True, marks=pytest.mark.slow)])
+def test_fused_train_grads_matches_apply_grad(rng, mrelu):
+    """One-kernel-per-step training (forward + RMSE residual + backward in a
+    single launch) for the unrolled kernels: raw grads scaled by 1/(B*rmse)
+    must equal jax.grad of the RMSE loss through scann_apply, and the
+    emitted pred must equal the forward output."""
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import (
+        fused_scann_train_grads,
+        scann_apply,
+    )
+    from scann_tpu.models import ScannModel
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2, local_dim=32,
+                      num_head=4, global_dim=32, dense_out=16, g_update=True)
+    inputs = make_synthetic_batch(rng, B=3, M=12, N=6)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))
+
+    pred, raw = fused_scann_train_grads(params, inputs, y, cfg,
+                                        mrelu_head=mrelu, interpret=True,
+                                        batch_tile=1)
+
+    def loss(p):
+        pr, _ = scann_apply(p, inputs, cfg, mrelu, True)
+        return jnp.sqrt(jnp.mean((pr[:, 0] - y) ** 2)), pr
+
+    (ref_loss, pf), ref_g = jax.value_and_grad(loss, has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pf),
+                               rtol=1e-6, atol=1e-7)
+    rmse = float(jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2)))
+    assert rmse == pytest.approx(float(ref_loss), rel=1e-6)
+    scale = 1.0 / (y.shape[0] * rmse)
+    flat_ref = jax.tree_util.tree_flatten_with_path(
+        ref_g.get("params", ref_g))[0]
+    flat_raw = jax.tree_util.tree_flatten_with_path(raw)[0]
+    assert len(flat_ref) == len(flat_raw)
+    for (p1, v1), (p2, v2) in zip(flat_ref, flat_raw):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        s = np.abs(np.asarray(v1)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v2) * scale, np.asarray(v1), rtol=0, atol=2e-5 * s,
+            err_msg=f"raw-grad mismatch at {jax.tree_util.keystr(p1)}")
+
+
+@pytest.mark.slow
+def test_sharded_fused_train_matches_single_device(rng):
+    """The shard_map one-shot training wrapper for the unrolled kernels
+    (params replicated, batch + targets sharded, raw-grad psum) == the
+    single-device path."""
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import (
+        fused_scann_train_grads,
+        make_sharded_scann_train,
+    )
+    from scann_tpu.models import ScannModel
+    from scann_tpu.parallel import make_mesh
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2, local_dim=32,
+                      num_head=4, global_dim=32, dense_out=16, g_update=True)
+    inputs = make_synthetic_batch(rng, B=16, M=12, N=6)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    y = jnp.asarray(np.linspace(-1, 1, 16, dtype=np.float32))
+    mesh = make_mesh(n_devices=8)
+    f8 = make_sharded_scann_train(mesh, cfg, interpret=True)
+
+    pred8, raw8 = jax.jit(lambda p: f8(p, inputs, y, jnp.int32(0)))(params)
+    pred1, raw1 = fused_scann_train_grads(params, inputs, y, cfg,
+                                          interpret=True, batch_tile=1)
+    np.testing.assert_allclose(np.asarray(pred8), np.asarray(pred1),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(raw1), jax.tree.leaves(raw8)):
+        s = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=5e-5 * s)
+
+
 @pytest.mark.slow  # 8-device interpret-mode: ~27 s on 1 CPU
 def test_sharded_fused_apply_matches_single_device(rng):
     """shard_map-wrapped fused kernels over the 8-device mesh == single
