@@ -70,6 +70,25 @@ def _mm3_tA(x, dy):  # sum_{m,n} x[m,n,:]^T dy[m,n,:] -> [X, C]
     return _mm_tA(x.reshape(M * N, X), dy.reshape(M * N, dy.shape[-1]))
 
 
+def _dot_fns(bf16: bool):
+    """(mm, mm_tA, mm_tB, dot3, dot3_tB, mm3_tA); bf16 casts every dot's
+    operands to bfloat16 with f32 accumulation (model.dtype == 'bfloat16'
+    MXU mode). The kernel shadows the module helpers with these locals, so
+    every call site (including the layer_fwd/gather closures) picks the
+    mode up without renames."""
+    if not bf16:
+        return _mm, _mm_tA, _mm_tB, _dot3, _dot3_tB, _mm3_tA
+    c = lambda x: x.astype(jnp.bfloat16)
+    mm3 = lambda x, dy: _mm_tA(
+        c(x).reshape(-1, x.shape[-1]), c(dy).reshape(-1, dy.shape[-1]))
+    return (lambda a, b: _mm(c(a), c(b)),
+            lambda a, b: _mm_tA(c(a), c(b)),
+            lambda a, b: _mm_tB(c(a), c(b)),
+            lambda x, w: _dot3(c(x), c(w)),
+            lambda x, w: _dot3_tB(c(x), c(w)),
+            mm3)
+
+
 def _swish(x):
     return x * jax.nn.sigmoid(x)
 
@@ -121,8 +140,11 @@ def _kernel(
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
     attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
-    ct_from_target: bool = False, mrelu: bool = False,
+    ct_from_target: bool = False, mrelu: bool = False, bf16: bool = False,
 ):
+    # shadow: every dot below (incl. the layer_fwd/gather closures) follows
+    # the bf16 mode
+    _mm, _mm_tA, _mm_tB, _dot3, _dot3_tB, _mm3_tA = _dot_fns(bf16)
     b = pl.program_id(0)
     grads = [d_embed, d_bembed, d_wring, d_bring, d_wde, d_bde,
              d_wnd, d_bnd, d_wnw, d_bnw,
@@ -593,6 +615,7 @@ def _fused_grad_impl(params: dict, inputs: dict, cfm: ModelConfig,
             attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
             use_ring=cfm.use_ring, cgcnn=cgcnn,
             ct_from_target=ct_from_target, mrelu=mrelu,
+            bf16=(cfm.dtype == "bfloat16"),
         ),
         grid=(B // BT,),
         in_specs=in_specs,

@@ -139,6 +139,19 @@ def _dot3(x, w):
                                preferred_element_type=jnp.float32)
 
 
+def _dot_fns(bf16: bool):
+    """(mm, dot3) pair; bf16 casts every dot's operands to bfloat16 with f32
+    accumulation (model.dtype == 'bfloat16' MXU mode — one-hot/RBF operands
+    are exact in bf16, only activations lose mantissa; LN/softmax stay f32).
+    The kernels shadow the module helpers with these locals, so every call
+    site inside a kernel picks the mode up without renames."""
+    if not bf16:
+        return _mm, _dot3
+    c = lambda x: x.astype(jnp.bfloat16)
+    return (lambda a, b: _mm(c(a), c(b)),
+            lambda x, w: _dot3(c(x), c(w)))
+
+
 def make_dropout_masks(seed, mol_base, bt, m, d, n_layers, rate,
                        n: int = 0, h: int = 0, attn_rate: float = 0.0):
     """Draw the embed mask + per-layer residual masks (+ optional per-layer
@@ -197,7 +210,9 @@ def _kernel(
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
     attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
+    bf16: bool = False,
 ):
+    _mm, _dot3 = _dot_fns(bf16)  # shadow: every dot below follows the mode
     BT = atomic_ref.shape[0]                                   # molecules/program
     M = atomic_ref.shape[1]
     N = idx_ref.shape[2]
@@ -715,6 +730,7 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
             # training only (attention.py:115-116)
             attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
             use_ring=cfm.use_ring, cgcnn=cgcnn,
+            bf16=(cfm.dtype == "bfloat16"),
         ),
         grid=(B // BT,),
         in_specs=in_specs,

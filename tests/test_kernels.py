@@ -230,6 +230,48 @@ def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm, ring, cgcnn):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
 
 
+@pytest.mark.slow  # two extra kernel builds in interpret mode
+def test_fused_bf16_mode_tracks_f32(rng):
+    """model.dtype='bfloat16' runs the unrolled kernels' dots in bf16 (f32
+    accumulation); results must track the f32 kernels within bf16 mantissa
+    tolerance, and raw training gradients must agree in direction."""
+    import dataclasses
+
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import fused_scann_train_grads
+    from scann_tpu.kernels.scann_forward import fused_scann_forward
+    from scann_tpu.models import ScannModel
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2, local_dim=32,
+                      num_head=4, global_dim=32, dense_out=16, g_update=True)
+    cfg_bf = dataclasses.replace(cfg, dtype="bfloat16")
+    inputs = make_synthetic_batch(rng, B=2, M=12, N=6)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+
+    p32, g32 = fused_scann_forward(params, inputs, cfg, interpret=True,
+                                   batch_tile=1)
+    pbf, gbf = fused_scann_forward(params, inputs, cfg_bf, interpret=True,
+                                   batch_tile=1)
+    np.testing.assert_allclose(np.asarray(pbf), np.asarray(p32),
+                               rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(gbf), np.asarray(g32),
+                               rtol=0.1, atol=0.02)
+
+    y = jnp.asarray(np.linspace(-1, 1, 2, dtype=np.float32))
+    _, d32 = fused_scann_train_grads(params, inputs, y, cfg, interpret=True,
+                                     batch_tile=1)
+    _, dbf = fused_scann_train_grads(params, inputs, y, cfg_bf,
+                                     interpret=True, batch_tile=1)
+    flat32 = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(d32)])
+    flatbf = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(dbf)])
+    cos = flat32 @ flatbf / (np.linalg.norm(flat32) * np.linalg.norm(flatbf))
+    assert cos > 0.999, f"bf16 gradient direction diverged: cos={cos:.5f}"
+
+
 @pytest.mark.parametrize("mrelu", [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_fused_train_grads_matches_apply_grad(rng, mrelu):
     """One-kernel-per-step training (forward + RMSE residual + backward in a
