@@ -146,9 +146,11 @@ def _fwd_kernel(
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
     bf16: bool = False,
 ):
+    BT = atomic_ref.shape[0]  # molecules per program (eval tiling; train BT=1)
     M = atomic_ref.shape[1]
     N = idx_ref.shape[2]
-    vocab = embed_ref.shape[0]
+    R = BT * M                # row-concatenated molecules (the unrolled
+    vocab = embed_ref.shape[0]  # kernel's layout, scann_forward.py:226-230)
     D = wk_ref.shape[2]
     H = num_head
     hd = D // H
@@ -170,9 +172,11 @@ def _fwd_kernel(
         mm, mm_tA, mm_tB = _mm, _mm_tA, _mm_tB
         dot3, dot3_tB, mm3_tA = _dot3, _dot3_tB, _mm3_tA
 
-    atomic = atomic_ref[0]
-    am = atom_mask_ref[0]
-    nmask = nmask_ref[0]
+    atomic = atomic_ref[...].reshape(R, 1)
+    am = atom_mask_ref[...].reshape(R, 1)
+    nmask = nmask_ref[...].reshape(R, N)
+    assert dropout_rate == 0.0 or BT == 1, \
+        "dropout (training) runs the loop forward at batch_tile=1"
 
     # dropout: per-molecule stream (seed + global molecule index), drawn
     # up-front in a fixed order (embed, then layer 0..L-1) into scratch
@@ -189,10 +193,20 @@ def _fwd_kernel(
         for l in range(L):  # static unroll: PRNG draws need a fixed schedule
             mask_scratch[l] = draw()
 
-    zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
+    zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
     z_oh = (zcols == atomic).astype(jnp.float32)
-    ncols = jax.lax.broadcasted_iota(jnp.int32, (M, N, M), dimension=2)
-    n_oh = (ncols == idx_ref[0][:, :, None]).astype(jnp.float32)
+    # per-molecule one-hot neighbor maps (indices address the molecule's own
+    # atom space; the gather below applies them per molecule)
+    ncols = jax.lax.broadcasted_iota(jnp.int32, (BT, M, N, M), dimension=3)
+    n_oh4 = (ncols == idx_ref[...][:, :, :, None]).astype(jnp.float32)
+
+    def gather(c_rows):
+        """ns[t*M+m, n] = centers of molecule t at idx[t, m, n] -> [R, N, D]."""
+        if BT == 1:
+            return dot3(n_oh4[0], c_rows)
+        c4 = c_rows.reshape(BT, M, D)
+        parts = [dot3(n_oh4[t], c4[t]) for t in range(BT)]
+        return jnp.concatenate(parts, axis=0).reshape(R, N, D)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=0)
     head = jax.lax.broadcasted_iota(jnp.int32, (D, H), dimension=1)
@@ -204,33 +218,35 @@ def _fwd_kernel(
     if dropout_rate > 0.0:
         centers = centers * embed_mask
 
-    d3 = dist_ref[0][:, :, None]
+    dist_rows = dist_ref[...].reshape(R, N)
+    weight_rows = weight_ref[...].reshape(R, N)
+    d3 = dist_rows[:, :, None]
     rbf_d = jnp.exp(-jnp.square(d3 - dist_centers_ref[0]) / rbf_width)
     if g_update:
-        w3 = weight_ref[0][:, :, None]
+        w3 = weight_rows[:, :, None]
         rbf_w = jnp.exp(-jnp.square(w3 - angle_centers_ref[0]) / rbf_width)
         geometry = (_swish(dot3(rbf_d, wnd_ref[:]) + bnd_ref[:])
                     * _swish(dot3(rbf_w, wnw_ref[:]) + bnw_ref[:]))
     else:
-        geometry = jnp.zeros((M, N, D), jnp.float32)  # unused carry slot
+        geometry = jnp.zeros((R, N, D), jnp.float32)  # unused carry slot
 
     def layer(l, c, g):
-        ns = dot3(n_oh, c)
+        ns = gather(c)
         if g_update:
             wfg = wfg_ref[l]
             cw = mm(c, wfg[0:D, :])
-            u = (jnp.broadcast_to(cw.reshape(M, 1, D), (M, N, D))
+            u = (jnp.broadcast_to(cw.reshape(R, 1, D), (R, N, D))
                  + dot3(g, wfg[D:2 * D, :]) + dot3(ns, wfg[2 * D:3 * D, :])
                  + bfg_ref[l])
             g, _ = _ln_fwd(_swish(u) + g, lng_s_ref[l], lng_b_ref[l])
             geo_term = g
         else:
             u = _swish(dot3(rbf_d, wfg_ref[l]) + bfg_ref[l])
-            geo_term = u * weight_ref[0][:, :, None]
+            geo_term = u * weight_rows[:, :, None]
         key = dot3(ns * geo_term, wk_ref[l]) + bk_ref[l]
         query = mm(c, wq_ref[l]) + bq_ref[l]
-        prod = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D),
-                                (M, N, D)) * key
+        prod = jnp.broadcast_to((query * dk_scale).reshape(R, 1, D),
+                                (R, N, D)) * key
         energy = dot3(prod, seg_sum)
         energy = energy + (1.0 - nmask)[:, :, None] * (-1e9)
         energy = energy - jnp.max(energy, axis=1, keepdims=True)
@@ -252,31 +268,34 @@ def _fwd_kernel(
 
     centers, _ = jax.lax.fori_loop(0, L, body, (centers, geometry))
 
-    # readout (identical to the unrolled kernel at BT=1)
+    # readout (the unrolled kernel's [BT, M, .] per-molecule reductions,
+    # scann_forward.py:331-358)
     centers = _swish(mm(centers, wal_ref[:]) + bal_ref[:])
-    gq = mm(centers, wgq_ref[:]) + bgq_ref[:]
-    gk = mm(centers, wgk_ref[:]) + bgk_ref[:]
-    mq = am * gq
-    mk = am * gk
-    qsum = jnp.sum(mq, axis=0, keepdims=True)
+    G = centers.shape[-1]
+    gq = (mm(centers, wgq_ref[:]) + bgq_ref[:]).reshape(BT, M, G)
+    gk = (mm(centers, wgk_ref[:]) + bgk_ref[:]).reshape(BT, M, G)
+    am3 = am.reshape(BT, M, 1)
+    mq = am3 * gq
+    mk = am3 * gk
+    qsum = jnp.sum(mq, axis=1, keepdims=True)
     cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)
     diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
-    agg = am * (cross - diag)
+    agg = am3 * (cross - diag)
     if ga_norm:
-        nrm = jnp.sqrt(jnp.sum(agg * agg, axis=0, keepdims=True))
+        nrm = jnp.sqrt(jnp.sum(agg * agg, axis=1, keepdims=True))
         agg = agg / jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
-    agg = agg + (1.0 - am) * (-1e9)
-    agg = agg - jnp.max(agg, axis=0, keepdims=True)
+    agg = agg + (1.0 - am3) * (-1e9)
+    agg = agg - jnp.max(agg, axis=1, keepdims=True)
     e = jnp.exp(agg)
-    ga = e / jnp.sum(e, axis=0, keepdims=True)
-    struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)
+    ga = e / jnp.sum(e, axis=1, keepdims=True)                 # [BT, M, 1]
+    struc = jnp.sum(am3 * ga * gk, axis=1)                     # [BT, G]
     struc = _swish(mm(struc, wbf_ref[:]) + bbf_ref[:])
-    pred = mm(struc, wp_ref[:]) + bp_ref[:]
+    pred = mm(struc, wp_ref[:]) + bp_ref[:]                    # [BT, 1]
     if mrelu:
         pred = jnp.maximum(pred, 0.0)
 
-    out_ref[...] = pred[:, :, None] if pred.ndim == 2 else pred
-    ga_ref[0] = ga
+    out_ref[...] = pred[:, :, None]                            # [BT, 1, 1]
+    ga_ref[...] = ga
 
 
 # ---------------------------------------------------------------------------
@@ -666,10 +685,10 @@ def _batch_operands(inputs, f32=lambda x: jnp.asarray(x, jnp.float32)):
     ]
 
 
-def _specs(operands, n_batched):
+def _specs(operands, n_batched, bt: int = 1):
     def spec_for(x, batched):
         if batched:
-            blk = (1,) + x.shape[1:]
+            blk = (bt,) + x.shape[1:]
             idx_map = lambda bb, nd=x.ndim: (bb,) + (0,) * (nd - 1)
         else:
             blk = x.shape
@@ -677,6 +696,19 @@ def _specs(operands, n_batched):
         return pl.BlockSpec(blk, idx_map, memory_space=pltpu.VMEM)
 
     return [spec_for(x, i < n_batched) for i, x in enumerate(operands)]
+
+
+def pick_loop_fwd_tile(cfm: ModelConfig, B: int, M: int, N: int,
+                       budget_bytes: int = VMEM_BUDGET_BYTES) -> int:
+    """Molecules per program for the loop FORWARD. MEASURED round 3 on v5e
+    at the MP2018 eval shape (M=96, N=32, 9L, B=64): BT=1 8.20 ms,
+    BT=2 8.53 ms, BT=4 9.33 ms — tiling LOSES. At crystal M the main dots
+    already have M*pad8(N) >= ~2-3k rows per program, so per-program
+    overhead is negligible and larger tiles only dilute VMEM locality.
+    Default is therefore 1; ``loop_scann_forward(batch_tile=...)`` remains
+    for explicit experiments (parity-tested at BT=2). The training paths
+    always run BT=1 (per-molecule dropout PRNG streams + backward stashes)."""
+    return 1
 
 
 def _seed_operand(dropout_seed):
@@ -687,14 +719,24 @@ def _seed_operand(dropout_seed):
 
 def loop_scann_forward(params, inputs, cfm: ModelConfig,
                        mrelu_head: bool = False, interpret: bool = False,
-                       dropout_rate: float = 0.0, dropout_seed=None
+                       dropout_rate: float = 0.0, dropout_seed=None,
+                       batch_tile: int = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Crystal-scale fused forward (fori_loop over layers, one molecule per
-    program). Returns (property [B, 1], ga_score [B, M, 1])."""
+    """Crystal-scale fused forward (fori_loop over layers). ``batch_tile``
+    molecules per program (auto-picked by VMEM budget when None; forced to 1
+    when dropout is on — the per-molecule PRNG streams require it).
+    Returns (property [B, 1], ga_score [B, M, 1])."""
     assert supports_loop(cfm), "config not supported by the loop kernels"
     B, M = inputs["atomic"].shape[:2]
     N = inputs["neighbors"].shape[2]
     L, D = cfm.n_attention, cfm.local_dim
+    if dropout_rate > 0.0:
+        BT = 1
+    else:
+        BT = (batch_tile if batch_tile is not None
+              else pick_loop_fwd_tile(cfm, B, M, N))
+    if B % BT:
+        raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
 
     dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
     angle_centers = jnp.asarray(make_centers(2 * np.pi, cfm.num_gaussian))[None]
@@ -707,11 +749,11 @@ def loop_scann_forward(params, inputs, cfm: ModelConfig,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
             rbf_width=0.25, dropout_rate=dropout_rate,
             bf16=(cfm.dtype == "bfloat16")),
-        grid=(B,),
-        in_specs=_specs(operands, 6),
+        grid=(B // BT,),
+        in_specs=_specs(operands, 6, bt=BT),
         out_specs=[
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, M, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),

@@ -97,6 +97,23 @@ def test_loop_bf16_mode_tracks_f32(rng):
     assert cos > 0.999, f"bf16 gradient direction diverged: cos={cos:.5f}"
 
 
+def test_loop_forward_batch_tiled_matches_single(rng):
+    """batch_tile=2 (two molecules per program, row-concatenated like the
+    unrolled kernels) == batch_tile=1 == the flax model, per molecule."""
+    cfg, inputs, model, params = _case(rng, B=4, M=24, N=8, L=2)
+    p1, g1 = loop_scann_forward(params, inputs, cfg, interpret=True,
+                                batch_tile=1)
+    p2, g2 = loop_scann_forward(params, inputs, cfg, interpret=True,
+                                batch_tile=2)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-6, atol=1e-7)
+    ref = model.apply(params, inputs, deterministic=True)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(ref["property"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_loop_forward_matches_unrolled(rng):
     """Loop and unrolled fused kernels agree bit-closely on the same data."""
     from scann_tpu.kernels.scann_forward import fused_scann_forward
