@@ -19,10 +19,11 @@ This module implements the same math (reference graph
 - embed/residual dropout masks are pre-drawn into a scratch array (the
   reverse walk needs them in reverse order; the PRNG only streams forward).
 
-One molecule per program (crystals are large; batching molecules would blow
-VMEM anyway). Scope: feature="atomic", no ring features, no attention
-dropout (``use_drop``) — i.e. exactly the published crystal workflows
-(mp2018, smfe); everything else falls back to XLA via ``supports_loop``.
+One molecule per program (measured optimal — see ``pick_loop_fwd_tile``).
+Scope: feature="atomic" with or without ring/aromatic features, no
+attention dropout (``use_drop``) — i.e. the published crystal-scale
+workflows (mp2018, smfe, ptgp); everything else falls back to XLA via
+``supports_loop``.
 """
 
 from __future__ import annotations
@@ -103,10 +104,13 @@ def _ln_bwd(dy, xhat, inv, gamma):
 
 
 def supports_loop(cfm: ModelConfig) -> bool:
-    """The published crystal workflows: atomic features, no ring, no
-    attention dropout (none of the crystal configs set use_drop)."""
+    """The published crystal-scale workflows: atomic features (incl. the
+    ring/aromatic extra embedding — model_ptgp.yaml trains Pt/graphene with
+    use_ring at M > 64, beyond the unrolled kernels' reach), no attention
+    dropout (no crystal config sets use_drop) and no cgcnn features (no
+    published workflow uses them)."""
     return (cfm.use_attn_norm and cfm.feature == "atomic"
-            and not cfm.use_ring and not cfm.use_drop)
+            and not cfm.use_drop)
 
 
 def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
@@ -131,7 +135,7 @@ def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
 
 def _fwd_kernel(
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
-    seed_ref,
+    ring_ref, seed_ref,
     embed_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
@@ -139,12 +143,13 @@ def _fwd_kernel(
     wr1_ref, br1_ref, wr2_ref, br2_ref, rln_s_ref, rln_b_ref,
     wal_ref, bal_ref, wgq_ref, bgq_ref, wgk_ref, bgk_ref,
     wbf_ref, bbf_ref, wp_ref, bp_ref,
+    wring_ref, bring_ref,
     dist_centers_ref, angle_centers_ref,
     out_ref, ga_ref,
     mask_scratch,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
-    bf16: bool = False,
+    use_ring: bool = False, bf16: bool = False,
 ):
     BT = atomic_ref.shape[0]  # molecules per program (eval tiling; train BT=1)
     M = atomic_ref.shape[1]
@@ -214,7 +219,18 @@ def _fwd_kernel(
     seg_expand = jnp.transpose(seg_sum)
     dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
 
-    centers = _swish(mm(mm(z_oh, embed_ref[:]), wde_ref[:]) + bde_ref[:])
+    emb = mm(z_oh, embed_ref[:])
+    if use_ring:
+        # ring/aromatic concat expressed as split partial matmuls of
+        # dense_embed's kernel rows (scann_forward.py:251-256; reference
+        # scann_model.py:367-371)
+        E = emb.shape[1]
+        ring_emb = mm(ring_ref[...].reshape(R, 2), wring_ref[:]) + bring_ref[:]
+        s_de = (mm(emb, wde_ref[0:E, :])
+                + mm(ring_emb, wde_ref[E:E + 10, :]) + bde_ref[:])
+    else:
+        s_de = mm(emb, wde_ref[:]) + bde_ref[:]
+    centers = _swish(s_de)
     if dropout_rate > 0.0:
         centers = centers * embed_mask
 
@@ -304,7 +320,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
-    ct_pred_ref, ct_ga_ref, seed_ref,
+    ring_ref, ct_pred_ref, ct_ga_ref, seed_ref,
     embed_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
@@ -312,16 +328,18 @@ def _bwd_kernel(
     wr1_ref, br1_ref, wr2_ref, br2_ref, rln_s_ref, rln_b_ref,
     wal_ref, bal_ref, wgq_ref, bgq_ref, wgk_ref, bgk_ref,
     wbf_ref, bbf_ref, wp_ref, bp_ref,
+    wring_ref, bring_ref,
     dist_centers_ref, angle_centers_ref,
     d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
     d_wfg, d_bfg, d_wk, d_bk, d_wq, d_bq,
     d_ln_s, d_ln_b, d_lng_s, d_lng_b,
     d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
     d_wal, d_bal, d_wgq, d_bgq, d_wgk, d_bgk,
-    d_wbf, d_bbf, d_wp, d_bp, pred_out,
+    d_wbf, d_bbf, d_wp, d_bp, d_wring, d_bring, pred_out,
     c_stash, g_stash, mask_scratch,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
+    use_ring: bool = False,
     bf16: bool = False, ct_from_target: bool = False, mrelu: bool = False,
 ):
     b = pl.program_id(0)
@@ -330,7 +348,7 @@ def _bwd_kernel(
              d_ln_s, d_ln_b, d_lng_s, d_lng_b,
              d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
              d_wal, d_bal, d_wgq, d_bgq, d_wgk, d_bgk,
-             d_wbf, d_bbf, d_wp, d_bp]
+             d_wbf, d_bbf, d_wp, d_bp, d_wring, d_bring]
 
     @pl.when(b == 0)
     def _zero():
@@ -391,7 +409,14 @@ def _bwd_kernel(
 
     # ---------------- forward (stash per-layer inputs) --------------------
     emb = mm(z_oh, embed_ref[:])
-    s_de = mm(emb, wde_ref[:]) + bde_ref[:]
+    if use_ring:
+        E = emb.shape[1]
+        ring_rows = ring_ref[0]
+        ring_emb = mm(ring_rows, wring_ref[:]) + bring_ref[:]
+        s_de = (mm(emb, wde_ref[0:E, :])
+                + mm(ring_emb, wde_ref[E:E + 10, :]) + bde_ref[:])
+    else:
+        s_de = mm(emb, wde_ref[:]) + bde_ref[:]
     centers = _swish(s_de)
     if dropout_rate > 0.0:
         centers = centers * embed_mask
@@ -621,9 +646,21 @@ def _bwd_kernel(
     if dropout_rate > 0.0:
         dc = dc * embed_mask
     ds_de = dc * _swish_grad(s_de)
-    d_wde[...] += mm_tA(emb, ds_de)
-    d_bde[...] += jnp.sum(ds_de, axis=0)
-    demb = mm_tB(ds_de, wde_ref[:])
+    if use_ring:
+        # dense_embed's kernel rows split between the atom embedding (0:E)
+        # and the ring embedding (E:E+10) — mirror the forward's partial
+        # matmuls
+        d_wde[...] += jnp.concatenate(
+            [mm_tA(emb, ds_de), mm_tA(ring_emb, ds_de)], axis=0)
+        d_bde[...] += jnp.sum(ds_de, axis=0)
+        demb = mm_tB(ds_de, wde_ref[0:E, :])
+        dring_emb = mm_tB(ds_de, wde_ref[E:E + 10, :])
+        d_wring[...] += mm_tA(ring_rows, dring_emb)
+        d_bring[...] += jnp.sum(dring_emb, axis=0)
+    else:
+        d_wde[...] += mm_tA(emb, ds_de)
+        d_bde[...] += jnp.sum(ds_de, axis=0)
+        demb = mm_tB(ds_de, wde_ref[:])
     d_embed[...] += mm_tA(z_oh, demb)
 
     if g_update:
@@ -671,10 +708,21 @@ def _assemble(params, cfm: ModelConfig):
         f32(params["bf_property"]["kernel"]), f32(params["bf_property"]["bias"]),
         f32(params["predict_property"]["kernel"]),
         f32(params["predict_property"]["bias"]),
+        # ring/aromatic extra embedding (zeros when use_ring is off; kept
+        # positional so every kernel signature is static)
+        (f32(params["extra_embed"]["kernel"]) if cfm.use_ring
+         else jnp.zeros((2, 10), jnp.float32)),
+        (f32(params["extra_embed"]["bias"]) if cfm.use_ring
+         else jnp.zeros((10,), jnp.float32)),
     ]
 
 
+N_BATCH_OPERANDS = 7
+
+
 def _batch_operands(inputs, f32=lambda x: jnp.asarray(x, jnp.float32)):
+    B, M = inputs["atomic"].shape[:2]
+    ring = inputs.get("ring_aromatic")
     return [
         jnp.asarray(inputs["atomic"], jnp.int32)[..., None],
         f32(inputs["atom_mask"]),
@@ -682,6 +730,7 @@ def _batch_operands(inputs, f32=lambda x: jnp.asarray(x, jnp.float32)):
         f32(inputs["neighbor_mask"]),
         f32(inputs["neighbor_weight"]),
         f32(inputs["neighbor_distance"]),
+        f32(ring) if ring is not None else jnp.zeros((B, M, 2), jnp.float32),
     ]
 
 
@@ -748,9 +797,9 @@ def loop_scann_forward(params, inputs, cfm: ModelConfig,
             _fwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
             rbf_width=0.25, dropout_rate=dropout_rate,
-            bf16=(cfm.dtype == "bfloat16")),
+            use_ring=cfm.use_ring, bf16=(cfm.dtype == "bfloat16")),
         grid=(B // BT,),
-        in_specs=_specs(operands, 6, bt=BT),
+        in_specs=_specs(operands, N_BATCH_OPERANDS, bt=BT),
         out_specs=[
             pl.BlockSpec((BT, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, M, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -801,10 +850,11 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
         functools.partial(
             _bwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
-            dropout_rate=dropout_rate, bf16=(cfm.dtype == "bfloat16"),
+            dropout_rate=dropout_rate, use_ring=cfm.use_ring,
+            bf16=(cfm.dtype == "bfloat16"),
             ct_from_target=ct_from_target, mrelu=mrelu),
         grid=(B,),
-        in_specs=_specs(operands, 8),
+        in_specs=_specs(operands, N_BATCH_OPERANDS + 2),
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -856,7 +906,7 @@ def _grads_dict(grads_flat, cfm: ModelConfig, L: int) -> dict:
      g_ln_s, g_ln_b, g_lng_s, g_lng_b,
      g_wr1, g_br1, g_wr2, g_br2, g_rln_s, g_rln_b,
      g_wal, g_bal, g_wgq, g_bgq, g_wgk, g_bgk,
-     g_wbf, g_bbf, g_wp, g_bp) = grads_flat
+     g_wbf, g_bbf, g_wp, g_bp, g_wring, g_bring) = grads_flat
 
     out = {
         "embed_atom": {"embedding": g_embed},
@@ -872,6 +922,8 @@ def _grads_dict(grads_flat, cfm: ModelConfig, L: int) -> dict:
     if cfm.g_update:
         out["neighbor_d"] = {"kernel": g_wnd, "bias": g_bnd}
         out["neighbor_w"] = {"kernel": g_wnw, "bias": g_bnw}
+    if cfm.use_ring:
+        out["extra_embed"] = {"kernel": g_wring, "bias": g_bring}
     for i in range(L):
         la = {
             "filter_geo": {"kernel": g_wfg[i], "bias": g_bfg[i]},
@@ -925,6 +977,12 @@ def _la_bwd(cfm, mrelu_head, interpret, dropout_rate, res, cts):
 loop_scann_apply.defvjp(_la_fwd, _la_bwd)
 
 
+def _loop_batch_keys(cfm: ModelConfig):
+    keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
+            "neighbor_weight", "neighbor_distance")
+    return keys + ("ring_aromatic",) if cfm.use_ring else keys
+
+
 def make_sharded_loop_forward(mesh, cfm: ModelConfig, mrelu_head: bool = False,
                               interpret: bool = False):
     """Data-parallel EVAL wrapper for the loop forward: params replicated,
@@ -939,8 +997,7 @@ def make_sharded_loop_forward(mesh, cfm: ModelConfig, mrelu_head: bool = False,
         return loop_scann_forward(params, inputs, cfm, mrelu_head=mrelu_head,
                                   interpret=interpret)
 
-    batch_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
-                  "neighbor_weight", "neighbor_distance")
+    batch_keys = _loop_batch_keys(cfm)
     sharded = shard_map(fn, mesh=mesh,
                         in_specs=(P(), {k: P("data") for k in batch_keys}),
                         out_specs=(P("data"), P("data")),
@@ -975,8 +1032,7 @@ def make_sharded_loop_train(mesh, cfm: ModelConfig, mrelu_head: bool = False,
                                            dropout_rate, shard_seed)
         return pred, jax.lax.psum(raw, "data")
 
-    batch_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
-                  "neighbor_weight", "neighbor_distance")
+    batch_keys = _loop_batch_keys(cfm)
     sharded = shard_map(fn, mesh=mesh,
                         in_specs=(P(), {k: P("data") for k in batch_keys},
                                   P("data"), P()),
@@ -1012,8 +1068,7 @@ def make_sharded_loop_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
         return loop_scann_apply(params, inputs, cfm, mrelu_head, interpret,
                                 dropout_rate, shard_seed)
 
-    batch_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
-                  "neighbor_weight", "neighbor_distance")
+    batch_keys = _loop_batch_keys(cfm)
     in_specs = (P(), {k: P("data") for k in batch_keys}, P())
     sharded = shard_map(fn, mesh=mesh,
                         in_specs=in_specs,
