@@ -143,6 +143,7 @@ def test_loop_ring_backward_matches_jax_grad(rng):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
 
 
+@pytest.mark.slow  # two interpret-mode builds; BT=1 is the production default
 def test_loop_forward_batch_tiled_matches_single(rng):
     """batch_tile=2 (two molecules per program, row-concatenated like the
     unrolled kernels) == batch_tile=1 == the flax model, per molecule."""
