@@ -20,10 +20,10 @@ This module implements the same math (reference graph
   reverse walk needs them in reverse order; the PRNG only streams forward).
 
 One molecule per program (measured optimal — see ``pick_loop_fwd_tile``).
-Scope: feature="atomic" with or without ring/aromatic features, no
-attention dropout (``use_drop``) — i.e. the published crystal-scale
-workflows (mp2018, smfe, ptgp); everything else falls back to XLA via
-``supports_loop``.
+Scope: atomic or cgcnn features, with or without ring/aromatic features —
+all published crystal-scale workflows (mp2018, smfe, ptgp) and the cgcnn
+option; only attention dropout (``use_drop``, set by no published config)
+falls back to XLA via ``supports_loop``.
 """
 
 from __future__ import annotations
@@ -104,13 +104,12 @@ def _ln_bwd(dy, xhat, inv, gamma):
 
 
 def supports_loop(cfm: ModelConfig) -> bool:
-    """The published crystal-scale workflows: atomic features (incl. the
-    ring/aromatic extra embedding — model_ptgp.yaml trains Pt/graphene with
-    use_ring at M > 64, beyond the unrolled kernels' reach), no attention
-    dropout (no crystal config sets use_drop) and no cgcnn features (no
-    published workflow uses them)."""
-    return (cfm.use_attn_norm and cfm.feature == "atomic"
-            and not cfm.use_drop)
+    """Everything the crystal-scale path can need: atomic OR cgcnn features,
+    with or without the ring/aromatic extra embedding (model_ptgp.yaml
+    trains Pt/graphene with use_ring at M > 64, beyond the unrolled
+    kernels' reach). Only attention dropout (``use_drop``) falls back to
+    XLA — no published config sets it."""
+    return cfm.use_attn_norm and not cfm.use_drop
 
 
 def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
@@ -136,7 +135,7 @@ def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
 def _fwd_kernel(
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
     ring_ref, seed_ref,
-    embed_ref, wde_ref, bde_ref,
+    embed_ref, bembed_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
     ln_s_ref, ln_b_ref, lng_s_ref, lng_b_ref,
@@ -149,7 +148,7 @@ def _fwd_kernel(
     mask_scratch,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
-    use_ring: bool = False, bf16: bool = False,
+    use_ring: bool = False, cgcnn: bool = False, bf16: bool = False,
 ):
     BT = atomic_ref.shape[0]  # molecules per program (eval tiling; train BT=1)
     M = atomic_ref.shape[1]
@@ -177,7 +176,6 @@ def _fwd_kernel(
         mm, mm_tA, mm_tB = _mm, _mm_tA, _mm_tB
         dot3, dot3_tB, mm3_tA = _dot3, _dot3_tB, _mm3_tA
 
-    atomic = atomic_ref[...].reshape(R, 1)
     am = atom_mask_ref[...].reshape(R, 1)
     nmask = nmask_ref[...].reshape(R, N)
     assert dropout_rate == 0.0 or BT == 1, \
@@ -198,8 +196,10 @@ def _fwd_kernel(
         for l in range(L):  # static unroll: PRNG draws need a fixed schedule
             mask_scratch[l] = draw()
 
-    zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
-    z_oh = (zcols == atomic).astype(jnp.float32)
+    if not cgcnn:
+        atomic = atomic_ref[...].reshape(R, 1)
+        zcols = jax.lax.broadcasted_iota(jnp.int32, (R, vocab), dimension=1)
+        z_oh = (zcols == atomic).astype(jnp.float32)
     # per-molecule one-hot neighbor maps (indices address the molecule's own
     # atom space; the gather below applies them per molecule)
     ncols = jax.lax.broadcasted_iota(jnp.int32, (BT, M, N, M), dimension=3)
@@ -219,7 +219,13 @@ def _fwd_kernel(
     seg_expand = jnp.transpose(seg_sum)
     dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
 
-    emb = mm(z_oh, embed_ref[:])
+    if cgcnn:
+        # feature="cgcnn": Dense projection of the 92-dim descriptors
+        # (reference scann_model.py:363-365)
+        feat = atomic_ref[...].reshape(R, vocab)
+        emb = mm(feat, embed_ref[:]) + bembed_ref[:]
+    else:
+        emb = mm(z_oh, embed_ref[:])
     if use_ring:
         # ring/aromatic concat expressed as split partial matmuls of
         # dense_embed's kernel rows (scann_forward.py:251-256; reference
@@ -321,7 +327,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
     ring_ref, ct_pred_ref, ct_ga_ref, seed_ref,
-    embed_ref, wde_ref, bde_ref,
+    embed_ref, bembed_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
     ln_s_ref, ln_b_ref, lng_s_ref, lng_b_ref,
@@ -330,7 +336,7 @@ def _bwd_kernel(
     wbf_ref, bbf_ref, wp_ref, bp_ref,
     wring_ref, bring_ref,
     dist_centers_ref, angle_centers_ref,
-    d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
+    d_embed, d_bembed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
     d_wfg, d_bfg, d_wk, d_bk, d_wq, d_bq,
     d_ln_s, d_ln_b, d_lng_s, d_lng_b,
     d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
@@ -339,11 +345,11 @@ def _bwd_kernel(
     c_stash, g_stash, mask_scratch,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
-    use_ring: bool = False,
+    use_ring: bool = False, cgcnn: bool = False,
     bf16: bool = False, ct_from_target: bool = False, mrelu: bool = False,
 ):
     b = pl.program_id(0)
-    grads = [d_embed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
+    grads = [d_embed, d_bembed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
              d_wfg, d_bfg, d_wk, d_bk, d_wq, d_bq,
              d_ln_s, d_ln_b, d_lng_s, d_lng_b,
              d_wr1, d_br1, d_wr2, d_br2, d_rln_s, d_rln_b,
@@ -396,8 +402,9 @@ def _bwd_kernel(
         for l in range(L):  # same fixed draw order as the forward kernel
             mask_scratch[l] = draw()
 
-    zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
-    z_oh = (zcols == atomic).astype(jnp.float32)
+    if not cgcnn:
+        zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
+        z_oh = (zcols == atomic).astype(jnp.float32)
     ncols = jax.lax.broadcasted_iota(jnp.int32, (M, N, M), dimension=2)
     n_oh = (ncols == idx_ref[0][:, :, None]).astype(jnp.float32)
 
@@ -408,7 +415,11 @@ def _bwd_kernel(
     dk_scale = jnp.asarray(hd, jnp.float32) ** jnp.asarray(-scale, jnp.float32)
 
     # ---------------- forward (stash per-layer inputs) --------------------
-    emb = mm(z_oh, embed_ref[:])
+    if cgcnn:
+        feat = atomic_ref[0]                                   # [M, 92] f32
+        emb = mm(feat, embed_ref[:]) + bembed_ref[:]
+    else:
+        emb = mm(z_oh, embed_ref[:])
     if use_ring:
         E = emb.shape[1]
         ring_rows = ring_ref[0]
@@ -661,7 +672,11 @@ def _bwd_kernel(
         d_wde[...] += mm_tA(emb, ds_de)
         d_bde[...] += jnp.sum(ds_de, axis=0)
         demb = mm_tB(ds_de, wde_ref[:])
-    d_embed[...] += mm_tA(z_oh, demb)
+    if cgcnn:
+        d_embed[...] += mm_tA(feat, demb)
+        d_bembed[...] += jnp.sum(demb, axis=0)
+    else:
+        d_embed[...] += mm_tA(z_oh, demb)
 
     if g_update:
         dd_emb = dg * w_emb_v
@@ -691,8 +706,14 @@ def _assemble(params, cfm: ModelConfig):
         wnd = jnp.zeros((K, D), jnp.float32)
         bnd = jnp.zeros((D,), jnp.float32)
         wnw, bnw = wnd, bnd
+    if cfm.feature == "cgcnn":
+        w_embed = f32(params["embed_atom"]["kernel"])      # [92, E]
+        b_embed = f32(params["embed_atom"]["bias"])
+    else:
+        w_embed = f32(params["embed_atom"]["embedding"])   # [vocab, E]
+        b_embed = jnp.zeros((w_embed.shape[1],), jnp.float32)
     return [
-        f32(params["embed_atom"]["embedding"]),
+        w_embed, b_embed,
         f32(params["dense_embed"]["kernel"]), f32(params["dense_embed"]["bias"]),
         f32(wnd), f32(bnd), f32(wnw), f32(bnw),
         f32(sp["wfg"]), f32(sp["bfg"]), f32(sp["wk"]), f32(sp["bk"]),
@@ -720,11 +741,15 @@ def _assemble(params, cfm: ModelConfig):
 N_BATCH_OPERANDS = 7
 
 
-def _batch_operands(inputs, f32=lambda x: jnp.asarray(x, jnp.float32)):
+def _batch_operands(inputs, cgcnn=False,
+                    f32=lambda x: jnp.asarray(x, jnp.float32)):
     B, M = inputs["atomic"].shape[:2]
     ring = inputs.get("ring_aromatic")
     return [
-        jnp.asarray(inputs["atomic"], jnp.int32)[..., None],
+        # feature="cgcnn": [B, M, 92] one-hot descriptors (already rank 3);
+        # feature="atomic": [B, M] numbers with a trailing singleton
+        (f32(inputs["atomic"]) if cgcnn
+         else jnp.asarray(inputs["atomic"], jnp.int32)[..., None]),
         f32(inputs["atom_mask"]),
         jnp.asarray(inputs["neighbors"], jnp.int32),
         f32(inputs["neighbor_mask"]),
@@ -789,7 +814,8 @@ def loop_scann_forward(params, inputs, cfm: ModelConfig,
 
     dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
     angle_centers = jnp.asarray(make_centers(2 * np.pi, cfm.num_gaussian))[None]
-    operands = (_batch_operands(inputs) + [_seed_operand(dropout_seed)]
+    operands = (_batch_operands(inputs, cgcnn=(cfm.feature == "cgcnn"))
+                + [_seed_operand(dropout_seed)]
                 + _assemble(params, cfm) + [dist_centers, angle_centers])
 
     out, ga = pl.pallas_call(
@@ -797,7 +823,8 @@ def loop_scann_forward(params, inputs, cfm: ModelConfig,
             _fwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
             rbf_width=0.25, dropout_rate=dropout_rate,
-            use_ring=cfm.use_ring, bf16=(cfm.dtype == "bfloat16")),
+            use_ring=cfm.use_ring, cgcnn=(cfm.feature == "cgcnn"),
+            bf16=(cfm.dtype == "bfloat16")),
         grid=(B // BT,),
         in_specs=_specs(operands, N_BATCH_OPERANDS, bt=BT),
         out_specs=[
@@ -835,7 +862,7 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
     dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
     angle_centers = jnp.asarray(make_centers(2 * np.pi, cfm.num_gaussian))[None]
     param_operands = _assemble(params, cfm)
-    operands = (_batch_operands(inputs)
+    operands = (_batch_operands(inputs, cgcnn=(cfm.feature == "cgcnn"))
                 + [f32(ct_pred)[..., None], f32(ct_ga), _seed_operand(dropout_seed)]
                 + param_operands + [dist_centers, angle_centers])
 
@@ -851,6 +878,7 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
             _bwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
             dropout_rate=dropout_rate, use_ring=cfm.use_ring,
+            cgcnn=(cfm.feature == "cgcnn"),
             bf16=(cfm.dtype == "bfloat16"),
             ct_from_target=ct_from_target, mrelu=mrelu),
         grid=(B,),
@@ -901,7 +929,7 @@ def loop_scann_train_grads(params, inputs, targets, cfm: ModelConfig,
 
 
 def _grads_dict(grads_flat, cfm: ModelConfig, L: int) -> dict:
-    (g_embed, g_wde, g_bde, g_wnd, g_bnd, g_wnw, g_bnw,
+    (g_embed, g_bembed, g_wde, g_bde, g_wnd, g_bnd, g_wnw, g_bnw,
      g_wfg, g_bfg, g_wk, g_bk, g_wq, g_bq,
      g_ln_s, g_ln_b, g_lng_s, g_lng_b,
      g_wr1, g_br1, g_wr2, g_br2, g_rln_s, g_rln_b,
@@ -909,7 +937,8 @@ def _grads_dict(grads_flat, cfm: ModelConfig, L: int) -> dict:
      g_wbf, g_bbf, g_wp, g_bp, g_wring, g_bring) = grads_flat
 
     out = {
-        "embed_atom": {"embedding": g_embed},
+        "embed_atom": ({"kernel": g_embed, "bias": g_bembed}
+                       if cfm.feature == "cgcnn" else {"embedding": g_embed}),
         "dense_embed": {"kernel": g_wde, "bias": g_bde},
         "after_Lc": {"kernel": g_wal, "bias": g_bal},
         "global_attention": {

@@ -22,12 +22,14 @@ from conftest import make_synthetic_batch
 
 
 def _case(rng, g_update=True, ga_norm=True, B=3, M=24, N=8, L=3,
-          use_ring=False):
+          use_ring=False, cgcnn=False):
     cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=L,
                       local_dim=32, num_head=4, global_dim=32, dense_out=16,
                       g_update=g_update, use_ga_norm=ga_norm,
-                      use_ring=use_ring)
-    inputs = make_synthetic_batch(rng, B=B, M=M, N=N, use_ring=use_ring)
+                      use_ring=use_ring,
+                      feature="cgcnn" if cgcnn else "atomic")
+    inputs = make_synthetic_batch(rng, B=B, M=M, N=N, use_ring=use_ring,
+                                  cgcnn=cgcnn)
     model = ScannModel(config=cfg)
     params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
     return cfg, inputs, model, params
@@ -117,6 +119,49 @@ def test_loop_ring_backward_matches_jax_grad(rng):
     """use_ring gradients (extra_embed kernel/bias + the split dense_embed
     rows) from the loop backward == jax.grad through the flax model."""
     cfg, inputs, model, params = _case(rng, use_ring=True, L=2)
+    y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))
+
+    def loss_ref(p):
+        out = model.apply(p, inputs, deterministic=True)
+        return (jnp.sqrt(jnp.mean((out["property"][:, 0] - y) ** 2))
+                + 0.1 * jnp.sum(out["ga_score"] ** 2))
+
+    def loss_loop(p):
+        pred, ga = loop_scann_apply(p, inputs, cfg, False, True)
+        return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+                + 0.1 * jnp.sum(ga ** 2))
+
+    l1, g1 = jax.value_and_grad(loss_ref)(params)
+    l2, g2 = jax.value_and_grad(loss_loop)(params)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(g2)[0]
+    assert len(flat1) == len(flat2)
+    for (p1, v1), (p2, v2) in zip(flat1, flat2):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        scale_ref = np.abs(np.asarray(v1)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), rtol=0, atol=2e-4 * scale_ref,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(p1)}")
+
+
+def test_loop_cgcnn_forward_matches_flax(rng):
+    """feature='cgcnn' (92-dim descriptor Dense embedding, reference
+    scann_model.py:363-365) through the loop forward == the flax model."""
+    cfg, inputs, model, params = _case(rng, cgcnn=True, L=2)
+    ref = model.apply(params, inputs, deterministic=True)
+    pred, ga = loop_scann_forward(params, inputs, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ref["ga_score"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow  # interpret-mode backward build
+def test_loop_cgcnn_backward_matches_jax_grad(rng):
+    """cgcnn gradients (embed_atom kernel/bias through the descriptor
+    matmul) from the loop backward == jax.grad through the flax model."""
+    cfg, inputs, model, params = _case(rng, cgcnn=True, L=2)
     y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))
 
     def loss_ref(p):
@@ -302,9 +347,10 @@ def test_sharded_loop_apply_matches_single_device(rng):
 def test_loop_gates():
     mp = ModelConfig(n_attention=9, local_dim=128, g_update=True)
     assert supports_loop(mp)
-    # ring is supported since round 3 (ptgp trains use_ring at M > 64)
+    # ring + cgcnn are supported since round 3 (ptgp trains use_ring at
+    # M > 64; cgcnn is the one remaining feature option)
     assert supports_loop(ModelConfig(use_ring=True))
-    assert not supports_loop(ModelConfig(feature="cgcnn"))
+    assert supports_loop(ModelConfig(feature="cgcnn"))
     assert not supports_loop(ModelConfig(use_drop=True))
     assert not supports_loop(ModelConfig(use_attn_norm=False))
     # mp2018 crystal buckets fit the loop kernels' VMEM model
