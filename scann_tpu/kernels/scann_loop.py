@@ -20,10 +20,13 @@ This module implements the same math (reference graph
   reverse walk needs them in reverse order; the PRNG only streams forward).
 
 One molecule per program (measured optimal — see ``pick_loop_fwd_tile``).
-Scope: atomic or cgcnn features, with or without ring/aromatic features —
-all published crystal-scale workflows (mp2018, smfe, ptgp) and the cgcnn
-option; only attention dropout (``use_drop``, set by no published config)
-falls back to XLA via ``supports_loop``.
+Scope: the full crystal-scale configuration matrix — atomic or cgcnn
+features, with or without ring/aromatic features, with or without attention
+dropout (``use_drop``). Attention dropout masks are NOT stashed (a
+``[L, M, N, H]`` scratch pads H to 128 lanes — ~14 MB at the MP2018 shape);
+instead the PRNG is RESEEDED per (molecule, layer) immediately before each
+draw, so the reverse walk replays the exact masks by reseeding — random
+access into the mask stream with zero storage.
 """
 
 from __future__ import annotations
@@ -46,6 +49,11 @@ from scann_tpu.kernels.scann_forward import (
     stack_layer_params,
 )
 from scann_tpu.ops.rbf import make_centers
+
+
+# PRNG stream tag separating the per-(molecule, layer) attention-dropout
+# draws from the molecule-stream embed/residual draws
+_ATTN_STREAM = 0x5CA
 
 
 def _mm(a, b):
@@ -107,9 +115,10 @@ def supports_loop(cfm: ModelConfig) -> bool:
     """Everything the crystal-scale path can need: atomic OR cgcnn features,
     with or without the ring/aromatic extra embedding (model_ptgp.yaml
     trains Pt/graphene with use_ring at M > 64, beyond the unrolled
-    kernels' reach). Only attention dropout (``use_drop``) falls back to
-    XLA — no published config sets it."""
-    return cfm.use_attn_norm and not cfm.use_drop
+    kernels' reach), with or without attention dropout (``use_drop``,
+    reference attention.py:115-116,191-192). Only ``use_attn_norm=False``
+    (no published config) falls back to XLA."""
+    return cfm.use_attn_norm
 
 
 def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
@@ -124,6 +133,10 @@ def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
     work = 18 * rnd                      # one reverse-iteration working set
     onehot = M * _pad8(N) * _pad128(M) * 4
     masks = (L + 1) * M * _pad128(D) * 4
+    if cfm.use_drop:
+        # attention-dropout transients ([M, N, H] mask + dropped attn;
+        # H pads to 128 lanes) — replayed by reseeding, never stashed
+        work += 3 * M * _pad8(N) * _pad128(cfm.num_head) * 4
     static = 2 * _param_bytes(cfm)
     return c_stash + g_stash + work + onehot + masks + static < budget_bytes
 
@@ -148,7 +161,8 @@ def _fwd_kernel(
     mask_scratch,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
-    use_ring: bool = False, cgcnn: bool = False, bf16: bool = False,
+    attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
+    bf16: bool = False,
 ):
     BT = atomic_ref.shape[0]  # molecules per program (eval tiling; train BT=1)
     M = atomic_ref.shape[1]
@@ -178,7 +192,7 @@ def _fwd_kernel(
 
     am = atom_mask_ref[...].reshape(R, 1)
     nmask = nmask_ref[...].reshape(R, N)
-    assert dropout_rate == 0.0 or BT == 1, \
+    assert (dropout_rate == 0.0 and attn_dropout == 0.0) or BT == 1, \
         "dropout (training) runs the loop forward at batch_tile=1"
 
     # dropout: per-molecule stream (seed + global molecule index), drawn
@@ -195,6 +209,22 @@ def _fwd_kernel(
         embed_mask = draw()
         for l in range(L):  # static unroll: PRNG draws need a fixed schedule
             mask_scratch[l] = draw()
+
+    if attn_dropout > 0.0:
+        a_keep = jnp.uint32(int((1.0 - attn_dropout) * (2 ** 32 - 1)))
+        a_inv = jnp.float32(1.0 / (1.0 - attn_dropout))
+
+        def attn_mask(l):
+            # reseed per (molecule, layer): random-access mask replay — the
+            # backward's reverse walk regenerates the same mask without any
+            # [L, M, N, H] stash (see module docstring). Mosaic caps
+            # prng_seed at 2 values, so the stream tag and layer fold into
+            # the second.
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0),
+                            _ATTN_STREAM + l)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((M, N, H)),
+                                 jnp.uint32)
+            return (bits < a_keep).astype(jnp.float32) * a_inv
 
     if not cgcnn:
         atomic = atomic_ref[...].reshape(R, 1)
@@ -274,6 +304,8 @@ def _fwd_kernel(
         energy = energy - jnp.max(energy, axis=1, keepdims=True)
         e = jnp.exp(energy)
         attn = e / jnp.sum(e, axis=1, keepdims=True)
+        if attn_dropout > 0.0:  # use_drop: dropout on the attention probs
+            attn = attn * attn_mask(l)
         a_lanes = dot3(attn, seg_expand)
         ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
         o1, _ = _ln_fwd(ctx + query, ln_s_ref[l], ln_b_ref[l])
@@ -345,7 +377,7 @@ def _bwd_kernel(
     c_stash, g_stash, mask_scratch,
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
-    use_ring: bool = False, cgcnn: bool = False,
+    attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
     bf16: bool = False, ct_from_target: bool = False, mrelu: bool = False,
 ):
     b = pl.program_id(0)
@@ -401,6 +433,18 @@ def _bwd_kernel(
         embed_mask = draw()
         for l in range(L):  # same fixed draw order as the forward kernel
             mask_scratch[l] = draw()
+
+    if attn_dropout > 0.0:
+        a_keep = jnp.uint32(int((1.0 - attn_dropout) * (2 ** 32 - 1)))
+        a_inv = jnp.float32(1.0 / (1.0 - attn_dropout))
+
+        def attn_mask(l):
+            # same (molecule, layer)-keyed reseed as the forward kernel:
+            # both the stash pass and the reverse walk replay exact masks
+            pltpu.prng_seed(seed_ref[0, 0] + b, _ATTN_STREAM + l)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((M, N, H)),
+                                 jnp.uint32)
+            return (bits < a_keep).astype(jnp.float32) * a_inv
 
     if not cgcnn:
         zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
@@ -472,7 +516,13 @@ def _bwd_kernel(
         energy = energy - jnp.max(energy, axis=1, keepdims=True)
         e = jnp.exp(energy)
         attn = e / jnp.sum(e, axis=1, keepdims=True)
-        a_lanes = dot3(attn, seg_expand)
+        if attn_dropout > 0.0:  # use_drop: dropout on the attention probs
+            amask = attn_mask(l)
+            attn_used = attn * amask
+        else:
+            amask = None
+            attn_used = attn
+        a_lanes = dot3(attn_used, seg_expand)
         ctx = jnp.sum(a_lanes * nmask[:, :, None] * key, axis=1)
         o1, (o_xhat, o_inv) = _ln_fwd(ctx + query, ln_s_ref[l], ln_b_ref[l])
         s1 = mm(o1, wr1_ref[l]) + br1_ref[l]
@@ -482,7 +532,7 @@ def _bwd_kernel(
             h2 = h2 * mask_scratch[l]
         c_out, (c_xhat, c_inv) = _ln_fwd(o1 + h2, rln_s_ref[l], rln_b_ref[l])
         acts = (ns, u_pre, geo_term, g_xhat, g_inv, key, query, attn,
-                o1, o_xhat, o_inv, s1, h1, c_xhat, c_inv)
+                attn_used, amask, o1, o_xhat, o_inv, s1, h1, c_xhat, c_inv)
         return c_out, g_out, acts
 
     def stash_body(l, carry):
@@ -580,7 +630,8 @@ def _bwd_kernel(
         c_in = c_stash[l]
         g_in = g_stash[l] if g_update else jnp.zeros((M, N, D), jnp.float32)
         (ns, u_pre, geo_term, g_xhat, g_inv, key, query, attn,
-         o1, o_xhat, o_inv, s1, h1, c_xhat, c_inv) = layer_fwd(l, c_in, g_in)[2]
+         attn_used, amask, o1, o_xhat, o_inv, s1, h1, c_xhat,
+         c_inv) = layer_fwd(l, c_in, g_in)[2]
 
         dsum, dgam, dbet = _ln_bwd(dc, c_xhat, c_inv, rln_s_ref[l])
         d_rln_s[l] = d_rln_s[l] + jnp.sum(dgam, axis=0)
@@ -600,12 +651,16 @@ def _bwd_kernel(
         dctx = dcq
         dquery = dcq
 
+        # ctx path uses the POST-dropout attention; the softmax backward
+        # runs on the PRE-dropout attention with dattn gated by the mask
         dctx3 = jnp.broadcast_to(dctx.reshape(M, 1, D), (M, N, D))
-        a_lanes = dot3(attn, seg_expand)
+        a_lanes = dot3(attn_used, seg_expand)
         nm3 = nmask[:, :, None]
         dal3 = dctx3 * nm3 * key
         dkey = dctx3 * a_lanes * nm3
         dattn = dot3(dal3, seg_sum)
+        if attn_dropout > 0.0:
+            dattn = dattn * amask
         de = attn * (dattn - jnp.sum(attn * dattn, axis=1, keepdims=True))
         dprod = dot3(de, seg_expand)
         qs = jnp.broadcast_to((query * dk_scale).reshape(M, 1, D), (M, N, D))
@@ -823,6 +878,8 @@ def loop_scann_forward(params, inputs, cfm: ModelConfig,
             _fwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
             rbf_width=0.25, dropout_rate=dropout_rate,
+            attn_dropout=(0.05 if (cfm.use_drop and dropout_rate > 0.0)
+                          else 0.0),
             use_ring=cfm.use_ring, cgcnn=(cfm.feature == "cgcnn"),
             bf16=(cfm.dtype == "bfloat16")),
         grid=(B // BT,),
@@ -877,7 +934,10 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
         functools.partial(
             _bwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
-            dropout_rate=dropout_rate, use_ring=cfm.use_ring,
+            dropout_rate=dropout_rate,
+            attn_dropout=(0.05 if (cfm.use_drop and dropout_rate > 0.0)
+                          else 0.0),
+            use_ring=cfm.use_ring,
             cgcnn=(cfm.feature == "cgcnn"),
             bf16=(cfm.dtype == "bfloat16"),
             ct_from_target=ct_from_target, mrelu=mrelu),

@@ -351,9 +351,119 @@ def test_loop_gates():
     # M > 64; cgcnn is the one remaining feature option)
     assert supports_loop(ModelConfig(use_ring=True))
     assert supports_loop(ModelConfig(feature="cgcnn"))
-    assert not supports_loop(ModelConfig(use_drop=True))
+    # use_drop fused since round 3 — completes the crystal config matrix
+    assert supports_loop(ModelConfig(use_drop=True))
     assert not supports_loop(ModelConfig(use_attn_norm=False))
+    # attention-dropout transients are budgeted but don't evict the
+    # crystal-scale buckets
+    assert fits_loop_vmem(ModelConfig(n_attention=9, local_dim=128,
+                                      g_update=True, use_drop=True),
+                          M=96, N=32)
     # mp2018 crystal buckets fit the loop kernels' VMEM model
     assert fits_loop_vmem(mp, M=96, N=32)
     assert fits_loop_vmem(mp, M=128, N=32)
     assert not fits_loop_vmem(mp, M=512, N=64)
+
+
+@pytest.mark.slow  # interpret-mode fwd + bwd builds with the in-kernel PRNG
+def test_loop_dropout_gradient_matches_finite_difference(rng):
+    """use_drop + training dropout through the LOOP kernels: with a fixed
+    seed the fused loss is a deterministic function of params; the
+    hand-written backward — which replays the residual masks from scratch
+    and the ATTENTION masks by per-(molecule, layer) reseeding, never
+    storing the latter — must match central finite differences. Catches any
+    forward/backward mask mismatch in either stream."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, inputs, model, params = _case(rng, B=2, M=8, N=4, L=2)
+    cfg = dataclasses.replace(cfg, use_drop=True)
+    y = jnp.asarray([0.3, -0.7], jnp.float32)
+
+    def loss(p):
+        pred, ga = loop_scann_apply(p, inputs, cfg, False, False, 0.1, 42)
+        return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+                + 0.05 * jnp.sum(ga ** 2))
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss)(params)
+        flat_p, tree = jax.tree_util.tree_flatten(params)
+        flat_g = jax.tree_util.tree_leaves(g)
+        dirs = [np.asarray(rng.normal(size=x.shape), np.float32)
+                for x in flat_p]
+        gn = float(np.sqrt(sum(np.sum(d * d) for d in dirs)))
+        dirs = [d / gn for d in dirs]  # keep the FD step in the linear regime
+        eps = 1e-2
+        plus = jax.tree_util.tree_unflatten(
+            tree, [x + eps * d for x, d in zip(flat_p, dirs)])
+        minus = jax.tree_util.tree_unflatten(
+            tree, [x - eps * d for x, d in zip(flat_p, dirs)])
+        fd = (float(loss(plus)) - float(loss(minus))) / (2 * eps)
+    analytic = float(sum(np.sum(np.asarray(gg) * d)
+                         for gg, d in zip(flat_g, dirs)))
+    assert fd == pytest.approx(analytic, rel=2e-2, abs=1e-4)
+
+
+@pytest.mark.slow  # interpret-mode builds
+def test_loop_use_drop_eval_matches_flax(rng):
+    """A use_drop config at EVAL (dropout off) must still match the flax
+    model exactly — the mask machinery must be fully inert when
+    dropout_rate == 0."""
+    import dataclasses
+
+    cfg, inputs, model, params = _case(rng, L=2)
+    cfg = dataclasses.replace(cfg, use_drop=True)
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    ref = model.apply(params, inputs, deterministic=True)
+    pred, ga = loop_scann_forward(params, inputs, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ref["ga_score"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow  # interpret-mode builds with the in-kernel PRNG
+def test_loop_use_drop_train_grads_consistent(rng):
+    """One-shot training with use_drop: the emitted pred equals the
+    standalone dropout forward at the same seed (fwd and one-shot bwd draw
+    identical masks), and the raw grads scaled by 1/(B*rmse) equal jax.grad
+    through loop_scann_apply at that seed."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scann_tpu.kernels.scann_loop import loop_scann_train_grads
+
+    cfg, inputs, model, params = _case(rng, B=2, M=8, N=4, L=2)
+    cfg = dataclasses.replace(cfg, use_drop=True)
+    y = jnp.asarray([0.3, -0.7], jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        pred, raw = loop_scann_train_grads(params, inputs, y, cfg,
+                                           dropout_rate=0.1, dropout_seed=42)
+        pf, _ = loop_scann_forward(params, inputs, cfg, dropout_rate=0.1,
+                                   dropout_seed=42)
+
+        def loss(p):
+            pr, _ = loop_scann_apply(p, inputs, cfg, False, False, 0.1, 42)
+            return jnp.sqrt(jnp.mean((pr[:, 0] - y) ** 2))
+
+        ref_loss, ref_g = jax.value_and_grad(loss)(params)
+
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pf),
+                               rtol=1e-6, atol=1e-7)
+    rmse = float(jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2)))
+    assert rmse == pytest.approx(float(ref_loss), rel=1e-6)
+    scale = 1.0 / (y.shape[0] * rmse)
+    flat_ref = jax.tree_util.tree_flatten_with_path(
+        ref_g.get("params", ref_g))[0]
+    flat_raw = jax.tree_util.tree_flatten_with_path(raw)[0]
+    assert len(flat_ref) == len(flat_raw)
+    for (p1, v1), (p2, v2) in zip(flat_ref, flat_raw):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        s = np.abs(np.asarray(v1)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v2) * scale, np.asarray(v1), rtol=0, atol=2e-5 * s,
+            err_msg=f"raw-grad mismatch at {jax.tree_util.keystr(p1)}")

@@ -111,6 +111,29 @@ def main():
     checks.append(("fwd/bwd mask consistency (FD)",
                    abs(fd - an) / max(abs(fd), 1e-9) < 2e-2))
 
+    # --- LOOP kernels (crystal path), use_drop: the attention masks are
+    # replayed by per-(molecule, layer) PRNG reseeding, a mechanism the
+    # interpreter cannot exercise faithfully (its PRNG is seed-insensitive);
+    # verify on hardware that the standalone dropout forward and the
+    # one-shot train kernel draw identical masks, and that seeds are live.
+    from scann_tpu.kernels.scann_loop import (
+        loop_scann_forward,
+        loop_scann_train_grads,
+    )
+
+    pred_t, raw = loop_scann_train_grads(params, inputs, y, cfg,
+                                         dropout_rate=0.1, dropout_seed=42)
+    pred_f, _ = loop_scann_forward(params, inputs, cfg, dropout_rate=0.1,
+                                   dropout_seed=42)
+    pred_f2, _ = loop_scann_forward(params, inputs, cfg, dropout_rate=0.1,
+                                    dropout_seed=7)
+    checks.append(("loop fwd/train mask replay (same seed)",
+                   d(pred_t, pred_f) < 1e-5))
+    checks.append(("loop seed sensitive", d(pred_f, pred_f2) > 1e-3))
+    checks.append(("loop grads finite",
+                   all(bool(np.all(np.isfinite(np.asarray(leaf))))
+                       for leaf in jax.tree.leaves(raw))))
+
     for name, passed in checks:
         print(f"{'PASS' if passed else 'FAIL'}  {name}")
         ok = ok and passed
