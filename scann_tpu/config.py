@@ -15,6 +15,18 @@ from typing import Any, Optional
 import yaml
 
 
+# Reference ``use_drop``: Dropout(0.05) on the post-softmax attention
+# probabilities, training only (reference attention.py:115-116,191-192).
+# Single source of truth for every kernel family and the flax model.
+ATTN_DROPOUT_RATE = 0.05
+
+
+def attn_dropout_rate(model_cfg, dropout_rate: float) -> float:
+    """Attention-dropout rate active for a step (0 at eval / use_drop off)."""
+    return (ATTN_DROPOUT_RATE
+            if (model_cfg.use_drop and dropout_rate > 0.0) else 0.0)
+
+
 def _noneify(v):
     """Reference YAMLs use "" for unset sizes (e.g. train_size: "")."""
     if v == "" or v is None:

@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scann_tpu.config import ModelConfig
+from scann_tpu.config import ModelConfig, attn_dropout_rate
 from scann_tpu.kernels.scann_forward import (
     fused_scann_forward,
     stack_layer_params,
@@ -612,7 +612,7 @@ def _fused_grad_impl(params: dict, inputs: dict, cfm: ModelConfig,
             _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
             dropout_rate=dropout_rate,
-            attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
+            attn_dropout=attn_dropout_rate(cfm, dropout_rate),
             use_ring=cfm.use_ring, cgcnn=cgcnn,
             ct_from_target=ct_from_target, mrelu=mrelu,
             bf16=(cfm.dtype == "bfloat16"),

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scann_tpu.config import ModelConfig
+from scann_tpu.config import ModelConfig, attn_dropout_rate
 from scann_tpu.ops.activations import swish
 from scann_tpu.ops.rbf import make_centers
 
@@ -726,9 +726,7 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
             _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
             rbf_width=0.25, dropout_rate=dropout_rate,
-            # reference use_drop: Dropout(0.05) on the attention weights,
-            # training only (attention.py:115-116)
-            attn_dropout=0.05 if (cfm.use_drop and dropout_rate > 0.0) else 0.0,
+            attn_dropout=attn_dropout_rate(cfm, dropout_rate),
             use_ring=cfm.use_ring, cgcnn=cgcnn,
             bf16=(cfm.dtype == "bfloat16"),
         ),

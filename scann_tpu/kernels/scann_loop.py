@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scann_tpu.config import ModelConfig
+from scann_tpu.config import ModelConfig, attn_dropout_rate
 from scann_tpu.kernels.scann_forward import (
     VMEM_BUDGET_BYTES,
     _pad8,
@@ -141,6 +141,25 @@ def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
     return c_stash + g_stash + work + onehot + masks + static < budget_bytes
 
 
+
+def _make_attn_mask(mol_seed, M, N, H, attn_dropout):
+    """Per-(molecule, layer) attention-dropout mask generator, SHARED by the
+    forward and backward kernels: the replay scheme requires both to reseed
+    and draw identically, which this factory enforces by construction
+    (random-access mask replay, no [L, M, N, H] stash — see module
+    docstring). Mosaic caps prng_seed at 2 values, so the stream tag and
+    layer fold into the second seed word."""
+    a_keep = jnp.uint32(int((1.0 - attn_dropout) * (2 ** 32 - 1)))
+    a_inv = jnp.float32(1.0 / (1.0 - attn_dropout))
+
+    def attn_mask(l):
+        pltpu.prng_seed(mol_seed, _ATTN_STREAM + l)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((M, N, H)), jnp.uint32)
+        return (bits < a_keep).astype(jnp.float32) * a_inv
+
+    return attn_mask
+
+
 # ---------------------------------------------------------------------------
 # forward kernel (one molecule per program; fori_loop over layers)
 # ---------------------------------------------------------------------------
@@ -211,20 +230,8 @@ def _fwd_kernel(
             mask_scratch[l] = draw()
 
     if attn_dropout > 0.0:
-        a_keep = jnp.uint32(int((1.0 - attn_dropout) * (2 ** 32 - 1)))
-        a_inv = jnp.float32(1.0 / (1.0 - attn_dropout))
-
-        def attn_mask(l):
-            # reseed per (molecule, layer): random-access mask replay — the
-            # backward's reverse walk regenerates the same mask without any
-            # [L, M, N, H] stash (see module docstring). Mosaic caps
-            # prng_seed at 2 values, so the stream tag and layer fold into
-            # the second.
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0),
-                            _ATTN_STREAM + l)
-            bits = pltpu.bitcast(pltpu.prng_random_bits((M, N, H)),
-                                 jnp.uint32)
-            return (bits < a_keep).astype(jnp.float32) * a_inv
+        attn_mask = _make_attn_mask(seed_ref[0, 0] + pl.program_id(0),
+                                    M, N, H, attn_dropout)
 
     if not cgcnn:
         atomic = atomic_ref[...].reshape(R, 1)
@@ -435,16 +442,9 @@ def _bwd_kernel(
             mask_scratch[l] = draw()
 
     if attn_dropout > 0.0:
-        a_keep = jnp.uint32(int((1.0 - attn_dropout) * (2 ** 32 - 1)))
-        a_inv = jnp.float32(1.0 / (1.0 - attn_dropout))
-
-        def attn_mask(l):
-            # same (molecule, layer)-keyed reseed as the forward kernel:
-            # both the stash pass and the reverse walk replay exact masks
-            pltpu.prng_seed(seed_ref[0, 0] + b, _ATTN_STREAM + l)
-            bits = pltpu.bitcast(pltpu.prng_random_bits((M, N, H)),
-                                 jnp.uint32)
-            return (bits < a_keep).astype(jnp.float32) * a_inv
+        # same (molecule, layer)-keyed reseed as the forward kernel: the
+        # stash pass and the reverse walk replay exact masks
+        attn_mask = _make_attn_mask(seed_ref[0, 0] + b, M, N, H, attn_dropout)
 
     if not cgcnn:
         zcols = jax.lax.broadcasted_iota(jnp.int32, (M, vocab), dimension=1)
@@ -878,8 +878,7 @@ def loop_scann_forward(params, inputs, cfm: ModelConfig,
             _fwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, mrelu=mrelu_head,
             rbf_width=0.25, dropout_rate=dropout_rate,
-            attn_dropout=(0.05 if (cfm.use_drop and dropout_rate > 0.0)
-                          else 0.0),
+            attn_dropout=attn_dropout_rate(cfm, dropout_rate),
             use_ring=cfm.use_ring, cgcnn=(cfm.feature == "cgcnn"),
             bf16=(cfm.dtype == "bfloat16")),
         grid=(B // BT,),
@@ -935,8 +934,7 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
             _bwd_kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
             g_update=cfm.g_update, ga_norm=cfm.use_ga_norm, rbf_width=0.25,
             dropout_rate=dropout_rate,
-            attn_dropout=(0.05 if (cfm.use_drop and dropout_rate > 0.0)
-                          else 0.0),
+            attn_dropout=attn_dropout_rate(cfm, dropout_rate),
             use_ring=cfm.use_ring,
             cgcnn=(cfm.feature == "cgcnn"),
             bf16=(cfm.dtype == "bfloat16"),

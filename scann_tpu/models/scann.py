@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scann_tpu.config import ModelConfig
+from scann_tpu.config import ATTN_DROPOUT_RATE, ModelConfig
 from scann_tpu.ops.activations import mrelu, swish
 from scann_tpu.ops.attention import global_attention_core
 from scann_tpu.ops.rbf import gaussian_expansion, make_centers
@@ -143,7 +143,7 @@ class LocalAttention(nn.Module):
         rate = 0.0
         if self.dropout and not deterministic:
             drop_rng = self.make_rng("dropout")
-            rate = 0.05
+            rate = ATTN_DROPOUT_RATE
 
         weight_in = None if neighbor_weight is None else neighbor_weight[..., 0]
         if self.use_pallas and rate == 0.0:

@@ -371,8 +371,14 @@ def test_loop_dropout_gradient_matches_finite_difference(rng):
     seed the fused loss is a deterministic function of params; the
     hand-written backward — which replays the residual masks from scratch
     and the ATTENTION masks by per-(molecule, layer) reseeding, never
-    storing the latter — must match central finite differences. Catches any
-    forward/backward mask mismatch in either stream."""
+    storing the latter — must match central finite differences.
+
+    SCOPE: the TPU interpreter's PRNG is a stub (seed-insensitive, constant
+    bits), so under it every mask degenerates to a uniform 1/keep scale —
+    this test verifies the dropout SCALING and backward algebra, but cannot
+    catch reseed-keying bugs (e.g. a dropped `+ l`). The authoritative
+    replay checks run on hardware: tools/tpu_checks.py (per-layer mask
+    distinctness, replay determinism, loop-family finite difference)."""
     import dataclasses
 
     from jax.experimental.pallas import tpu as pltpu
@@ -429,7 +435,9 @@ def test_loop_use_drop_train_grads_consistent(rng):
     """One-shot training with use_drop: the emitted pred equals the
     standalone dropout forward at the same seed (fwd and one-shot bwd draw
     identical masks), and the raw grads scaled by 1/(B*rmse) equal jax.grad
-    through loop_scann_apply at that seed."""
+    through loop_scann_apply at that seed. (Same interpreter-PRNG scope
+    caveat as the FD test above — hardware replay is proven by
+    tools/tpu_checks.py.)"""
     import dataclasses
 
     from jax.experimental.pallas import tpu as pltpu

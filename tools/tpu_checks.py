@@ -16,7 +16,10 @@ dropout-critical checks on an actual TPU:
 Usage: python tools/tpu_checks.py   (needs a TPU backend)
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -133,6 +136,53 @@ def main():
     checks.append(("loop grads finite",
                    all(bool(np.all(np.isfinite(np.asarray(leaf))))
                        for leaf in jax.tree.leaves(raw))))
+
+    # direct mask probe: the per-(molecule, layer) reseed must key on the
+    # layer (distinct masks per layer) and be deterministic on replay —
+    # neither property is observable through the interpreter (its PRNG is a
+    # stub), so this is the authoritative check of the replay mechanism
+    from jax.experimental import pallas as pl
+    from scann_tpu.kernels.scann_loop import _make_attn_mask
+
+    def mask_probe(seed_ref, o0, o1, o0b):
+        f = _make_attn_mask(seed_ref[0, 0], 8, 8, 8, 0.1)
+        o0[...] = f(0)
+        o1[...] = f(1)
+        o0b[...] = f(0)   # reseed back to layer 0: must replay exactly
+
+    m0, m1, m0b = pl.pallas_call(
+        mask_probe,
+        out_shape=[jax.ShapeDtypeStruct((8, 8, 8), jnp.float32)] * 3,
+    )(jnp.full((1, 1), 42, jnp.int32))
+    checks.append(("loop per-layer masks distinct", d(m0, m1) > 0))
+    checks.append(("loop mask replay deterministic", d(m0, m0b) == 0.0))
+
+    # loop-family finite difference (same seed -> deterministic loss):
+    # catches any fwd/bwd mask divergence the replay scheme could hide
+    from scann_tpu.kernels.scann_loop import loop_scann_apply
+
+    def loop_loss(p):
+        pred, ga = loop_scann_apply(p, inputs, cfg, False, False, 0.1, 42)
+        return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
+                + 0.05 * jnp.sum(ga ** 2))
+
+    with jax.default_matmul_precision("highest"):
+        g = jax.grad(loop_loss)(params)
+        flat_p, tree = jax.tree_util.tree_flatten(params)
+        dirs = [np.asarray(rng.normal(size=np.shape(x)), np.float32)
+                for x in flat_p]
+        gn = np.sqrt(sum(float(np.sum(dd * dd)) for dd in dirs))
+        dirs = [dd / gn for dd in dirs]
+        eps = 1e-2
+        plus = jax.tree_util.tree_unflatten(
+            tree, [x + eps * dd for x, dd in zip(flat_p, dirs)])
+        minus = jax.tree_util.tree_unflatten(
+            tree, [x - eps * dd for x, dd in zip(flat_p, dirs)])
+        fd = (float(loop_loss(plus)) - float(loop_loss(minus))) / (2 * eps)
+    an = float(sum(np.sum(np.asarray(gg) * dd)
+                   for gg, dd in zip(jax.tree.leaves(g), dirs)))
+    checks.append(("loop fwd/bwd mask consistency (FD)",
+                   abs(fd - an) / max(abs(fd), 1e-9) < 2e-2))
 
     for name, passed in checks:
         print(f"{'PASS' if passed else 'FAIL'}  {name}")
