@@ -51,9 +51,32 @@ import numpy as np
 BASELINE_STRUCTURES_PER_SEC = 1500.0  # documented TF-GPU reference estimate
 
 
-def _ensure_backend():
+def _ensure_backend(init_timeout_s: float = 300.0):
     """The axon TPU plugin occasionally fails to register while
-    JAX_PLATFORMS=axon is set; fall back to auto-selection."""
+    JAX_PLATFORMS=axon is set; fall back to auto-selection.
+
+    A dead tunnel makes ``jax.devices()`` BLOCK forever rather than raise
+    (observed round 3), which would hang the driver — a watchdog emits an
+    honest zero-valued JSON line and exits instead."""
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(init_timeout_s):
+            print(json.dumps({
+                "metric": "train_structures_per_sec_per_chip_qm9_scann_plus",
+                "value": 0.0, "unit": "structures/s/chip",
+                "vs_baseline": 0.0,
+                "error": ("TPU backend init exceeded "
+                          f"{init_timeout_s:.0f}s — axon tunnel unreachable; "
+                          "no measurement taken")}))
+            sys.stdout.flush()
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
 
     try:
@@ -61,6 +84,7 @@ def _ensure_backend():
     except RuntimeError:
         jax.config.update("jax_platforms", "")
         jax.devices()
+    done.set()
 
 
 def run_case(cfg, S, M, N):
@@ -158,6 +182,7 @@ def main():
 
     out = {
         "metric": "train_structures_per_sec_per_chip_qm9_scann_plus",
+        "backend": jax.default_backend(),
         "value": round(qm9, 1),
         "unit": "structures/s/chip",
         "vs_baseline": round(qm9 / BASELINE_STRUCTURES_PER_SEC, 3),
