@@ -25,10 +25,38 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def hierarchical_order(devices: Sequence) -> list:
+    """Order devices slice-major for multi-slice (DCN-connected) topologies.
+
+    The ``data`` axis stays logically 1-D, but the DEVICE ORDER decides how
+    XLA decomposes the gradient all-reduce: with each slice's chips
+    contiguous along the axis, the reduction runs as slice-local
+    reduce-scatter/all-gather over ICI plus one small cross-slice exchange
+    over DCN — the hierarchical collective the scaling playbook prescribes —
+    instead of striding every hop across the slow inter-slice links.
+
+    Single-slice (or CPU/simulated) devices carry no ``slice_index``; the
+    order is then untouched. Deterministic: stable sort on
+    (slice_index, device id).
+    """
+    keyed = []
+    for i, d in enumerate(devices):
+        s = getattr(d, "slice_index", None)
+        keyed.append(((s if s is not None else 0, getattr(d, "id", i)), d))
+    keyed.sort(key=lambda kv: kv[0])
+    return [d for _, d in keyed]
+
+
 def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    """1-D data-parallel mesh over the first ``n_devices`` devices.
+
+    Devices are ordered slice-major (``hierarchical_order``) so that on
+    multi-slice deployments the flat ``data`` axis keeps slice-local blocks
+    contiguous and the all-reduce rides ICI within slices / DCN across.
+    """
     if devices is None:
         devices = jax.devices()
+    devices = hierarchical_order(devices)
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")

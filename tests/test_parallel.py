@@ -113,3 +113,40 @@ def test_batch_is_actually_sharded(tmp_path):
 @pytest.mark.slow
 def test_dryrun_multichip_entry():
     dryrun_multichip(8)
+
+
+class _FakeDev:
+    """Stand-in for a multi-slice TPU device (CPU devices have no
+    slice_index)."""
+
+    def __init__(self, id, slice_index=None):
+        self.id = id
+        if slice_index is not None:
+            self.slice_index = slice_index
+
+    def __repr__(self):
+        return f"dev(id={self.id}, slice={getattr(self, 'slice_index', None)})"
+
+
+def test_hierarchical_order_groups_slices():
+    """Multi-slice: the flat data axis must keep each slice's chips
+    contiguous (ICI-local blocks; one DCN hop between blocks), whatever
+    enumeration order the runtime hands back."""
+    from scann_tpu.parallel import hierarchical_order
+
+    # interleaved enumeration: 2 slices x 4 chips, runtime alternates slices
+    devs = [_FakeDev(id=i, slice_index=i % 2) for i in range(8)]
+    ordered = hierarchical_order(devs)
+    assert [d.slice_index for d in ordered] == [0] * 4 + [1] * 4
+    # deterministic within a slice: ascending device id
+    assert [d.id for d in ordered] == [0, 2, 4, 6, 1, 3, 5, 7]
+
+
+def test_hierarchical_order_single_slice_is_id_order():
+    from scann_tpu.parallel import hierarchical_order
+
+    devs = [_FakeDev(id=i) for i in (3, 0, 2, 1)]
+    assert [d.id for d in hierarchical_order(devs)] == [0, 1, 2, 3]
+    # real CPU devices: order by id, mesh still builds + trains (covered by
+    # every other test in this file through make_mesh)
+    assert [d.id for d in hierarchical_order(jax.devices())] == list(range(8))
