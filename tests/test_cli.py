@@ -73,6 +73,17 @@ def test_train_cli_eval_mode(workdir):
     train_main(["homo", "trained/model_homo/config.yaml", "--mode", "eval"])
 
 
+def test_train_cli_profile(workdir):
+    # --profile wraps training in jax.profiler and must leave a
+    # TensorBoard-loadable xplane trace behind (SURVEY §5.1)
+    import glob
+
+    train_main(["homo", "config.yaml", "--epochs", "1", "--profile", "prof"])
+    captured = glob.glob(
+        os.path.join("prof", "plugins", "profile", "*", "*.xplane.pb"))
+    assert captured and os.path.getsize(captured[0]) > 0
+
+
 def test_predict_files_cli(workdir, tmp_path):
     # all reference load_file input formats: xyz, CIF, molfile
     # (general.py:178-203, VERDICT round-1 gap #3)
