@@ -144,15 +144,69 @@ def compute_voronoi_neighbors(
             for f in facets
             if f[1] >= w_thresh and f[1] / max_w >= 0.2 and f[2] <= d_thresh
         ]
+        # canonical order — strongest facet first, then nearest, then index.
+        # The model is permutation-invariant over neighbors (masked sum), but
+        # a canonical order (a) decouples output from qhull's arbitrary ridge
+        # enumeration and (b) keeps the most important neighbors if a
+        # downstream bucket ever truncates the neighbor axis.
+        kept.sort(key=lambda r: (-r[2], r[4], r[1]))
         out.append(kept)
     return out
+
+
+def _solid_angles_batch(centers: np.ndarray, polys: np.ndarray) -> np.ndarray:
+    """Vectorized ``solid_angle`` over F facets of equal vertex count k:
+    ``centers`` [F, 3], ``polys`` [F, k, 3] -> [F] solid angles.
+
+    Same algorithm as the scalar function (plane-sort the vertices, then the
+    van Oosterom–Strackee triangle fan); facets whose leading normal
+    estimate degenerates (near-collinear first vertex pair — rare) are
+    recomputed through the scalar path with its full fallback scan.
+    """
+    v = polys - centers[:, None, :]                       # [F, k, 3]
+    rel = v - v.mean(axis=1, keepdims=True)
+    normal = _cross3(rel[:, 0], rel[:, 1])                # [F, 3]
+    nsq = np.einsum("ij,ij->i", normal, normal)
+    bad = nsq <= 1e-20                                    # scalar-path rescue
+    nn = np.sqrt(np.where(bad, 1.0, nsq))
+    normal = normal / nn[:, None]
+    u = rel[:, 0] - np.einsum("ij,ij->i", rel[:, 0], normal)[:, None] * normal
+    un = np.sqrt(np.einsum("ij,ij->i", u, u))
+    degen = un < 1e-12
+    u = u / np.where(degen, 1.0, un)[:, None]
+    w = _cross3(normal, u)
+    order = np.argsort(np.arctan2(np.einsum("ikj,ij->ik", rel, w),
+                                  np.einsum("ikj,ij->ik", rel, u)), axis=1)
+    vs = np.take_along_axis(v, order[:, :, None], axis=1)  # [F, k, 3]
+
+    # triangle fan (vs[0], vs[i], vs[i+1]), all facets and triangles at once
+    r1 = vs[:, 0]                                          # [F, 3]
+    r2 = vs[:, 1:-1]                                       # [F, t, 3]
+    r3 = vs[:, 2:]                                         # [F, t, 3]
+    n1 = np.sqrt(np.einsum("ij,ij->i", r1, r1))
+    n2 = np.sqrt(np.einsum("itj,itj->it", r2, r2))
+    n3 = np.sqrt(np.einsum("itj,itj->it", r3, r3))
+    d21 = np.einsum("itj,ij->it", r2, r1)
+    d31 = np.einsum("itj,ij->it", r3, r1)
+    d23 = np.einsum("itj,itj->it", r2, r3)
+    numer = np.abs(np.einsum("itj,ij->it", _cross3(r2, r3), r1))
+    denom = n1[:, None] * n2 * n3 + d21 * n3 + d31 * n2 + d23 * n1[:, None]
+    sa = 2.0 * np.sum(np.arctan2(numer, denom), axis=1)
+    sa = np.where(degen, 0.0, sa)
+
+    if bad.any():
+        for i in np.nonzero(bad)[0]:
+            sa[i] = solid_angle(centers[i], polys[i])
+    return sa
 
 
 def _voronoi_facets(home: np.ndarray, lattice: np.ndarray, n_home: int, cutoff: float):
     """All Voronoi facets of the home atoms.
 
     Returns per home atom a list of (neighbor_base_index, solid_angle,
-    distance) over every facet of its Voronoi cell.
+    distance) over every facet of its Voronoi cell. Solid angles are
+    evaluated in vectorized batches grouped by facet vertex count (the
+    scalar per-facet path was ~65% of featurization time).
     """
     na, nb, nc = _image_ranges(lattice, cutoff)
 
@@ -170,27 +224,75 @@ def _voronoi_facets(home: np.ndarray, lattice: np.ndarray, n_home: int, cutoff: 
     points = np.concatenate(points, axis=0)
     base_idx = np.concatenate(base_idx, axis=0)
 
+    # NOTE on a rejected optimization (measured round 3): pruning image
+    # points beyond ``cutoff`` of the home bounding box halves qhull time
+    # (the remaining featurization floor) but perturbs KEPT facet solid
+    # angles by up to ~1e-2 — far points shape the rim vertices of strong
+    # facets — which would break the Monte-Carlo oracle's validation of the
+    # true periodic Voronoi geometry. The full image shell stays.
+
     try:
         vor = Voronoi(points)
     except QhullError:
         vor = Voronoi(points, qhull_options="Qbb Qc Qz QJ")
 
+    # One evaluation task per (home atom, ridge) side. The whole ridge scan
+    # is vectorized: the ragged ridge_vertices list flattens once through a
+    # C-speed iterator, per-ridge length/min come from cumsum/reduceat, and
+    # polygons are gathered in batches grouped by vertex count. Task
+    # sequence numbers preserve the original per-ridge emission order
+    # (p side before q side), so the per-atom facet — and hence downstream
+    # neighbor — ORDER is identical to a scalar per-ridge walk.
+    rv = vor.ridge_vertices
+    R = len(rv)
+    if R == 0:
+        return [[] for _ in range(n_home)]
+    rp = vor.ridge_points
+    lens = np.fromiter(map(len, rv), np.int64, R)
+    total = int(lens.sum())
+    flat = np.fromiter(itertools.chain.from_iterable(rv), np.int64, total)
+    offsets = np.zeros(R, np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    # per-ridge min vertex id (-1 marks an unbounded ridge: image shell too
+    # thin for that pair; home-cell cells are closed by construction).
+    # reduceat segment starts must be < len(flat); rows with lens==0 (never
+    # observed from Qhull, guarded anyway) are excluded by the lens filter.
+    mins = np.minimum.reduceat(flat, np.minimum(offsets, total - 1))
+
+    p, q = rp[:, 0], rp[:, 1]
+    pside = p < n_home
+    qside = q < n_home
+    valid = (pside | qside) & (lens >= 3) & (mins >= 0)
+    vr = np.nonzero(valid)[0]
+    if len(vr) == 0:
+        return [[] for _ in range(n_home)]
+    vp = pside[vr]
+    vq = qside[vr]
+    counts = vp.astype(np.int64) + vq.astype(np.int64)
+    starts = np.zeros(len(vr), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+
+    # task arrays: p-side tasks first within each ridge
+    ridge_t = np.concatenate([vr[vp], vr[vq]])
+    center_t = np.concatenate([p[vr][vp], q[vr][vq]])
+    other_t = np.concatenate([q[vr][vp], p[vr][vq]])
+    seq_t = np.concatenate([starts[vp], (starts + vp)[vq]])
+
+    n_tasks = len(ridge_t)
+    sa_all = np.empty(n_tasks, np.float64)
+    dist_all = np.linalg.norm(points[center_t] - points[other_t], axis=1)
+    ks = lens[ridge_t]
+    for k in np.unique(ks):
+        m = ks == k
+        vid = flat[offsets[ridge_t[m]][:, None] + np.arange(k)]
+        sa_all[m] = _solid_angles_batch(points[center_t[m]],
+                                        vor.vertices[vid])
+
+    order = np.argsort(seq_t, kind="stable")
     facets = [[] for _ in range(n_home)]
-    for (p, q), vidx in zip(vor.ridge_points, vor.ridge_vertices):
-        if p >= n_home and q >= n_home:
-            continue
-        if -1 in vidx or len(vidx) < 3:
-            # unbounded ridge: can only happen if the image shell is too thin
-            # for this pair; home-cell cells are closed by construction
-            continue
-        poly = vor.vertices[vidx]
-        dist = float(np.linalg.norm(points[p] - points[q]))
-        if p < n_home:
-            sa = solid_angle(points[p], poly)
-            if sa > 0:
-                facets[p].append((int(base_idx[q]), sa, dist))
-        if q < n_home:
-            sa = solid_angle(points[q], poly)
-            if sa > 0:
-                facets[q].append((int(base_idx[p]), sa, dist))
+    for t in order:
+        sa = sa_all[t]
+        if sa > 0:
+            facets[center_t[t]].append(
+                (int(base_idx[other_t[t]]), float(sa), float(dist_all[t])))
     return facets

@@ -99,6 +99,17 @@ class TestVoronoiNeighbors:
         assert isinstance(rec[1], int)
         assert all(isinstance(x, float) for x in rec[2:])
 
+    def test_canonical_neighbor_order(self):
+        # per-atom records are sorted strongest-facet-first (then nearest,
+        # then index) — independent of qhull's arbitrary ridge enumeration
+        rng = np.random.default_rng(3)
+        lat = np.diag(rng.uniform(7, 11, 3))
+        s = Structure(["Si"] * 20 + ["O"] * 20,
+                      rng.uniform(0, 1, (40, 3)) @ lat, lattice=lat)
+        for recs in compute_voronoi_neighbors(s, d_thresh=4.0, w_thresh=0.4):
+            keys = [(-r[2], r[4], r[1]) for r in recs]
+            assert keys == sorted(keys)
+
 
 class TestStructure:
     def test_xyz_roundtrip(self, tmp_path):
