@@ -143,12 +143,21 @@ class Scann:
 
     # --- checkpoint loading ---------------------------------------------------
 
-    def load_pretrained(self, path: str):
-        """Load a reference Keras H5 file or an orbax checkpoint directory."""
+    def load_pretrained(self, path: str, with_optimizer: bool = False):
+        """Load a reference Keras H5 file or an orbax checkpoint directory.
+
+        ``with_optimizer=True`` additionally restores the Adam slot
+        variables + iteration counter from a FULL-model reference H5 (the
+        reference's ModelCheckpoint format), so training continues
+        mid-flight on the same optimizer trajectory.
+        """
         if path.endswith(".h5") or path.endswith(".hdf5"):
-            from scann_tpu.compat import load_h5_params
+            from scann_tpu.compat import load_h5_optimizer, load_h5_params
 
             self.trainer.load_params(load_h5_params(path, self.config.model))
+            if with_optimizer:
+                count, mu, nu = load_h5_optimizer(path, self.config.model)
+                self.trainer.load_optimizer(count, mu, nu)
         else:
             # orbax directory: need a state skeleton first
             example = self._example_inputs()

@@ -1,1 +1,5 @@
-from scann_tpu.compat.h5_loader import load_h5_params, save_h5_weights  # noqa: F401
+from scann_tpu.compat.h5_loader import (  # noqa: F401
+    load_h5_optimizer,
+    load_h5_params,
+    save_h5_weights,
+)

@@ -111,13 +111,25 @@ def _collect(group) -> Dict[str, np.ndarray]:
 
 
 def _load_full_model(mw, config: ModelConfig) -> dict:
-    params = {}
-    layer_names = list(mw.keys())
+    layer_flats = {}
+    for name in mw.keys():
+        # weights live under <layer>/<inner paths>; the top inner group
+        # repeats the layer name for self-built layers
+        flat = _collect(mw[name])
+        if flat:
+            layer_flats[name] = {k.split(":")[0]: v for k, v in flat.items()}
+    return _map_layer_flats(layer_flats, config)
 
-    def flat_of(layer_name):
-        # weights live under <layer>/<inner paths>; the top inner group repeats
-        # the layer name for self-built layers
-        return _collect(mw[layer_name])
+
+def _map_layer_flats(layer_flats: dict, config: ModelConfig) -> dict:
+    """Map {keras layer name: {inner var path: array}} onto the flax pytree.
+
+    Shared by the weight loader (groups come from the H5 ``model_weights``
+    layout) and the optimizer-state loader (groups reconstructed from
+    ``optimizer_weights`` slot-variable names).
+    """
+    params = {}
+    layer_names = list(layer_flats.keys())
 
     # Keras layer-name counters are GLOBAL per session: an H5 saved from the
     # second model built in one process carries names like
@@ -133,10 +145,7 @@ def _load_full_model(mw, config: ModelConfig) -> dict:
     rn_rank = _rank_map("residual_norm")
 
     for name in layer_names:
-        flat = flat_of(name)
-        if not flat:
-            continue
-        flat = {k.split(":")[0]: v for k, v in flat.items()}  # strip ':0'
+        flat = layer_flats[name]
 
         if name.startswith("embed_atom"):
             emb = [v for k, v in flat.items() if k.endswith("embeddings")]
@@ -209,6 +218,97 @@ def _residual_norm_params(flat) -> dict:
         "dense_2": _dense(denses[1]["kernel"], denses[1]["bias"]),
         "layer_norm": _ln(ln["gamma"], ln["beta"]),
     }
+
+
+# --- optimizer state from full-model H5 --------------------------------------
+
+def load_h5_optimizer(path: str, config: ModelConfig):
+    """Adam slot variables from a reference full-model H5 checkpoint.
+
+    The reference's ModelCheckpoint saves the WHOLE model (weights +
+    optimizer, reference scann_model.py:165-177), so a training run can be
+    migrated mid-flight: ``load_h5_params`` restores the weights and this
+    restores the Adam state. Returns ``(iterations, mu, nu)`` where mu/nu
+    mirror the flax param pytree (same mapping machinery as the weights).
+
+    Keras legacy-Adam H5 layout (verified on tf_keras-generated fixtures):
+    ``optimizer_weights/Adam/{m,v}/<trainable variable name>:0`` plus a
+    scalar ``iteration(s)``/``iter`` counter. Bias-correction semantics
+    line up: after k reference steps ``iterations == k``, and optax's
+    ``scale_by_adam`` with ``count == k`` applies t = k+1 on the next step,
+    exactly like Keras.
+    """
+    with h5py.File(path, "r") as f:
+        if "optimizer_weights" not in f:
+            raise ValueError(
+                f"{path}: no optimizer_weights group — the H5 was saved "
+                "weights-only; train state cannot be migrated (load weights "
+                "only via load_h5_params)")
+        flat = {k.split(":")[0]: np.asarray(v)
+                for k, v in _collect(f["optimizer_weights"]).items()}
+
+    # Two slot layouts exist in the wild: the Keras-2.10-era publisher
+    # layout "Adam/m/<var path>" (slot segment SECOND) and the tf_keras
+    # legacy-Adam layout "Adam/<var path>/m" (slot segment LAST).
+    count = None
+    slots = {"m": {}, "v": {}}
+    for k, arr in flat.items():
+        segs = k.split("/")
+        if re.fullmatch(r"iter(ation)?s?", segs[-1]):
+            count = int(arr)
+            continue
+        if segs[-1] in ("m", "v") and len(segs) >= 3:
+            slots[segs[-1]]["/".join(segs[1:-1])] = arr
+            continue
+        for i, s in enumerate(segs[:-1]):
+            if s in ("m", "v"):
+                slots[s]["/".join(segs[i + 1:])] = arr
+                break
+        # anything else (e.g. a serialized learning_rate variable) is ignored
+    if count is None:
+        raise ValueError(f"{path}: optimizer_weights has no iteration counter")
+    if not slots["m"] or not slots["v"]:
+        raise ValueError(
+            f"{path}: optimizer_weights has no m/v slot variables "
+            f"(found {sorted(flat)[:5]}...) — unsupported optimizer layout")
+
+    mu = _map_layer_flats(_slot_layer_flats(slots["m"]), config)
+    nu = _map_layer_flats(_slot_layer_flats(slots["v"]), config)
+    return count, mu, nu
+
+
+def _slot_layer_flats(slot_paths: dict) -> dict:
+    """Group Adam slot-variable paths into the per-layer flats that
+    ``_map_layer_flats`` expects.
+
+    Named layers carry their prefix ("local_attention_2/query/kernel");
+    ResidualNorm's two inner Dense layers are UNNAMED and appear with bare
+    global counters ("dense_7/kernel"). Global Dense counters follow
+    creation order — two per ResidualNorm, in residual_norm counter order —
+    so the 2i/2i+1-th bare dense (by counter rank) belong to the i-th
+    residual_norm (by counter rank).
+    """
+    named = {}
+    bare = {}
+    for path, arr in slot_paths.items():
+        head, _, rest = path.partition("/")
+        if re.fullmatch(r"dense(_\d+)?", head):
+            bare.setdefault(head, {})[path] = arr
+        else:
+            named.setdefault(head, {})[rest or head] = arr
+
+    rn_names = sorted(
+        (n for n in named if re.fullmatch(r"residual_norm(_\d+)?", n)),
+        key=lambda n: _suffix_num(n, "residual_norm"))
+    bare_names = sorted(bare, key=lambda n: _suffix_num(n, "dense"))
+    if len(bare_names) != 2 * len(rn_names):
+        raise ValueError(
+            f"cannot place {len(bare_names)} anonymous Dense slot groups "
+            f"onto {len(rn_names)} ResidualNorm layers (expected 2 each)")
+    for i, rn in enumerate(rn_names):
+        for dname in bare_names[2 * i: 2 * i + 2]:
+            named[rn].update(bare[dname])
+    return named
 
 
 # --- weights-only H5 (Keras 3 save_weights: layers/<name>/vars/...) ----------

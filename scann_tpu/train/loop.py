@@ -143,6 +143,36 @@ class Trainer:
                                 step=jnp.zeros((), jnp.int32))
         return self.state
 
+    def load_optimizer(self, count: int, mu: Any, nu: Any):
+        """Install externally-loaded Adam state (reference H5 migration).
+
+        ``mu``/``nu`` must mirror the params pytree (compat.load_h5_optimizer
+        produces them); ``count`` becomes both the Adam bias-correction
+        counter and the step counter that drives the reference's
+        inverse-time lr decay — a run moved over mid-training continues on
+        the same lr trajectory.
+        """
+        if self.state is None:
+            raise RuntimeError("load params before the optimizer state "
+                               "(Trainer.load_params / init_state)")
+        base = self.tx.init(self.state.params)
+        try:
+            new_mu = jax.tree.map(lambda r, v: jnp.asarray(v, r.dtype),
+                                  base.mu, mu)
+            new_nu = jax.tree.map(lambda r, v: jnp.asarray(v, r.dtype),
+                                  base.nu, nu)
+        except ValueError as e:
+            raise ValueError(
+                f"optimizer slot pytree does not match the model params: {e}"
+            ) from e
+        opt_state = base._replace(count=jnp.asarray(count, base.count.dtype),
+                                  mu=jax.device_put(new_mu, self._repl),
+                                  nu=jax.device_put(new_nu, self._repl))
+        self.state = TrainState(params=self.state.params,
+                                opt_state=opt_state,
+                                step=jnp.asarray(count, jnp.int32))
+        return self.state
+
     # --- jitted steps --------------------------------------------------------
 
     def _batch_fits_fused(self, batch) -> bool:
