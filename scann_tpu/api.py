@@ -288,6 +288,28 @@ class Scann:
         self._require_state("predict_data")
         return self.trainer.predict(buckets, with_ga=with_ga)
 
+    def _featurize_executor(self, n: int):
+        """Persistent spawn-context featurization pool (created lazily,
+        resized on demand). Spawn, not fork: forking a process that has
+        initialized JAX's thread pools risks deadlock."""
+        if getattr(self, "_feat_pool", None) is not None:
+            if self._feat_pool_size == n:
+                return self._feat_pool
+            self._feat_pool.shutdown(wait=False)
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        self._feat_pool = ProcessPoolExecutor(
+            n, mp_context=mp.get_context("spawn"))
+        self._feat_pool_size = n
+        return self._feat_pool
+
+    def close(self):
+        """Release resources held by this handle (the featurization pool)."""
+        if getattr(self, "_feat_pool", None) is not None:
+            self._feat_pool.shutdown(wait=True)
+            self._feat_pool = None
+
     def _require_state(self, what: str):
         """Misuse guard: raise an actionable error instead of an
         AttributeError on ``trainer.state.params`` (VERDICT r2 weak #7)."""
@@ -332,20 +354,17 @@ class Scann:
         kw = dict(d_t=d_t, w_t=w_t, angle=cfm.g_update, use_ring=cfm.use_ring,
                   feature=cfm.feature)
         if featurize_pool > 1:
-            # spawn (not fork): forking a process that has initialized JAX's
-            # thread pools risks deadlock; spawn pays a ~seconds child
-            # startup, amortized over large request streams. Featurization
-            # (host-side Voronoi, ~tens of ms/structure/core) dominates
-            # serving latency — the device forward is microseconds per
-            # structure — so the pool is the serving-throughput knob.
-            import multiprocessing as mp
-            from concurrent.futures import ProcessPoolExecutor
+            # Featurization (host-side Voronoi, ~tens of ms/structure/core)
+            # dominates serving latency — the device forward is microseconds
+            # per structure — so the pool is the serving-throughput knob.
+            # The executor PERSISTS on this Scann (spawn startup costs
+            # seconds; a per-call pool would erase the win for the batched
+            # serving worker, which calls this once per coalesced batch).
             from functools import partial
 
-            with ProcessPoolExecutor(
-                    featurize_pool, mp_context=mp.get_context("spawn")) as ex:
-                all_inputs = list(ex.map(partial(prepare_input, **kw), structs,
-                                         chunksize=16))
+            ex = self._featurize_executor(featurize_pool)
+            all_inputs = list(ex.map(partial(prepare_input, **kw), structs,
+                                     chunksize=4))
         else:
             all_inputs = [prepare_input(s, **kw) for s in structs]
 

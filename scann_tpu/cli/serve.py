@@ -18,12 +18,17 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8421)
     parser.add_argument("--max-batch", type=int, default=64)
     parser.add_argument("--window-ms", type=float, default=5.0)
+    parser.add_argument("--featurize-pool", type=int, default=0,
+                        help="featurize coalesced batches across N worker "
+                             "processes (host Voronoi dominates serving "
+                             "latency; use ~the host's core count)")
     args = parser.parse_args(argv)
 
     from scann_tpu.serve import BatchedPredictor, PredictionServer
 
     predictor = BatchedPredictor.from_model_dir(
-        args.model_dir, max_batch=args.max_batch, window_ms=args.window_ms)
+        args.model_dir, max_batch=args.max_batch, window_ms=args.window_ms,
+        featurize_pool=args.featurize_pool)
     server = PredictionServer(predictor, host=args.host, port=args.port)
     try:
         server.serve_forever()

@@ -58,10 +58,14 @@ class BatchedPredictor:
     """
 
     def __init__(self, scann, max_batch: int = 64, window_ms: float = 5.0,
-                 max_pending: int = 256):
+                 max_pending: int = 256, featurize_pool: int = 0):
         self.scann = scann
         self.max_batch = max_batch
         self.window_ms = window_ms
+        # >1: featurize each coalesced batch across a persistent process
+        # pool (host Voronoi dominates serving latency; the pool lives on
+        # the Scann handle and amortizes its spawn cost over the stream)
+        self.featurize_pool = featurize_pool
         # bounded queue = backpressure: when the device can't keep up,
         # callers get an immediate Overloaded instead of unbounded latency
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_pending)
@@ -139,7 +143,8 @@ class BatchedPredictor:
                 continue
             structs = [s for r in reqs for s in r.structs]
             try:
-                results = self.scann.predict_structures(structs)
+                results = self.scann.predict_structures(
+                    structs, featurize_pool=self.featurize_pool)
             except Exception:
                 # One bad structure (e.g. a degenerate geometry failing
                 # Voronoi tessellation) must not fail every coalesced
@@ -147,7 +152,8 @@ class BatchedPredictor:
                 # offending one errors.
                 for r in reqs:
                     try:
-                        r.result = self.scann.predict_structures(r.structs)
+                        r.result = self.scann.predict_structures(
+                            r.structs, featurize_pool=self.featurize_pool)
                     except Exception as e:
                         r.error = e
                     r.event.set()

@@ -296,3 +296,27 @@ def test_http_load_concurrent_clients(scann):
             assert json.loads(r.read())["status"] == "ok"
     finally:
         server.shutdown()
+
+
+def test_featurize_pool_matches_serial(scann):
+    """Pooled featurization (persistent spawn-context executor) must give
+    the same predictions as the in-process path, and the executor must be
+    REUSED across calls (a per-call pool would pay seconds of spawn per
+    coalesced batch)."""
+    serial = scann.predict_structures([WATER, CO, WATER])
+    pooled = scann.predict_structures([WATER, CO, WATER], featurize_pool=2)
+    ex_first = scann._feat_pool
+    for (v1, g1), (v2, g2) in zip(serial, pooled):
+        np.testing.assert_allclose(v1, v2, rtol=1e-6)
+        np.testing.assert_allclose(g1, g2, rtol=1e-6)
+
+    p = BatchedPredictor(scann, max_batch=16, window_ms=5.0, featurize_pool=2)
+    try:
+        out = p.predict([WATER, CO])
+        assert len(out) == 2
+        np.testing.assert_allclose(out[0][0], serial[0][0], rtol=1e-6)
+    finally:
+        p.close()
+    assert scann._feat_pool is ex_first  # persistent, not per-call
+    scann.close()
+    assert scann._feat_pool is None
