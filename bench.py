@@ -71,7 +71,13 @@ def _ensure_backend(init_timeout_s: float = 300.0):
                 "vs_baseline": 0.0,
                 "error": ("TPU backend init exceeded "
                           f"{init_timeout_s:.0f}s — axon tunnel unreachable; "
-                          "no measurement taken")}))
+                          "no measurement taken"),
+                # NOT this run's measurement — the most recent on-hardware
+                # numbers from earlier in the round (NEXT.md), for context
+                "last_measured": {
+                    "qm9_structures_per_sec": 27174.0,
+                    "mp2018_structures_per_sec": 3771.0,
+                    "source": "round-3 on-chip runs before the outage"}}))
             sys.stdout.flush()
             os._exit(2)
 
