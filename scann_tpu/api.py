@@ -16,6 +16,7 @@ the max-normalized angle otherwise.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Dict, List, Optional, Tuple, Union
 
 import jax
@@ -136,6 +137,8 @@ class Scann:
         self.valid_buckets = None
         self.test_buckets = None
         self._serve_fwd = None  # cached jitted serving forward
+        self._feat_pool = None  # persistent featurization pool (+ its lock)
+        self._feat_pool_lock = threading.Lock()
 
         if pretrained:
             self.load_pretrained(pretrained)
@@ -289,26 +292,37 @@ class Scann:
         return self.trainer.predict(buckets, with_ga=with_ga)
 
     def _featurize_executor(self, n: int):
-        """Persistent spawn-context featurization pool (created lazily,
-        resized on demand). Spawn, not fork: forking a process that has
-        initialized JAX's thread pools risks deadlock."""
-        if getattr(self, "_feat_pool", None) is not None:
-            if self._feat_pool_size == n:
-                return self._feat_pool
-            self._feat_pool.shutdown(wait=False)
+        """Persistent spawn-context featurization pool, created lazily.
+        Spawn, not fork: forking a process that has initialized JAX's
+        thread pools risks deadlock.
+
+        The pool size is fixed by the first use; later calls reuse the
+        live pool whatever ``n`` they pass (resizing would have to kill
+        in-flight work from concurrent callers — call ``close()`` first to
+        change size). A pool whose workers died (BrokenProcessPool) is
+        replaced on the next call instead of being returned forever.
+        Thread-safe: predict_structures is public API and may be called
+        concurrently.
+        """
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 
-        self._feat_pool = ProcessPoolExecutor(
-            n, mp_context=mp.get_context("spawn"))
-        self._feat_pool_size = n
-        return self._feat_pool
+        with self._feat_pool_lock:
+            ex = self._feat_pool
+            if ex is not None and getattr(ex, "_broken", False):
+                ex.shutdown(wait=False)
+                ex = self._feat_pool = None
+            if ex is None:
+                ex = self._feat_pool = ProcessPoolExecutor(
+                    n, mp_context=mp.get_context("spawn"))
+            return ex
 
     def close(self):
         """Release resources held by this handle (the featurization pool)."""
-        if getattr(self, "_feat_pool", None) is not None:
-            self._feat_pool.shutdown(wait=True)
-            self._feat_pool = None
+        with self._feat_pool_lock:
+            if self._feat_pool is not None:
+                self._feat_pool.shutdown(wait=True)
+                self._feat_pool = None
 
     def _require_state(self, what: str):
         """Misuse guard: raise an actionable error instead of an
@@ -360,11 +374,20 @@ class Scann:
             # The executor PERSISTS on this Scann (spawn startup costs
             # seconds; a per-call pool would erase the win for the batched
             # serving worker, which calls this once per coalesced batch).
+            from concurrent.futures.process import BrokenProcessPool
             from functools import partial
 
-            ex = self._featurize_executor(featurize_pool)
-            all_inputs = list(ex.map(partial(prepare_input, **kw), structs,
-                                     chunksize=4))
+            try:
+                ex = self._featurize_executor(featurize_pool)
+                all_inputs = list(ex.map(partial(prepare_input, **kw),
+                                         structs, chunksize=4))
+            except BrokenProcessPool:
+                # a worker died abruptly (segfault/OOM-kill): rebuild the
+                # pool once and retry so one bad event doesn't brick the
+                # serving path until process restart
+                ex = self._featurize_executor(featurize_pool)
+                all_inputs = list(ex.map(partial(prepare_input, **kw),
+                                         structs, chunksize=4))
         else:
             all_inputs = [prepare_input(s, **kw) for s in structs]
 

@@ -255,9 +255,16 @@ def _voronoi_facets(home: np.ndarray, lattice: np.ndarray, n_home: int, cutoff: 
     np.cumsum(lens[:-1], out=offsets[1:])
     # per-ridge min vertex id (-1 marks an unbounded ridge: image shell too
     # thin for that pair; home-cell cells are closed by construction).
-    # reduceat segment starts must be < len(flat); rows with lens==0 (never
-    # observed from Qhull, guarded anyway) are excluded by the lens filter.
-    mins = np.minimum.reduceat(flat, np.minimum(offsets, total - 1))
+    # Zero-length rows (never observed from Qhull) cannot go through
+    # reduceat: an empty trailing segment would need start == len(flat),
+    # and clamping that start would silently truncate the PREVIOUS ridge's
+    # segment. Run reduceat over non-empty rows only; empty rows get -1,
+    # which the mins >= 0 filter rejects like the lens >= 3 filter already
+    # does.
+    mins = np.full(R, -1, np.int64)
+    nonempty = lens > 0
+    if nonempty.any():
+        mins[nonempty] = np.minimum.reduceat(flat, offsets[nonempty])
 
     p, q = rp[:, 0], rp[:, 1]
     pside = p < n_home

@@ -50,13 +50,15 @@ def hierarchical_order(devices: Sequence) -> list:
 def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices.
 
-    Devices are ordered slice-major (``hierarchical_order``) so that on
-    multi-slice deployments the flat ``data`` axis keeps slice-local blocks
-    contiguous and the all-reduce rides ICI within slices / DCN across.
+    Auto-discovered devices are ordered slice-major (``hierarchical_order``)
+    so that on multi-slice deployments the flat ``data`` axis keeps
+    slice-local blocks contiguous and the all-reduce rides ICI within
+    slices / DCN across. An explicitly passed ``devices`` sequence is
+    honored VERBATIM — callers that arrange their own order (e.g. to match
+    an external sharding) keep it.
     """
     if devices is None:
-        devices = jax.devices()
-    devices = hierarchical_order(devices)
+        devices = hierarchical_order(jax.devices())
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")

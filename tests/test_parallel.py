@@ -150,3 +150,12 @@ def test_hierarchical_order_single_slice_is_id_order():
     # real CPU devices: order by id, mesh still builds + trains (covered by
     # every other test in this file through make_mesh)
     assert [d.id for d in hierarchical_order(jax.devices())] == list(range(8))
+
+
+def test_make_mesh_honors_explicit_device_order():
+    """An explicitly passed device sequence is used verbatim — only
+    auto-discovered devices get the slice-major reorder."""
+    devs = list(jax.devices())
+    reordered = [devs[3], devs[1], devs[0], devs[2]]
+    mesh = make_mesh(devices=reordered)
+    assert [d.id for d in mesh.devices.flat] == [3, 1, 0, 2]

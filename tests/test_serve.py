@@ -320,3 +320,22 @@ def test_featurize_pool_matches_serial(scann):
     assert scann._feat_pool is ex_first  # persistent, not per-call
     scann.close()
     assert scann._feat_pool is None
+
+
+def _kill_worker(_):
+    import os
+    os._exit(1)
+
+
+def test_featurize_pool_recovers_from_dead_worker(scann):
+    """A worker dying abruptly (segfault/OOM-kill) must not brick the
+    serving path: the next pooled call rebuilds the pool and succeeds."""
+    from concurrent.futures.process import BrokenProcessPool
+
+    ex = scann._featurize_executor(2)
+    with pytest.raises(BrokenProcessPool):
+        list(ex.map(_kill_worker, [0]))
+    out = scann.predict_structures([WATER, CO], featurize_pool=2)
+    assert len(out) == 2 and np.isfinite(out[0][0])
+    assert scann._feat_pool is not ex  # pool was replaced, not returned
+    scann.close()
