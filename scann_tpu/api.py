@@ -136,7 +136,8 @@ class Scann:
         self.train_buckets = None
         self.valid_buckets = None
         self.test_buckets = None
-        self._serve_fwd = None  # cached jitted serving forward
+        self._serve_fwd = None  # cached jitted serving forward (+ its lock)
+        self._serve_fwd_lock = threading.Lock()
         self._feat_pool = None  # persistent featurization pool (+ its lock)
         self._feat_pool_lock = threading.Lock()
 
@@ -418,13 +419,17 @@ class Scann:
 
         # ONE jit object per Scann instance: jax.jit caches compilations by
         # (function identity, shapes) — a fresh jit per call would recompile
-        # on every serving request (~45 s each over the tunnel)
-        if self._serve_fwd is None:
-            def fwd(params, batch):
-                pred, ga = self.trainer.forward_eval(params, batch)
-                return pred[:, 0], ga[..., 0]
+        # on every serving request (~45 s each over the tunnel). Creation is
+        # locked: this method is public concurrent API, and racing first
+        # callers would otherwise each build (and re-compile under) their
+        # own jit object.
+        with self._serve_fwd_lock:
+            if self._serve_fwd is None:
+                def fwd(params, batch):
+                    pred, ga = self.trainer.forward_eval(params, batch)
+                    return pred[:, 0], ga[..., 0]
 
-            self._serve_fwd = jax.jit(fwd)
+                self._serve_fwd = jax.jit(fwd)
         fwd = self._serve_fwd
 
         results: List[Optional[Tuple[float, np.ndarray]]] = [None] * S

@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scann_tpu.config import ModelConfig, attn_dropout_rate
+from scann_tpu.kernels.dots import dot_fns
 from scann_tpu.kernels.scann_forward import (
     fused_scann_forward,
     stack_layer_params,
@@ -41,52 +42,9 @@ from scann_tpu.kernels.scann_forward import (
 from scann_tpu.ops.rbf import make_centers
 
 
-def _mm(a, b):  # [R, X] @ [X, C]
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-
-def _mm_tA(a, b):  # a^T @ b : [R, X],[R, C] -> [X, C]
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _mm_tB(a, b):  # a @ b^T : [R, X],[C, X] -> [R, C]
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _dot3(x, w):  # [M, N, X] @ [X, C]
-    return jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _dot3_tB(x, w):  # [M, N, X] @ w^T with w [C, X]
-    return jax.lax.dot_general(x, w, (((2,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _mm3_tA(x, dy):  # sum_{m,n} x[m,n,:]^T dy[m,n,:] -> [X, C]
-    M, N, X = x.shape
-    return _mm_tA(x.reshape(M * N, X), dy.reshape(M * N, dy.shape[-1]))
-
-
-def _dot_fns(bf16: bool):
-    """(mm, mm_tA, mm_tB, dot3, dot3_tB, mm3_tA); bf16 casts every dot's
-    operands to bfloat16 with f32 accumulation (model.dtype == 'bfloat16'
-    MXU mode). The kernel shadows the module helpers with these locals, so
-    every call site (including the layer_fwd/gather closures) picks the
-    mode up without renames."""
-    if not bf16:
-        return _mm, _mm_tA, _mm_tB, _dot3, _dot3_tB, _mm3_tA
-    c = lambda x: x.astype(jnp.bfloat16)
-    mm3 = lambda x, dy: _mm_tA(
-        c(x).reshape(-1, x.shape[-1]), c(dy).reshape(-1, dy.shape[-1]))
-    return (lambda a, b: _mm(c(a), c(b)),
-            lambda a, b: _mm_tA(c(a), c(b)),
-            lambda a, b: _mm_tB(c(a), c(b)),
-            lambda x, w: _dot3(c(x), c(w)),
-            lambda x, w: _dot3_tB(c(x), c(w)),
-            mm3)
+# the six dot shapes + the bf16 operand-cast mode live in the shared
+# kernels/dots.py factory (one casting policy across all kernel families)
+_dot_fns = dot_fns
 
 
 def _swish(x):

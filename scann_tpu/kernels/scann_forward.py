@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scann_tpu.config import ModelConfig, attn_dropout_rate
+from scann_tpu.kernels.dots import dot_fns
 from scann_tpu.ops.activations import swish
 from scann_tpu.ops.rbf import make_centers
 
@@ -130,26 +131,12 @@ def fits_vmem(cfm: ModelConfig, M: int, N: int,
     return _bwd_mol_bytes(cfm, M, N) + 2 * _param_bytes(cfm) < budget_bytes
 
 
-def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-
-def _dot3(x, w):
-    return jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
 def _dot_fns(bf16: bool):
-    """(mm, dot3) pair; bf16 casts every dot's operands to bfloat16 with f32
-    accumulation (model.dtype == 'bfloat16' MXU mode — one-hot/RBF operands
-    are exact in bf16, only activations lose mantissa; LN/softmax stay f32).
-    The kernels shadow the module helpers with these locals, so every call
-    site inside a kernel picks the mode up without renames."""
-    if not bf16:
-        return _mm, _dot3
-    c = lambda x: x.astype(jnp.bfloat16)
-    return (lambda a, b: _mm(c(a), c(b)),
-            lambda x, w: _dot3(c(x), c(w)))
+    """(mm, dot3) — the two contraction shapes this kernel uses, from the
+    shared ``kernels/dots.py`` factory (single casting policy across all
+    three kernel families)."""
+    fns = dot_fns(bf16)
+    return fns[0], fns[3]
 
 
 def make_dropout_masks(seed, mol_base, bt, m, d, n_layers, rate,

@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scann_tpu.config import ModelConfig, attn_dropout_rate
+from scann_tpu.kernels.dots import dot_fns
 from scann_tpu.kernels.scann_forward import (
     VMEM_BUDGET_BYTES,
     _pad8,
@@ -54,35 +55,6 @@ from scann_tpu.ops.rbf import make_centers
 # PRNG stream tag separating the per-(molecule, layer) attention-dropout
 # draws from the molecule-stream embed/residual draws
 _ATTN_STREAM = 0x5CA
-
-
-def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-
-def _mm_tA(a, b):
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _mm_tB(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _dot3(x, w):
-    return jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _dot3_tB(x, w):
-    return jax.lax.dot_general(x, w, (((2,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _mm3_tA(x, dy):
-    M, N, X = x.shape
-    return _mm_tA(x.reshape(M * N, X), dy.reshape(M * N, dy.shape[-1]))
 
 
 def _swish(x):
@@ -122,10 +94,16 @@ def supports_loop(cfm: ModelConfig) -> bool:
 
 
 def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
-                   budget_bytes: int = VMEM_BUDGET_BYTES) -> bool:
+                   budget_bytes: int = VMEM_BUDGET_BYTES,
+                   training: bool = True) -> bool:
     """Per-program VMEM of the loop backward: the layer-input stashes (the
     dominant term at crystal sizes) + ONE layer's recomputed working set
-    (the loop body reuses its allocation across iterations)."""
+    (the loop body reuses its allocation across iterations).
+
+    ``training=False`` drops the attention-dropout transient term: eval runs
+    with attn_dropout=0 and the kernels allocate no mask scratch, so charging
+    it would spuriously push borderline use_drop crystal shapes off the fused
+    eval path."""
     D, L = cfm.local_dim, cfm.n_attention
     rnd = M * _pad8(N) * _pad128(D) * 4
     c_stash = (L + 1) * M * _pad128(D) * 4
@@ -133,7 +111,7 @@ def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
     work = 18 * rnd                      # one reverse-iteration working set
     onehot = M * _pad8(N) * _pad128(M) * 4
     masks = (L + 1) * M * _pad128(D) * 4
-    if cfm.use_drop:
+    if cfm.use_drop and training:
         # attention-dropout transients ([M, N, H] mask + dropped attn;
         # H pads to 128 lanes) — replayed by reseeding, never stashed
         work += 3 * M * _pad8(N) * _pad128(cfm.num_head) * 4
@@ -193,21 +171,9 @@ def _fwd_kernel(
     hd = D // H
     L = n_layers
 
-    # opt-in bf16 MXU mode (model.dtype == 'bfloat16'): operands of every
-    # dot are cast to bf16, accumulation stays f32
-    # (preferred_element_type). One-hot/RBF operands are exact in bf16;
-    # only activations lose mantissa. LN/softmax stay f32 elementwise.
-    if bf16:
-        _c = lambda x: x.astype(jnp.bfloat16)
-        mm = lambda a, b: _mm(_c(a), _c(b))
-        mm_tA = lambda a, b: _mm_tA(_c(a), _c(b))
-        mm_tB = lambda a, b: _mm_tB(_c(a), _c(b))
-        dot3 = lambda a, b: _dot3(_c(a), _c(b))
-        dot3_tB = lambda a, b: _dot3_tB(_c(a), _c(b))
-        mm3_tA = lambda a, b: _mm3_tA(_c(a), _c(b))
-    else:
-        mm, mm_tA, mm_tB = _mm, _mm_tA, _mm_tB
-        dot3, dot3_tB, mm3_tA = _dot3, _dot3_tB, _mm3_tA
+    # opt-in bf16 MXU mode (model.dtype == 'bfloat16'); shared factory,
+    # kernels/dots.py — one casting policy across all kernel families
+    mm, mm_tA, mm_tB, dot3, dot3_tB, mm3_tA = dot_fns(bf16)
 
     am = atom_mask_ref[...].reshape(R, 1)
     nmask = nmask_ref[...].reshape(R, N)
@@ -408,21 +374,9 @@ def _bwd_kernel(
     hd = D // H
     L = n_layers
 
-    # opt-in bf16 MXU mode (model.dtype == 'bfloat16'): operands of every
-    # dot are cast to bf16, accumulation stays f32
-    # (preferred_element_type). One-hot/RBF operands are exact in bf16;
-    # only activations lose mantissa. LN/softmax stay f32 elementwise.
-    if bf16:
-        _c = lambda x: x.astype(jnp.bfloat16)
-        mm = lambda a, b: _mm(_c(a), _c(b))
-        mm_tA = lambda a, b: _mm_tA(_c(a), _c(b))
-        mm_tB = lambda a, b: _mm_tB(_c(a), _c(b))
-        dot3 = lambda a, b: _dot3(_c(a), _c(b))
-        dot3_tB = lambda a, b: _dot3_tB(_c(a), _c(b))
-        mm3_tA = lambda a, b: _mm3_tA(_c(a), _c(b))
-    else:
-        mm, mm_tA, mm_tB = _mm, _mm_tA, _mm_tB
-        dot3, dot3_tB, mm3_tA = _dot3, _dot3_tB, _mm3_tA
+    # opt-in bf16 MXU mode (model.dtype == 'bfloat16'); shared factory,
+    # kernels/dots.py — one casting policy across all kernel families
+    mm, mm_tA, mm_tB, dot3, dot3_tB, mm3_tA = dot_fns(bf16)
 
     atomic = atomic_ref[0]
     am = atom_mask_ref[0]

@@ -58,10 +58,16 @@ class BatchedPredictor:
     """
 
     def __init__(self, scann, max_batch: int = 64, window_ms: float = 5.0,
-                 max_pending: int = 256, featurize_pool: int = 0):
+                 max_pending: int = 256, featurize_pool: int = 0,
+                 owns_scann: bool = False):
         self.scann = scann
         self.max_batch = max_batch
         self.window_ms = window_ms
+        # owns_scann: close() also releases the Scann handle's resources
+        # (the persistent featurization pool's worker processes) — set by
+        # from_model_dir, where the predictor created the handle; callers
+        # passing their own Scann keep responsibility for scann.close()
+        self.owns_scann = owns_scann
         # >1: featurize each coalesced batch across a persistent process
         # pool (host Voronoi dominates serving latency; the pool lives on
         # the Scann handle and amortizes its spawn cost over the stream)
@@ -78,7 +84,7 @@ class BatchedPredictor:
     def from_model_dir(cls, model_dir: str, **kw) -> "BatchedPredictor":
         from scann_tpu.api import Scann
 
-        return cls(Scann.load_model_infer(model_dir), **kw)
+        return cls(Scann.load_model_infer(model_dir), owns_scann=True, **kw)
 
     # --- client side -----------------------------------------------------
 
@@ -101,6 +107,10 @@ class BatchedPredictor:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        if self.owns_scann:
+            # release the persistent featurization pool on the Scann handle
+            # — its spawned worker processes would outlive the predictor
+            self.scann.close()
 
     # --- worker side -----------------------------------------------------
 
@@ -221,15 +231,22 @@ class PredictionServer:
                 if self_handler.path != "/predict":
                     self_handler._send(404, {"error": "unknown path"})
                     return
-                n = int(self_handler.headers.get("Content-Length", 0))
+                # Parse errors — including a malformed/negative
+                # Content-Length — are the CLIENT's fault (400); everything
+                # after a successful parse is server-side: overload -> 503,
+                # timeout -> 504, anything else -> 500.
+                try:
+                    n = int(self_handler.headers.get("Content-Length", 0))
+                    if n < 0:
+                        raise ValueError(f"negative Content-Length {n}")
+                except ValueError as e:
+                    self_handler._send(400, {"error": f"bad request: {e}"})
+                    return
                 if n > body_limit:
                     self_handler._send(413, {
                         "error": f"request body {n} bytes exceeds "
                                  f"limit {body_limit}"})
                     return
-                # Parse errors are the CLIENT's fault (400); everything
-                # after a successful parse is server-side: overload -> 503,
-                # timeout -> 504, anything else -> 500.
                 try:
                     structs = _parse_structures(
                         self_handler.rfile.read(n),

@@ -198,7 +198,7 @@ class Trainer:
             return False
         M = batch["atomic"].shape[1]
         N = batch["neighbors"].shape[2]
-        return fits_loop_vmem(self.config.model, M, N)
+        return fits_loop_vmem(self.config.model, M, N, training=training)
 
     def _preresolve_tiles(self, buckets: List[PackedBucket], training: bool,
                           batch_size: Optional[int] = None):

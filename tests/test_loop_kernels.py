@@ -365,6 +365,35 @@ def test_loop_gates():
     assert not fits_loop_vmem(mp, M=512, N=64)
 
 
+def test_fits_loop_vmem_eval_not_charged_for_dropout():
+    """Eval runs with attn_dropout=0 and allocates no mask scratch, so the
+    VMEM estimate must only charge the dropout transients when training —
+    otherwise borderline use_drop crystal shapes silently lose the fused
+    eval path. Pin it via the minimal passing budget: train - eval must
+    equal exactly the dropout transient term for use_drop, and zero without."""
+    from scann_tpu.kernels.scann_loop import _pad8, _pad128
+
+    def min_budget(cfm, M, N, training):
+        lo, hi = 1, 1 << 34
+        while lo < hi:  # first budget that fits
+            mid = (lo + hi) // 2
+            if fits_loop_vmem(cfm, M, N, budget_bytes=mid, training=training):
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    M, N = 96, 32
+    drop = ModelConfig(n_attention=9, local_dim=128, num_head=8,
+                       g_update=True, use_drop=True)
+    plain = ModelConfig(n_attention=9, local_dim=128, num_head=8,
+                        g_update=True, use_drop=False)
+    transient = 3 * M * _pad8(N) * _pad128(drop.num_head) * 4
+    assert (min_budget(drop, M, N, True)
+            - min_budget(drop, M, N, False)) == transient
+    assert min_budget(plain, M, N, True) == min_budget(plain, M, N, False)
+
+
 @pytest.mark.slow  # interpret-mode fwd + bwd builds with the in-kernel PRNG
 def test_loop_dropout_gradient_matches_finite_difference(rng):
     """use_drop + training dropout through the LOOP kernels: with a fixed

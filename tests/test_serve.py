@@ -221,6 +221,57 @@ def test_http_body_size_cap_413(scann):
         server.shutdown()
 
 
+def _raw_http_post(host, port, headers, body=b""):
+    """Send a hand-crafted POST (urllib won't emit malformed headers) and
+    return the status code, or None if the server dropped the connection
+    without a status line."""
+    import socket
+
+    with socket.create_connection((host, port), timeout=30) as s:
+        head = f"POST /predict HTTP/1.1\r\nHost: {host}\r\n"
+        head += "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+        s.sendall(head.encode() + b"\r\n" + body)
+        s.shutdown(socket.SHUT_WR)
+        data = s.makefile("rb").readline().decode(errors="replace")
+    parts = data.split()
+    return int(parts[1]) if len(parts) >= 2 and parts[0].startswith(
+        "HTTP/") else None
+
+
+def test_http_malformed_content_length_is_400(scann):
+    """A non-integer or negative Content-Length is the client's fault: the
+    server must answer 400, not crash the handler (no response at all), and
+    a negative value must never reach rfile.read(-1) (which blocks)."""
+    server = PredictionServer(BatchedPredictor(scann, window_ms=0.0), port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        assert _raw_http_post(server.host, server.port,
+                              {"Content-Length": "abc",
+                               "Content-Type": "text/plain"}) == 400
+        assert _raw_http_post(server.host, server.port,
+                              {"Content-Length": "-1",
+                               "Content-Type": "text/plain"}) == 400
+    finally:
+        server.shutdown()
+
+
+def test_owned_scann_pool_released_on_close(scann):
+    """A predictor that owns its Scann (the from_model_dir / CLI path)
+    releases the persistent featurization pool on close(); a predictor on a
+    caller-owned Scann leaves it alone (test_featurize_pool_matches_serial
+    pins that side)."""
+    p = BatchedPredictor(scann, max_batch=16, window_ms=5.0,
+                         featurize_pool=2, owns_scann=True)
+    try:
+        out = p.predict([WATER, CO])
+        assert len(out) == 2
+        assert scann._feat_pool is not None
+    finally:
+        p.close()
+    assert scann._feat_pool is None  # worker processes released
+
+
 def test_http_internal_error_is_500_not_400(scann):
     """Post-parse (server-side) failures map to 500; 400 is parse-only."""
     real = scann.predict_structures
