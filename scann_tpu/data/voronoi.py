@@ -17,7 +17,14 @@ Re-implements the behavior of the reference featurizer
   (reference ``voronoi_neighbor.py:39-51``).
 
 Molecules are boxed into a >=10 A periodic cell first (reference
-``voronoi_neighbor.py:82-87``).
+``voronoi_neighbor.py:82-87``). Note this makes molecular featurization
+weakly FRAME-DEPENDENT (an artifact shared with the reference): the box is
+axis-aligned, so its images bound the Voronoi cells of surface atoms, and a
+generic rotation of the coordinates perturbs kept solid angles (measured up
+to ~10% relative on Thymine) and can flip borderline filter decisions;
+distances are frame-exact, and box-congruent motions (signed axis
+permutations + translations) reproduce records to fp noise
+(``tests/test_invariance.py``).
 """
 
 from __future__ import annotations
