@@ -64,6 +64,7 @@ def prepare_input(
     neighbors_multiple: int = 8,
     use_ring: bool = False,
     feature: str = "atomic",
+    canonical_frame: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Featurize one structure into a padded model-input dict (batch of 1).
 
@@ -71,7 +72,13 @@ def prepare_input(
     ``builders.bonds``); ``feature="cgcnn"`` expands atomic numbers into the
     92-dim CGCNN descriptors — both go beyond the reference
     ``prepare_input_pmt``, which only supports the 6 base inputs.
+    ``canonical_frame`` rotates molecules into their principal-axes frame
+    first (``Structure.canonicalized``), making featurization invariant to
+    the client's coordinate frame (opt-in; the default stays
+    reference-compatible — see ``data/voronoi.py`` on frame sensitivity).
     """
+    if canonical_frame:
+        struct = struct.canonicalized()
     neighbors = compute_voronoi_neighbors(
         struct.as_periodic(), cutoff=cutoff, d_thresh=d_t, w_thresh=w_t
     )
@@ -335,13 +342,15 @@ class Scann:
                 "Scann.load_model_infer(run_dir)")
 
     def predict_structure(self, struct: Structure, d_t: float = 4.0,
-                          w_t: float = 0.4) -> Tuple[float, np.ndarray]:
+                          w_t: float = 0.4, canonical_frame: bool = False
+                          ) -> Tuple[float, np.ndarray]:
         """Predict (value, per-atom GA scores) for one structure."""
         self._require_state("predict_structure")
         inputs = prepare_input(struct, d_t=d_t, w_t=w_t,
                                angle=self.config.model.g_update,
                                use_ring=self.config.model.use_ring,
-                               feature=self.config.model.feature)
+                               feature=self.config.model.feature,
+                               canonical_frame=canonical_frame)
         pred, ga = self.trainer.forward_eval(self.trainer.state.params, inputs)
         hyper = self.config.hyper
         value = float(pred[0, 0]) * hyper.target_std + hyper.target_mean
@@ -350,7 +359,8 @@ class Scann:
     def predict_structures(self, structs: List[Structure], d_t: float = 4.0,
                            w_t: float = 0.4,
                            featurize_pool: int = 0,
-                           batch_size: Optional[int] = None
+                           batch_size: Optional[int] = None,
+                           canonical_frame: bool = False
                            ) -> List[Tuple[float, np.ndarray]]:
         """Batched inference over many structures (the serving path).
 
@@ -367,7 +377,7 @@ class Scann:
         self._require_state("predict_structures")
         cfm = self.config.model
         kw = dict(d_t=d_t, w_t=w_t, angle=cfm.g_update, use_ring=cfm.use_ring,
-                  feature=cfm.feature)
+                  feature=cfm.feature, canonical_frame=canonical_frame)
         if featurize_pool > 1:
             # Featurization (host-side Voronoi, ~tens of ms/structure/core)
             # dominates serving latency — the device forward is microseconds

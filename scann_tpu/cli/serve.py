@@ -22,13 +22,20 @@ def main(argv=None):
                         help="featurize coalesced batches across N worker "
                              "processes (host Voronoi dominates serving "
                              "latency; use ~the host's core count)")
+    parser.add_argument("--canonical-frame", action="store_true",
+                        help="rotate molecules into their principal-axes "
+                             "frame before featurizing, so the same molecule "
+                             "in any client orientation gets the same "
+                             "prediction (the boxed-molecule featurization "
+                             "is weakly frame-dependent otherwise)")
     args = parser.parse_args(argv)
 
     from scann_tpu.serve import BatchedPredictor, PredictionServer
 
     predictor = BatchedPredictor.from_model_dir(
         args.model_dir, max_batch=args.max_batch, window_ms=args.window_ms,
-        featurize_pool=args.featurize_pool)
+        featurize_pool=args.featurize_pool,
+        canonical_frame=args.canonical_frame)
     server = PredictionServer(predictor, host=args.host, port=args.port)
     try:
         server.serve_forever()

@@ -27,6 +27,9 @@ class Structure:
     species: List[str]                   # element symbols, one per site
     coords: np.ndarray                   # cartesian coordinates [n, 3]
     lattice: Optional[np.ndarray] = None  # row-vector lattice [3, 3]; None = molecule
+    # True when `lattice` is a synthetic padded box added by boxed() around a
+    # molecule (not real periodicity) — lets canonicalized() see through it
+    molecule_box: bool = False
 
     def __post_init__(self):
         self.coords = np.asarray(self.coords, dtype=np.float64).reshape(-1, 3)
@@ -77,10 +80,57 @@ class Structure:
         abc = np.maximum(box, ext + margin)
         lattice = np.diag(abc)
         coords = self.coords - self.center_of_mass + abc / 2.0
-        return Structure(list(self.species), coords, lattice)
+        return Structure(list(self.species), coords, lattice,
+                         molecule_box=True)
 
     def as_periodic(self, box: float = 10.0) -> "Structure":
         return self if self.is_periodic else self.boxed(box)
+
+    def canonicalized(self) -> "Structure":
+        """Rotate a molecule into its mass-weighted principal-axes frame.
+
+        The boxed-molecule featurization is weakly frame-dependent (the
+        padded box is axis-aligned — see ``data/voronoi.py`` docstring), so
+        the same molecule in two orientations featurizes slightly
+        differently. Canonicalizing first makes featurization — and hence
+        serving predictions — invariant to the client's coordinate frame.
+        Opt-in: the default pipeline stays bit-compatible with the
+        reference's (which featurizes in whatever frame the file came in).
+
+        Frame: axes = eigenvectors of the mass-weighted covariance of the
+        centered coordinates, ordered by descending eigenvalue; the first
+        two signs are fixed by the third coordinate moment (falling back to
+        the largest-magnitude projection when a moment vanishes by
+        symmetry), and the third axis completes a right-handed system. For
+        molecules with degenerate principal moments the frame choice within
+        the degenerate subspace is symmetry-equivalent, not unstable in
+        effect. Truly periodic structures are returned unchanged (their
+        lattice IS the frame); a molecule in a synthetic padded box
+        (``boxed()``, ``molecule_box=True``) is unboxed, canonicalized, and
+        re-boxed."""
+        if self.is_periodic:
+            if not self.molecule_box:
+                return self
+            return Structure(list(self.species),
+                             self.coords).canonicalized().boxed(
+                                 float(np.diag(self.lattice).min()))
+        m = self.masses
+        c = self.coords - self.center_of_mass
+        cov = (c * m[:, None]).T @ c / m.sum()
+        evals, vecs = np.linalg.eigh(cov)          # ascending
+        vecs = vecs[:, ::-1]                       # descending eigenvalue
+        for k in range(2):                         # sign-fix axes 0 and 1
+            proj = c @ vecs[:, k]
+            moment = float(np.sum(m * proj ** 3))
+            if abs(moment) > 1e-8:
+                if moment < 0:
+                    vecs[:, k] = -vecs[:, k]
+            else:
+                i = int(np.argmax(np.abs(proj)))
+                if abs(proj[i]) > 1e-8 and proj[i] < 0:
+                    vecs[:, k] = -vecs[:, k]
+        vecs[:, 2] = np.cross(vecs[:, 0], vecs[:, 1])  # right-handed
+        return Structure(list(self.species), c @ vecs)
 
     # --- parsers --------------------------------------------------------------
 

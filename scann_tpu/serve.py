@@ -59,10 +59,14 @@ class BatchedPredictor:
 
     def __init__(self, scann, max_batch: int = 64, window_ms: float = 5.0,
                  max_pending: int = 256, featurize_pool: int = 0,
-                 owns_scann: bool = False):
+                 owns_scann: bool = False, canonical_frame: bool = False):
         self.scann = scann
         self.max_batch = max_batch
         self.window_ms = window_ms
+        # canonicalize molecular frames before featurizing, so clients get
+        # the same prediction for the same molecule in any orientation
+        # (Structure.canonicalized; opt-in, see data/voronoi.py)
+        self.canonical_frame = canonical_frame
         # owns_scann: close() also releases the Scann handle's resources
         # (the persistent featurization pool's worker processes) — set by
         # from_model_dir, where the predictor created the handle; callers
@@ -154,7 +158,8 @@ class BatchedPredictor:
             structs = [s for r in reqs for s in r.structs]
             try:
                 results = self.scann.predict_structures(
-                    structs, featurize_pool=self.featurize_pool)
+                    structs, featurize_pool=self.featurize_pool,
+                    canonical_frame=self.canonical_frame)
             except Exception:
                 # One bad structure (e.g. a degenerate geometry failing
                 # Voronoi tessellation) must not fail every coalesced
@@ -163,7 +168,8 @@ class BatchedPredictor:
                 for r in reqs:
                     try:
                         r.result = self.scann.predict_structures(
-                            r.structs, featurize_pool=self.featurize_pool)
+                            r.structs, featurize_pool=self.featurize_pool,
+                            canonical_frame=self.canonical_frame)
                     except Exception as e:
                         r.error = e
                     r.event.set()

@@ -91,6 +91,45 @@ def test_featurizer_generic_rotation_distances_exact():
     assert n_common >= 0.9 * n_total, (n_common, n_total)
 
 
+def _random_rotation(rng):
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q *= np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    return q
+
+
+def test_canonical_frame_removes_rotation_dependence():
+    """With canonical_frame (Structure.canonicalized — the opt-in fix for
+    the boxed-construction frame sensitivity), a GENERIC rotation +
+    translation must reproduce every neighbor record to fp noise: both
+    copies land in the same principal-axes frame before boxing."""
+    rng = np.random.default_rng(13)
+    mol = Structure.from_file(THYMINE, mol=True)
+    for t in range(3):
+        moved = Structure(
+            list(mol.species),
+            mol.coords @ _random_rotation(rng).T + rng.normal(size=3) * 4.0)
+        base = _by_index(compute_voronoi_neighbors(
+            mol.canonicalized().as_periodic()))
+        rot = _by_index(compute_voronoi_neighbors(
+            moved.canonicalized().as_periodic()))
+        for a, (r0, r1) in enumerate(zip(base, rot)):
+            assert [(r[0], r[1]) for r in r0] == [(r[0], r[1]) for r in r1]
+            np.testing.assert_allclose(
+                np.asarray([r[2:] for r in r0], np.float64),
+                np.asarray([r[2:] for r in r1], np.float64),
+                rtol=1e-7, atol=1e-9,
+                err_msg=f"trial {t} atom {a} records drifted")
+
+
+def test_canonicalized_periodic_is_identity():
+    """Crystals keep their lattice frame — canonicalized() is a no-op."""
+    s = Structure(["Na", "Cl"], [[0, 0, 0], [1.5, 1.5, 1.5]],
+                  lattice=np.eye(3) * 3.0)
+    assert s.canonicalized() is s
+
+
 def test_model_atom_permutation_equivariance():
     """Relabeling atoms (rows permuted, neighbor indices remapped) must
     leave the property prediction unchanged and permute the GA scores —
@@ -150,3 +189,12 @@ def test_end_to_end_box_congruent_invariance():
     (v0, ga0), (v1, ga1) = s.predict_structures([mol, moved])
     assert abs(v1 - v0) < 1e-5, (v0, v1)
     np.testing.assert_allclose(ga1, ga0, rtol=0, atol=1e-5)
+
+    # with canonical_frame, a GENERIC rotation also predicts identically
+    rng = np.random.default_rng(5)
+    spun = Structure(list(mol.species),
+                     mol.coords @ _random_rotation(rng).T + 1.75)
+    (c0, cg0), (c1, cg1) = s.predict_structures([mol, spun],
+                                                canonical_frame=True)
+    assert abs(c1 - c0) < 1e-5, (c0, c1)
+    np.testing.assert_allclose(cg1, cg0, rtol=0, atol=1e-5)
