@@ -24,6 +24,7 @@ import numpy as np
 
 from scann_tpu.config import ScannConfig, load_config, save_config
 from scann_tpu.data.pipeline import (
+    _round_up,
     load_dataset,
     pack_dataset,
     split_data,
@@ -33,10 +34,6 @@ from scann_tpu.data.structure import Structure
 from scann_tpu.data.voronoi import compute_voronoi_neighbors
 from scann_tpu.models import ScannModel
 from scann_tpu.train import Trainer
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _ladder(x: int, base: int) -> int:
@@ -235,6 +232,7 @@ class Scann:
             neighbors_multiple=self.config.tpu.neighbors_pad_multiple,
             max_buckets=self.config.tpu.max_buckets,
             csr_cache_path=hyper.data_nei_path + ".csr.npz",
+            csr_source_path=hyper.data_nei_path,
         )
         if not split:
             self._buckets = buckets

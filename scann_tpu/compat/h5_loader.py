@@ -345,11 +345,30 @@ def _load_weights_only(layers, config: ModelConfig) -> dict:
         params[role] = _dense(var(g, 0), var(g, 1))
 
     if config.feature == "atomic":
-        params["embed_atom"] = {"embedding": var(layers["embedding"], 0)}
+        emb_groups = sorted(
+            (k for k in layers.keys()
+             if re.fullmatch(r"embedding(_\d+)?", k)),
+            key=lambda k: _suffix_num(k, "embedding"))
+        if not emb_groups:
+            raise ValueError("weights-only H5 has no Embedding group "
+                             "(expected for feature='atomic')")
+        params["embed_atom"] = {"embedding": var(layers[emb_groups[0]], 0)}
+
+    # Keras name suffixes encode global creation ORDER, not layer position:
+    # a model built second in one session names its layers
+    # local_attention_7.., residual_norm_7.., embedding_1. Rebase by rank,
+    # exactly like the full-model loader does (round-2 VERDICT #6).
+    def _rank(base: str) -> Dict[int, int]:
+        idxs = sorted(_suffix_num(n, base) for n in layers.keys()
+                      if re.fullmatch(base + r"(_\d+)?", n))
+        return {i: r for r, i in enumerate(idxs)}
+
+    la_rank = _rank("local_attention")
+    rn_rank = _rank("residual_norm")
 
     for k in layers.keys():
         if re.fullmatch(r"local_attention(_\d+)?", k):
-            idx = _suffix_num(k, "local_attention")
+            idx = la_rank[_suffix_num(k, "local_attention")]
             g = layers[k]
             p = {
                 "query": _dense(var(g["proj_q"], 0), var(g["proj_q"], 1)),
@@ -361,7 +380,7 @@ def _load_weights_only(layers, config: ModelConfig) -> dict:
                 p["layer_norm_g"] = _ln(var(g["layer_norm_g"], 0), var(g["layer_norm_g"], 1))
             params[f"local_attention_{idx}"] = p
         elif re.fullmatch(r"residual_norm(_\d+)?", k):
-            idx = _suffix_num(k, "residual_norm")
+            idx = rn_rank[_suffix_num(k, "residual_norm")]
             g = layers[k]
             seq = g["seq"]["layers"]
             dn = sorted((n for n in seq.keys() if re.fullmatch(r"dense(_\d+)?", n)),
@@ -371,7 +390,7 @@ def _load_weights_only(layers, config: ModelConfig) -> dict:
                 "dense_2": _dense(var(seq[dn[1]], 0), var(seq[dn[1]], 1)),
                 "layer_norm": _ln(var(g["layer_norm"], 0), var(g["layer_norm"], 1)),
             }
-        elif k == "global_attention":
+        elif re.fullmatch(r"global_attention(_\d+)?", k):
             g = layers[k]
             params["global_attention"] = {
                 "query": _dense(var(g["proj_q"], 0), var(g["proj_q"], 1)),

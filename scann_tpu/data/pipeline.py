@@ -82,9 +82,17 @@ def split_data(
     seed: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Random permutation split with exact sizes (reference general.py:79-101:
-    train / valid / test where valid absorbs the remainder)."""
-    if train_size:
-        n_train, n_test = int(train_size), int(test_size)
+    train / valid / test where valid absorbs the remainder).
+
+    Divergence from the reference: ``train_size`` set with ``test_size``
+    unset derives the test count from ``test_percent`` instead of crashing
+    (the reference passes ``None`` into ``np.split``), and an explicit
+    ``train_size=0`` is honored rather than falling into the percentage
+    path."""
+    if train_size is not None:
+        n_train = int(train_size)
+        n_test = (int(test_size) if test_size is not None
+                  else int(len_data * test_percent))
     else:
         n_train = int(len_data * (1 - test_percent * 2))
         n_test = int(len_data * test_percent)
@@ -204,17 +212,34 @@ class CsrDataset:
     _CACHE_FIELDS = ("atom_offsets", "nbr_offsets", "atomic", "nbr_index",
                      "weight_raw", "weight_norm", "nbr_dist", "ring")
 
-    def save(self, path: str) -> None:
+    def save(self, path: str,
+             source_stat: Optional[np.ndarray] = None) -> None:
         data = {k: getattr(self, k) for k in self._CACHE_FIELDS
                 if getattr(self, k) is not None}
+        if source_stat is not None:
+            data["_source_stat"] = source_stat
         np.savez_compressed(path, **data)
 
     @classmethod
-    def from_cache(cls, path: str, records) -> "CsrDataset":
+    def from_cache(cls, path: str, records,
+                   source_stat: Optional[np.ndarray] = None,
+                   want_ring: bool = False) -> "CsrDataset":
         obj = cls.__new__(cls)
         with np.load(path) as data:
             for k in cls._CACHE_FIELDS:
                 setattr(obj, k, data[k] if k in data.files else None)
+            cached_stat = (data["_source_stat"]
+                           if "_source_stat" in data.files else None)
+        # staleness: re-featurizing at the same path with the same structure
+        # count (e.g. different Voronoi d_t/w_t) must not silently serve old
+        # neighbor data — compare the recorded source (mtime_ns, size)
+        if source_stat is not None and (
+                cached_stat is None
+                or not np.array_equal(cached_stat, source_stat)):
+            raise ValueError("CSR cache is stale (source file changed)")
+        if want_ring and obj.ring is None:
+            raise ValueError(
+                "CSR cache predates the records' ring data")
         # targets are run-dependent (target property / use_ref / scaling) —
         # always taken from the records, never the cache
         obj.targets = np.fromiter((float(r["target"]) for r in records),
@@ -224,22 +249,32 @@ class CsrDataset:
         return obj
 
 
-def build_csr(records, neighbors, cache_path: Optional[str] = None) -> "CsrDataset":
+def build_csr(records, neighbors, cache_path: Optional[str] = None,
+              source_path: Optional[str] = None) -> "CsrDataset":
     """CsrDataset with an optional on-disk cache.
 
     The Python flattening pass over the ragged object arrays is the slowest
     host step for big datasets (~minutes for full QM9); the cache reduces it
-    to an npz load."""
+    to an npz load. ``source_path`` (the neighbor ``.npy`` the records came
+    from) pins the cache to its (mtime, size) so a re-featurized file with
+    the same structure count invalidates it."""
     import os
 
+    source_stat = None
+    if source_path and os.path.exists(source_path):
+        st = os.stat(source_path)
+        source_stat = np.array([st.st_mtime_ns, st.st_size], np.int64)
+    want_ring = bool(records) and "ring" in records[0]
     if cache_path and os.path.exists(cache_path):
         try:
-            return CsrDataset.from_cache(cache_path, records)
+            return CsrDataset.from_cache(cache_path, records,
+                                         source_stat=source_stat,
+                                         want_ring=want_ring)
         except Exception as e:  # stale/corrupt cache: rebuild
             print(f"CSR cache {cache_path} unusable ({e}); rebuilding")
     csr = CsrDataset(records, neighbors)
     if cache_path:
-        csr.save(cache_path)
+        csr.save(cache_path, source_stat=source_stat)
     return csr
 
 
@@ -254,6 +289,7 @@ def pack_dataset(
     max_buckets: int = 4,
     converter: float = 1.0,
     csr_cache_path: Optional[str] = None,
+    csr_source_path: Optional[str] = None,
 ) -> List[PackedBucket]:
     """Pad every structure into its (M, N) bucket and return the buckets.
 
@@ -263,7 +299,8 @@ def pack_dataset(
     """
     from scann_tpu.data.native import pack_bucket_native, structure_sizes_native
 
-    csr = build_csr(records, neighbors, csr_cache_path)
+    csr = build_csr(records, neighbors, csr_cache_path,
+                    source_path=csr_source_path)
     n_atoms_arr, max_nbrs_arr = structure_sizes_native(csr.atom_offsets,
                                                        csr.nbr_offsets)
     sizes = list(zip(n_atoms_arr.tolist(), max_nbrs_arr.tolist()))
@@ -357,7 +394,7 @@ class BatchIterator:
     def __len__(self) -> int:
         total = 0
         for b in self.buckets:
-            if self.drop_remainder and not self.shuffle:
+            if self.drop_remainder:  # plans() drops it regardless of shuffle
                 total += b.num_structures // self.batch_size
             else:
                 total += math.ceil(b.num_structures / self.batch_size)
@@ -387,8 +424,11 @@ class BatchIterator:
             if rem and not self.drop_remainder:
                 tail = order[n_full * self.batch_size:]
                 if self.shuffle:
-                    # train: wrap around to keep the batch full
-                    fill = order[: self.batch_size - rem]
+                    # train: wrap around to keep the batch full (modular, so
+                    # a bucket smaller than the fill still yields a full
+                    # batch — matching the jitted epoch's modular indexing)
+                    fill = order[np.arange(self.batch_size - rem)
+                                 % len(order)]
                     plans.append((bi, np.concatenate([tail, fill]), full_mask))
                 else:
                     # eval: pad by repeating a row, masked out of metrics

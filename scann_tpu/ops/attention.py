@@ -131,9 +131,15 @@ def global_attention_core(
 
     if norm:
         # tf.linalg.normalize(ord="euclidean", axis=1) — attention.py:295-297.
-        # Guarded against an exactly-zero norm (reference would NaN there).
-        nrm = jnp.sqrt(jnp.sum(agg * agg, axis=1, keepdims=True))
-        agg = agg / jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+        # Guarded against an exactly-zero norm (reference would NaN there; a
+        # single-atom structure hits it: the diagonal exclusion removes its
+        # only term). The where must wrap the SUM, before the sqrt — guarding
+        # only the quotient still propagates NaN through sqrt's VJP
+        # (d/dx sqrt(0) = inf, 0 * inf = NaN), which would poison the whole
+        # batch's shared-parameter gradients.
+        sq = jnp.sum(agg * agg, axis=1, keepdims=True)
+        nrm = jnp.sqrt(jnp.where(sq == 0, jnp.ones_like(sq), sq))
+        agg = agg / nrm
 
     agg = agg + (1.0 - mask) * jnp.asarray(-1e9, agg.dtype)
     attn = jax.nn.softmax(agg, axis=1)

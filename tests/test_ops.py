@@ -122,6 +122,29 @@ class TestGlobalAttentionCore:
         assert np.all(np.asarray(attn)[0, 3:] < 1e-8)
         np.testing.assert_allclose(np.asarray(attn)[0, :3].sum(), 1.0, rtol=1e-5)
 
+    def test_single_atom_gradients_finite_with_norm(self, rng):
+        """A single-atom structure makes the diagonal-excluded GA score
+        exactly zero, so the use_ga_norm L2 norm is 0. The zero-norm guard
+        must protect the BACKWARD too: where() outside the sqrt leaves
+        sqrt's VJP to produce 0/0 = NaN, which would poison the shared
+        gradients of every batch containing one single-atom cell (e.g. an
+        elemental crystal)."""
+        B, M, D = 2, 4, 8
+        q = rng.normal(size=(B, M, D)).astype(np.float32)
+        k = rng.normal(size=(B, M, D)).astype(np.float32)
+        mask = np.ones((B, M, 1), np.float32)
+        mask[1, 1:] = 0.0  # structure 1 has exactly one real atom
+
+        def loss(qk):
+            qq, kk = qk
+            _, ctx = global_attention_core(qq, kk, kk, jnp.asarray(mask),
+                                           norm=True)
+            return jnp.sum(ctx ** 2)
+
+        grads = jax.grad(loss)((jnp.asarray(q), jnp.asarray(k)))
+        for g in grads:
+            assert np.all(np.isfinite(np.asarray(g))), "NaN/inf gradient"
+
     def test_diagonal_excluded(self):
         # With a single valid atom, its own (diagonal) energy must not count:
         # agg score is 0 before masking -> softmax puts all weight on it anyway,

@@ -56,6 +56,17 @@ class TestSplit:
         with pytest.raises(ValueError):
             split_data(10, train_size=9, test_size=5)
 
+    def test_train_size_without_test_size_uses_percent(self):
+        """Reference-style config: train_size set, test_size empty. The
+        reference crashes here (int(None)); we derive from test_percent."""
+        tr, va, te = split_data(100, test_percent=0.1, train_size=70,
+                                test_size=None, seed=0)
+        assert len(tr) == 70 and len(te) == 10 and len(va) == 20
+
+    def test_train_size_zero_is_honored(self):
+        tr, va, te = split_data(10, train_size=0, test_size=5, seed=0)
+        assert len(tr) == 0 and len(te) == 5 and len(va) == 5
+
 
 class TestPack:
     def test_choose_buckets_covers_all(self):
@@ -143,6 +154,30 @@ class TestBatchIterator:
         e2 = [idx.tolist() for _, idx, _ in it.plans()]
         assert e1 != e2
 
+    def test_tiny_bucket_wrap_fill_is_full(self, synth_paths):
+        """A train bucket smaller than half the batch must still emit a FULL
+        batch (modular wrap) — a short index vector desyncs from the
+        full-size sample mask and breaks/recompiles downstream."""
+        buckets = self._buckets(synth_paths)
+        tiny = [type(buckets[0])(
+            inputs={k: v[:5] for k, v in buckets[0].inputs.items()},
+            targets=buckets[0].targets[:5],
+            indices=buckets[0].indices[:5])]
+        it = BatchIterator(tiny, batch_size=16, shuffle=True, seed=0)
+        plans = it.plans()
+        assert len(plans) == 1
+        _, idx, mask = plans[0]
+        assert len(idx) == 16 and mask.shape == (16,)
+        assert set(idx.tolist()) == set(range(5))  # every structure present
+
+    def test_len_matches_plans_in_all_modes(self, synth_paths):
+        buckets = self._buckets(synth_paths)
+        for shuffle in (False, True):
+            for drop in (False, True):
+                it = BatchIterator(buckets, batch_size=16, shuffle=shuffle,
+                                   drop_remainder=drop, seed=1)
+                assert len(it) == len(it.plans()), (shuffle, drop)
+
 
 class TestBatchIteratorMaterialized:
     def test_iter_yields_host_batches(self, synth_paths):
@@ -196,3 +231,47 @@ class TestCsrCache:
         c = build_csr(records[:10], neighbors[:10], cache)
         assert len(c.targets) == 10
         assert len(c.atom_offsets) == 11
+
+    def test_refeaturized_source_invalidates_cache(self, synth_paths,
+                                                   tmp_path):
+        """Re-featurizing the SAME path with the SAME structure count (e.g.
+        different Voronoi d_t/w_t) must invalidate the cache — the (mtime,
+        size) of the source neighbor file is recorded at save and checked
+        at load."""
+        import os
+
+        from scann_tpu.data.pipeline import build_csr
+
+        e, n = synth_paths
+        records, neighbors = load_dataset(e, n, target="homo")
+        src = str(tmp_path / "neighbors.npy")
+        with open(src, "w") as f:
+            f.write("v1")
+        cache = str(tmp_path / "csr4.npz")
+        c1 = build_csr(records, neighbors, cache, source_path=src)
+
+        # same source file -> served from cache
+        c2 = build_csr(records, neighbors, cache, source_path=src)
+        np.testing.assert_array_equal(c1.weight_raw, c2.weight_raw)
+
+        # "re-featurize": rewrite the source and perturb the neighbor data
+        with open(src, "w") as f:
+            f.write("v2-bigger")
+        new_neighbors = [
+            [[[r[0], r[1], r[2] + 1.0, r[3], r[4]] for r in atom]
+             for atom in per_struct] for per_struct in neighbors]
+        c4 = build_csr(records, new_neighbors, cache, source_path=src)
+        np.testing.assert_allclose(c4.weight_raw, c1.weight_raw + 1.0,
+                                   rtol=1e-6)
+
+    def test_cache_without_ring_rebuilt_when_ring_needed(self, synth_paths,
+                                                         tmp_path):
+        from scann_tpu.data.pipeline import build_csr
+
+        e, n = synth_paths
+        plain, neighbors = load_dataset(e, n, target="homo", use_ring=False)
+        cache = str(tmp_path / "csr5.npz")
+        build_csr(plain, neighbors, cache)  # cache has no ring array
+        ringed, _ = load_dataset(e, n, target="homo", use_ring=True)
+        c = build_csr(ringed, neighbors, cache)
+        assert c.ring is not None and len(c.ring) == c.atom_offsets[-1]
