@@ -42,6 +42,13 @@ def main(argv=None):
         struct = Structure.from_file(path)
         value, ga = scann.predict_structure(struct, d_t=args.dt, w_t=args.wt)
         name = os.path.splitext(os.path.basename(path))[0]
+        # inputs from different directories can share a basename — number
+        # collisions instead of silently overwriting earlier outputs
+        if name in results:
+            k = 2
+            while f"{name}_{k}" in results:
+                k += 1
+            name = f"{name}_{k}"
         out_xyz = os.path.join(args.save_path, f"{name}_ga.xyz")
         struct.to_xyz(out_xyz, extra_columns=ga)
         results[name] = {"prediction": value, "ga_scores": ga.tolist()}

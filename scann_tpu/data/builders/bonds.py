@@ -5,8 +5,9 @@ The reference derives per-atom ``Ring``/``Aromatic`` flags with OpenBabel
 the geometric bond graph:
 
 - bonds: pairs with distance < 1.2 x (sum of covalent radii),
-- ring membership: an atom is in a ring iff it survives iterative pruning of
-  degree-<=1 vertices (exactly the atoms lying on some cycle),
+- ring membership: an atom is in a ring iff it is incident to a non-bridge
+  edge (exactly the atoms lying on some cycle — leaf pruning alone yields
+  the 2-core, which wrongly flags pure linker chains between two rings),
 - aromaticity (heuristic): membership in a 5- or 6-cycle whose atoms are all
   sp2-compatible (C/N/O/S with <= 3 bonds). This reproduces OpenBabel's flags
   for the common organic rings (benzene, pyridine, furan...) but is a
@@ -37,19 +38,64 @@ def bond_graph(species: List[str], coords: np.ndarray, tol: float = 1.2):
     return adj
 
 
+def _bridges(adj) -> Set[frozenset]:
+    """Bridge edges of the bond graph (iterative Tarjan — no recursion
+    limit concerns on large graphene-sheet molecules)."""
+    n = len(adj)
+    disc = [-1] * n
+    low = [0] * n
+    bridges: Set[frozenset] = set()
+    timer = 0
+    for root in range(n):
+        if disc[root] != -1 or not adj[root]:
+            continue
+        disc[root] = low[root] = timer
+        timer += 1
+        # stack frames: (vertex, parent, skipped_parent_once, neighbor_pos)
+        stack = [[root, -1, False, 0]]
+        while stack:
+            frame = stack[-1]
+            v, parent, skipped, pos = frame
+            if pos < len(adj[v]):
+                frame[3] += 1
+                w = adj[v][pos]
+                # skip the tree edge back to the parent exactly once (the
+                # geometric bond graph has no parallel edges or self-loops)
+                if w == parent and not skipped:
+                    frame[2] = True
+                    continue
+                if disc[w] == -1:
+                    disc[w] = low[w] = timer
+                    timer += 1
+                    stack.append([w, v, False, 0])
+                else:
+                    low[v] = min(low[v], disc[w])
+            else:
+                stack.pop()
+                if stack:
+                    pv = stack[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                    if low[v] > disc[pv]:
+                        bridges.add(frozenset((pv, v)))
+    return bridges
+
+
 def ring_atoms(adj) -> Set[int]:
-    """Atoms lying on any cycle: iteratively prune leaves."""
-    deg = {i: len(n) for i, n in enumerate(adj)}
-    alive = {i for i in deg if deg[i] > 0}
-    changed = True
-    while changed:
-        changed = False
-        for i in list(alive):
-            live_deg = sum(1 for j in adj[i] if j in alive)
-            if live_deg <= 1:
-                alive.discard(i)
-                changed = True
-    return alive
+    """Atoms lying on any cycle.
+
+    A vertex is on a simple cycle iff it is incident to a non-bridge edge
+    (every non-bridge edge lies on a cycle, and every cycle edge is a
+    non-bridge). This matches OpenBabel's ``IsInRing`` semantics; the
+    previous leaf-pruning computed the 2-core, which also kept pure linker
+    chains between two rings."""
+    bridges = _bridges(adj)
+    out: Set[int] = set()
+    for v, nbrs in enumerate(adj):
+        for w in nbrs:
+            if frozenset((v, w)) not in bridges:
+                out.add(v)
+                break
+    return out
 
 
 def _cycles_through(adj, alive: Set[int], max_len: int = 6):

@@ -145,12 +145,20 @@ def parse_cif(text: str, site_tol: float = 1e-3) -> Structure:
         base = np.array([_num(row[cx]), _num(row[cy]), _num(row[cz])])
         for rot, trans in symops:
             f = (rot @ base + trans) % 1.0
-            # dedupe symmetry-equivalent copies
+            # dedupe symmetry-equivalent copies — of the SAME species only:
+            # a different element at the same position is site disorder
+            # (partial occupancy), which the model cannot represent; raise
+            # rather than silently predict on the wrong composition
             dup = False
-            for existing in fracs[::-1]:
-                d = np.abs(f - existing)
+            for j in range(len(fracs) - 1, -1, -1):
+                d = np.abs(f - fracs[j])
                 d = np.minimum(d, 1.0 - d)
                 if np.all(d < site_tol):
+                    if species[j] != sym:
+                        raise ValueError(
+                            f"disordered CIF: {sym} and {species[j]} share "
+                            f"site {np.round(f, 4).tolist()} — partial "
+                            "occupancy is not supported")
                     dup = True
                     break
             if not dup:

@@ -78,8 +78,19 @@ def parallel_compute_neighbors(
                     print(f"  {done}/{n}")
 
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
-    np.save(save_path, np.asarray(results, dtype=object))
+    np.save(save_path, as_object_array(results))
     print(f"saved {n} neighbor lists to {save_path}")
+
+
+def as_object_array(items) -> np.ndarray:
+    """A guaranteed 1-D object array. ``np.asarray(items, dtype=object)``
+    collapses nested lists into an N-D array when every structure happens
+    to have identical atom/neighbor counts (uniform MD frames), breaking
+    the reference's 1-D-object-array on-disk schema."""
+    arr = np.empty(len(items), dtype=object)
+    for i, r in enumerate(items):
+        arr[i] = r
+    return arr
 
 
 def _featurize_chunk(recs, d_t, w_t):

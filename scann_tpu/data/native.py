@@ -24,22 +24,35 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
 
-def _build_library() -> Optional[str]:
+def _build_library(force: bool = False) -> Optional[str]:
     so_path = os.path.join(_BUILD_DIR, "libscannpacker.so")
-    if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
+    if (not force and os.path.exists(so_path)
+            and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
         return so_path
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # compile to a temp name and os.replace into place: an interrupted or
+    # concurrent build must never leave a truncated .so at the cached path
+    # (the mtime check would then skip rebuilding it forever)
+    tmp_path = os.path.join(_BUILD_DIR, f".libscannpacker.{os.getpid()}.so")
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", so_path],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+             "-o", tmp_path],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp_path, so_path)
         return so_path
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         import warnings
 
         warnings.warn(f"native packer build failed ({e}); using numpy fallback")
         return None
+    finally:
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -50,7 +63,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
     so = _build_library()
     if so is None:
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError as e:
+        # a corrupt cached library (e.g. left by an older non-atomic build)
+        # must degrade, not crash: rebuild once, then fall back to numpy
+        import warnings
+
+        so = _build_library(force=True)
+        try:
+            lib = ctypes.CDLL(so) if so else None
+        except OSError:
+            lib = None
+        if lib is None:
+            warnings.warn(f"native packer unusable ({e}); "
+                          "using numpy fallback")
+            return None
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

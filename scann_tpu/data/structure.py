@@ -143,9 +143,18 @@ class Structure:
         if 'Lattice="' in comment:
             vals = [float(x) for x in comment.split('Lattice="')[1].split('"')[0].split()]
             lattice = np.array(vals, dtype=np.float64).reshape(3, 3)
-        elif len(comment.split()) >= 9 and _all_floats(comment.split()[:9]):
-            vals = [float(x) for x in comment.split()[:9]]
-            lattice = np.array(vals, dtype=np.float64).reshape(3, 3)
+        else:
+            # bare-floats fallback (beyond the reference's quoted form):
+            # only EXACTLY nine numeric tokens forming a non-singular cell
+            # — a looser match would misread numeric property comments
+            # (MD frames, QM9-style rows) as a garbage lattice and skip the
+            # molecule boxing entirely
+            toks = comment.split()
+            if len(toks) == 9 and _all_floats(toks):
+                cand = np.array([float(x) for x in toks],
+                                dtype=np.float64).reshape(3, 3)
+                if abs(np.linalg.det(cand)) > 1e-6:
+                    lattice = cand
         species, coords = [], []
         for line in lines[2 : 2 + natoms]:
             parts = line.split()

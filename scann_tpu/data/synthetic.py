@@ -18,7 +18,7 @@ from typing import Optional
 import numpy as np
 
 from scann_tpu.data.atomic_data import atomic_numbers
-from scann_tpu.data.featurize import featurize_record
+from scann_tpu.data.featurize import as_object_array, featurize_record
 
 
 def _random_molecule(rng, n_atoms: int, species=("H", "C", "N", "O", "F")):
@@ -110,5 +110,5 @@ def make_synthetic_dataset(
 
     neighbors = [featurize_record(r, d_t, w_t) for r in records]
     nbr_path = os.path.join(out_dir, f"{name}_data_neighbor_dt{d_t}_wt{w_t}.npy")
-    np.save(nbr_path, np.asarray(neighbors, dtype=object))
+    np.save(nbr_path, as_object_array(neighbors))
     return energy_path, nbr_path

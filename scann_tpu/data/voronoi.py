@@ -103,8 +103,11 @@ def _image_ranges(lattice: np.ndarray, cutoff: float) -> List[int]:
     """Number of periodic image cells per axis so every point within
     ``cutoff`` of the home cell is included."""
     inv = np.linalg.inv(lattice)
-    # distance between lattice planes along axis k = 1 / |row_k of inv|
-    heights = 1.0 / np.linalg.norm(inv, axis=1)
+    # slab height along axis k = V / |a_i x a_j| = 1 / |COLUMN_k of inv|
+    # (rows of inv are NOT the reciprocal vectors under the row-vector
+    # lattice convention — using them under-counts the skewed axis of a
+    # monoclinic/triclinic cell and silently corrupts solid angles)
+    heights = 1.0 / np.linalg.norm(inv, axis=0)
     return [int(np.ceil(cutoff / h)) for h in heights]
 
 

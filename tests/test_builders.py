@@ -152,6 +152,18 @@ class TestCif:
         # -x,-y,-z maps (0,0,0) onto itself -> 1 site after dedup
         assert len(s) == 1 and s.species == ["Po"]
 
+    def test_disordered_site_raises(self):
+        """Two species on the same site (partial occupancy) must error —
+        silently keeping only the first predicts on a wrong composition."""
+        cif = (
+            "data_x\n_cell_length_a 4.0\n_cell_length_b 4.0\n"
+            "_cell_length_c 4.0\n_cell_angle_alpha 90\n_cell_angle_beta 90\n"
+            "_cell_angle_gamma 90\nloop_\n _atom_site_type_symbol\n"
+            " _atom_site_fract_x\n _atom_site_fract_y\n _atom_site_fract_z\n"
+            " Fe 0.0 0.0 0.0\n Ni 0.0 0.0 0.0\n")
+        with pytest.raises(ValueError, match="disordered"):
+            parse_cif(cif)
+
     def test_mp_record(self):
         entry = {"structure": CIF_P1, "material_id": "mp-22862",
                  "formation_energy_per_atom": -2.127, "band_gap": 4.7}
@@ -213,3 +225,36 @@ class TestQm9Std:
         assert rec["Properties"]["homo"] == -7.2
         assert rec["Atoms"] == ["O", "H", "H"]
         np.testing.assert_allclose(rec["Coords"][0], [10.0, 10.0, 10.0])
+
+
+def test_ring_atoms_excludes_linker_chains():
+    """Exact cycle membership (OpenBabel IsInRing semantics): a chain
+    joining two rings is NOT in a ring — the old leaf-pruning (2-core)
+    wrongly flagged it."""
+    from scann_tpu.data.builders.bonds import ring_atoms
+
+    # two triangles 0-1-2 and 5-6-7 joined by the path 2-3-4-5
+    adj = [[1, 2], [0, 2], [0, 1, 3], [2, 4], [3, 5],
+           [4, 6, 7], [5, 7], [5, 6]]
+    assert ring_atoms(adj) == {0, 1, 2, 5, 6, 7}
+
+    # a pure chain has no ring atoms; a lone triangle is all ring atoms
+    assert ring_atoms([[1], [0, 2], [1]]) == set()
+    assert ring_atoms([[1, 2], [0, 2], [0, 1]]) == {0, 1, 2}
+
+    # spiro junction: two triangles sharing one vertex — all on cycles
+    adj = [[1, 2, 3, 4], [0, 2], [0, 1], [0, 4], [0, 3]]
+    assert ring_atoms(adj) == {0, 1, 2, 3, 4}
+
+
+def test_as_object_array_stays_1d_for_uniform_shapes():
+    """Uniform structures (every frame the same atom/neighbor counts, as in
+    MD trajectories) must still save as a 1-D object array — the reference
+    on-disk schema — not collapse into an N-D numeric array."""
+    from scann_tpu.data.featurize import as_object_array
+
+    uniform = [[[["H", 1, 1.0, 1.0, 1.0]]] for _ in range(3)]
+    arr = as_object_array(uniform)
+    assert arr.dtype == object and arr.shape == (3,)
+    collapsed = np.asarray(uniform, dtype=object)
+    assert collapsed.ndim != 1  # the trap this helper exists to avoid

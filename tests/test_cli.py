@@ -115,6 +115,25 @@ def test_predict_files_cli(workdir, tmp_path):
     assert len(results["water2"]["ga_scores"]) == 3
 
 
+def test_predict_files_cli_same_basename_not_overwritten(workdir, tmp_path):
+    """Two inputs named mol.xyz in different directories must both appear
+    in the outputs instead of the second silently overwriting the first."""
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    (a / "mol.xyz").write_text(
+        "3\nwater\nO 0 0 0\nH 0.96 0 0\nH -0.24 0.93 0\n")
+    (b / "mol.xyz").write_text("2\nco\nC 0 0 0\nO 1.13 0 0\n")
+    predict_files_main(["trained/model_homo", "preds_dup",
+                        str(a / "mol.xyz"), str(b / "mol.xyz"), "--mol"])
+    results = json.load(open("preds_dup/predictions.json"))
+    assert len(results["mol"]["ga_scores"]) == 3
+    assert len(results["mol_2"]["ga_scores"]) == 2
+    assert os.path.exists("preds_dup/mol_ga.xyz")
+    assert os.path.exists("preds_dup/mol_2_ga.xyz")
+
+
 def test_predict_model_cli(workdir):
     predict_model_main(["trained/model_homo", "--out", "full_preds"])
     with open("full_preds/energy_pre_homo.pickle", "rb") as f:

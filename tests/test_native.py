@@ -57,3 +57,30 @@ def test_csr_roundtrip_against_records(csr):
     assert c.weight_raw[n0] == pytest.approx(first[2])
     assert c.weight_norm[n0] == pytest.approx(first[3])
     assert c.nbr_dist[n0] == pytest.approx(first[4])
+
+
+def test_corrupt_cached_library_degrades_to_rebuild(tmp_path, monkeypatch):
+    """A truncated .so at the cached path (interrupted build, killed g++)
+    must not crash every later run: get_lib rebuilds once, and if that
+    fails too it falls back to numpy (None)."""
+    import scann_tpu.data.native as native
+
+    build = tmp_path / "build"
+    build.mkdir()
+    bad = build / "libscannpacker.so"
+    bad.write_bytes(b"not an ELF file")
+    # make the corrupt file look fresh relative to the source
+    import os
+    src_m = os.path.getmtime(native._SRC)
+    os.utime(bad, (src_m + 10, src_m + 10))
+
+    monkeypatch.setattr(native, "_BUILD_DIR", str(build))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_lib_tried", False)
+    lib = native.get_lib()  # must not raise on the corrupt cache
+    # this image ships g++, so the forced rebuild must succeed and work
+    assert lib is not None
+    ao = np.array([0, 2], np.int64)
+    no = np.array([0, 1, 2], np.int64)
+    n_at, mx = native.structure_sizes_native(ao, no)
+    assert n_at.tolist() == [2] and mx.tolist() == [1]

@@ -268,3 +268,63 @@ class TestCellParameterLattice:
         assert np.linalg.norm(lat[2]) == pytest.approx(c)
         cos_al = lat[1] @ lat[2] / (b * c)
         assert cos_al == pytest.approx(ca, abs=1e-9)
+
+
+class TestShearedLattice:
+    def test_image_ranges_use_true_slab_heights(self):
+        from scann_tpu.data.voronoi import _image_ranges
+
+        L = np.array([[4, 0, 0], [10, 4, 0], [0, 0, 4]], float)
+        # slab heights are V/|a_i x a_j| = [1.486, 4, 4]: the FIRST axis is
+        # the thin one (its planes are squeezed by the shear of a_1)
+        assert _image_ranges(L, 7.0) == [5, 2, 2]
+
+    def test_sheared_cell_matches_converged_shell(self, monkeypatch):
+        """Featurization of a monoclinic (sheared) cell must agree with a
+        generously converged image shell — the old row-based heights
+        under-counted the squeezed axis and silently corrupted kept solid
+        angles (mp2018/smfe contain non-orthogonal cells)."""
+        import scann_tpu.data.voronoi as V
+
+        rng = np.random.default_rng(4)
+        L = np.array([[4, 0, 0], [10, 4, 0], [0, 0, 4]], float)
+        frac = rng.uniform(0.05, 0.95, size=(6, 3))
+        s = Structure(["Si"] * 6, frac @ L, lattice=L)
+
+        fast = V.compute_voronoi_neighbors(s)
+        real_ranges = V._image_ranges
+        monkeypatch.setattr(V, "_image_ranges",
+                            lambda lat, cut: [r + 3 for r in
+                                              real_ranges(lat, cut)])
+        converged = V.compute_voronoi_neighbors(s)
+
+        assert len(fast) == len(converged)
+        for a, (r0, r1) in enumerate(zip(fast, converged)):
+            s0 = sorted(r0, key=lambda r: (r[1], r[4]))
+            s1 = sorted(r1, key=lambda r: (r[1], r[4]))
+            assert [(r[0], r[1]) for r in s0] == [(r[0], r[1]) for r in s1], \
+                f"atom {a}: record sets differ from converged shell"
+            np.testing.assert_allclose(
+                np.asarray([r[2:] for r in s0], np.float64),
+                np.asarray([r[2:] for r in s1], np.float64),
+                rtol=1e-9, atol=1e-12, err_msg=f"atom {a}")
+
+
+class TestXyzLatticeHeuristic:
+    def test_numeric_property_comment_stays_molecule(self):
+        """A molecular xyz whose comment carries numeric properties (MD
+        frames, QM9-style rows) must NOT be misread as a periodic cell."""
+        lines = ["3", "1.0 2.0 3.0 4.0 5.0 6.0 7.0 8.0 9.0 10.0",
+                 "O 0 0 0", "H 0.96 0 0", "H -0.24 0.93 0"]
+        s = Structure.from_xyz_lines(lines)
+        assert not s.is_periodic  # 10 tokens: not a bare lattice
+
+        # exactly 9 floats forming a SINGULAR matrix is not a lattice either
+        lines[1] = "1 2 3 2 4 6 3 6 9"
+        assert not Structure.from_xyz_lines(lines).is_periodic
+
+        # exactly 9 floats, non-singular: accepted as a lattice (POSCAR-ish
+        # exports), matching previous behavior for real crystal files
+        lines[1] = "8.5 0 0 0 8.5 0 0 0 4.8"
+        s = Structure.from_xyz_lines(lines)
+        assert s.is_periodic and s.lattice[0, 0] == 8.5
