@@ -272,9 +272,12 @@ class Scann:
             print(f"Loading best checkpoint from {ckpt}")
             self.trainer.init_state(self._example_inputs(), self.config.hyper.seed)
             self.trainer.restore_checkpoint("best")
-        result = self.trainer.evaluate(
-            self._buckets if self._buckets is not None else self.test_buckets
-        )
+        buckets = (self._buckets if self._buckets is not None
+                   else self.test_buckets)
+        if buckets is None:
+            raise RuntimeError(
+                "no packed data to evaluate: call prepare_dataset() first")
+        result = self.trainer.evaluate(buckets)
         print(f"Test {self.config.hyper.target}: "
               f"MAE {result['test_mae']:.6f}, R2 {result['test_r2']:.5f}")
         return result

@@ -118,11 +118,18 @@ class ScannConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "ScannConfig":
-        def fill(dc_cls, block: dict):
+        def fill(dc_cls, block: dict, block_name: str):
             names = {f.name for f in dataclasses.fields(dc_cls)}
             kwargs = {}
             for k, v in (block or {}).items():
                 if k not in names:
+                    # a typo'd hyperparameter silently training on the
+                    # default is worse than noise: warn, don't drop quietly
+                    import warnings
+
+                    warnings.warn(
+                        f"config: unknown key '{block_name}.{k}' ignored "
+                        f"(value {v!r}); check for typos", stacklevel=3)
                     continue
                 if k in ("train_size", "test_size", "data_size"):
                     v = _noneify(v)
@@ -132,9 +139,9 @@ class ScannConfig:
             return dc_cls(**kwargs)
 
         return cls(
-            model=fill(ModelConfig, d.get("model", {})),
-            hyper=fill(HyperConfig, d.get("hyper", {})),
-            tpu=fill(TpuConfig, d.get("tpu", {})),
+            model=fill(ModelConfig, d.get("model", {}), "model"),
+            hyper=fill(HyperConfig, d.get("hyper", {}), "hyper"),
+            tpu=fill(TpuConfig, d.get("tpu", {}), "tpu"),
         )
 
     def to_dict(self) -> dict:

@@ -117,11 +117,16 @@ class Trainer:
 
         self._repl = replicated_sharding(self.mesh)
         self._bsh = batch_sharding(self.mesh)
-        self._train_step = None
-        self._eval_step = None
+        self._train_epoch = None
+        self._eval_epoch = None
+        self._steps_key = None  # schedule signature the epoch fns were traced with
+        self._predict_fwd = None  # cached jitted predict forward
         self._lr_fn = None  # set by fit(); read inside the jitted epoch fn
         self.state: Optional[TrainState] = None
-        self._device_buckets: Dict[int, Tuple[Any, Any]] = {}
+        # device-bucket cache: key -> (bucket_ref, dev_inputs, dev_targets).
+        # The bucket reference pins the object alive so its id() cannot be
+        # recycled onto a different dataset's bucket; one entry per tag.
+        self._device_buckets: Dict[Any, Tuple[Any, Any, Any]] = {}
 
     # --- state ---------------------------------------------------------------
 
@@ -240,45 +245,18 @@ class Trainer:
         out = self.eval_model.apply({"params": params}, batch, deterministic=True)
         return out["property"], out["ga_score"]
 
-    def _make_steps(self):
+    def _make_steps(self, steps_key: Any = None):
+        """(Re)trace the jitted epoch functions.
+
+        ``steps_key`` is the schedule signature they are traced against —
+        the epoch closure reads ``self._lr_fn`` and scheduler flags at
+        TRACE time, so a later fit() with a different schedule must rebuild
+        (a stale cached executable would silently train on the old
+        learning-rate trajectory)."""
         model = self.model
         tx = self.tx
         l2 = self.config.hyper.l2_reg
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, binputs, btargets, idx, lr, rng):
-            batch = jax.tree.map(lambda x: x[idx], binputs)
-            y = btargets[idx]
-
-            def loss_fn(params):
-                out = model.apply({"params": params}, batch, deterministic=False,
-                                  rngs={"dropout": rng})
-                pred = out["property"][:, 0]
-                mse = jnp.mean(jnp.square(pred - y))
-                rmse = jnp.sqrt(mse)
-                loss = rmse + l2_penalty(params, l2)
-                mae = jnp.mean(jnp.abs(pred - y))
-                return loss, (rmse, mae)
-
-            (loss, (rmse, mae)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            updates = jax.tree.map(lambda u: -lr * u, updates)
-            params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(params=params, opt_state=opt_state,
-                                   step=state.step + 1)
-            return new_state, {"loss": loss, "rmse": rmse, "mae": mae}
-
-        @jax.jit
-        def eval_step(params, binputs, btargets, idx, sample_mask):
-            batch = jax.tree.map(lambda x: x[idx], binputs)
-            y = btargets[idx]
-            pred, _ = self.forward_eval(params, batch)
-            return pred[:, 0], y, sample_mask
-
-        self._train_step = train_step
-        self._eval_step = eval_step
+        self._steps_key = steps_key
 
         # --- whole-epoch scan: ONE dispatch per (bucket, epoch) --------------
         # At reference batch sizes the per-step path is host-dispatch-bound
@@ -406,16 +384,27 @@ class Trainer:
     # --- device-resident data ------------------------------------------------
 
     def _put_buckets(self, buckets: List[PackedBucket], tag: str):
-        """Push bucket arrays to device (replicated) once; cache by identity."""
+        """Push bucket arrays to device (replicated) once; cache by identity.
+
+        The cached entry keeps a reference to the bucket: without it, a
+        GC'd bucket's id() could be recycled by a NEW dataset's bucket and
+        the cache would silently serve the old dataset's device arrays.
+        Entries for a tag are evicted when that tag is re-put with
+        different buckets, so swapping datasets frees the old HBM copies."""
+        live = {(tag, id(b)) for b in buckets}
+        for key in [k for k in self._device_buckets
+                    if k[0] == tag and k not in live]:
+            del self._device_buckets[key]
         out = []
         for b in buckets:
             key = (tag, id(b))
             if key not in self._device_buckets:
                 self._device_buckets[key] = (
+                    b,
                     jax.device_put(b.inputs, self._repl),
                     jax.device_put(b.targets, self._repl),
                 )
-            out.append(self._device_buckets[key])
+            out.append(self._device_buckets[key][1:])
         return out
 
     # --- training ------------------------------------------------------------
@@ -474,8 +463,11 @@ class Trainer:
             self._lr_fn = make_cosine_lr(hyper.lr, hyper.min_lr, steps_per_epoch,
                                          epochs, hyper.adam_decay)
 
-        if self._train_step is None:
-            self._make_steps()
+        steps_key = (hyper.scheduler, hyper.lr, hyper.min_lr,
+                     hyper.adam_decay, hyper.batch_size, steps_per_epoch,
+                     epochs)
+        if self._train_epoch is None or self._steps_key != steps_key:
+            self._make_steps(steps_key)
         if self.state is None:
             self.init_state(
                 {k: v[:1] for k, v in train_buckets[0].inputs.items()}, hyper.seed
@@ -605,7 +597,7 @@ class Trainer:
     def evaluate(self, test_buckets: List[PackedBucket], report: bool = True):
         """Test-set evaluation; writes report.txt + hist_data.json like the
         reference's ``evaluate`` (``scann_model.py:247-313``)."""
-        if self._eval_step is None:
+        if self._eval_epoch is None:
             self._make_steps()
         self._preresolve_tiles(test_buckets, training=False)
         dev = self._put_buckets(test_buckets, "test")
@@ -642,16 +634,32 @@ class Trainer:
         up to ``batch_size`` (one compiled shape per bucket instead of two),
         and GA scores are gathered bucket-at-a-time with numpy split instead
         of a per-structure Python loop (this is the path ``predict_model``
-        runs over 130k structures)."""
+        runs over 130k structures).
+
+        Works for any subset of buckets: results come back in ascending
+        order of the structures' ORIGINAL dataset indices (for the full
+        dataset that is simply dataset order)."""
         bs = batch_size or self.config.hyper.batch_size
         self._preresolve_tiles(buckets, training=False, batch_size=bs)
 
-        @jax.jit
-        def fwd(params, batch):
-            pred, ga = self.forward_eval(params, batch)
-            return pred[:, 0], ga[..., 0]
+        # ONE jit object per Trainer: a fresh jit per call would recompile
+        # the forward for every bucket shape on every predict() invocation
+        if self._predict_fwd is None:
+            def fwd(params, batch):
+                pred, ga = self.forward_eval(params, batch)
+                return pred[:, 0], ga[..., 0]
 
-        n_total = sum(b.num_structures for b in buckets)
+            self._predict_fwd = jax.jit(fwd)
+        fwd = self._predict_fwd
+
+        # map original dataset indices -> compact output positions, so a
+        # proper SUBSET of buckets (e.g. test_buckets) scatters correctly
+        all_orig = np.concatenate(
+            [np.asarray(b.indices[: b.num_structures]) for b in buckets])
+        sorted_orig = np.sort(all_orig)
+        if len(np.unique(sorted_orig)) != len(sorted_orig):
+            raise ValueError("buckets contain duplicate structure indices")
+        n_total = len(sorted_orig)
         preds = np.zeros(n_total, np.float32)
         gas: Dict[int, np.ndarray] = {}
         for b in buckets:
@@ -666,13 +674,13 @@ class Trainer:
                 bucket_preds.append(np.asarray(p)[: end - s0])
                 if with_ga:
                     bucket_gas.append(np.asarray(ga)[: end - s0])
-            orig = b.indices[:S]
-            preds[orig] = np.concatenate(bucket_preds)
+            pos = np.searchsorted(sorted_orig, np.asarray(b.indices[:S]))
+            preds[pos] = np.concatenate(bucket_preds)
             if with_ga:
                 ga_all = np.concatenate(bucket_gas)               # [S, M]
                 na = b.inputs["atom_mask"][:S, :, 0].sum(-1).astype(int)
-                for j, oi in enumerate(orig):
-                    gas[int(oi)] = ga_all[j, : na[j]]  # view, no copy
+                for j, pj in enumerate(pos):
+                    gas[int(pj)] = ga_all[j, : na[j]]  # view, no copy
         std, mean = self.config.hyper.target_std, self.config.hyper.target_mean
         preds = preds * std + mean
         if with_ga:

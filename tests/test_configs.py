@@ -44,3 +44,17 @@ def test_config_builds_and_runs(path, rng):
     assert np.all(np.isfinite(np.asarray(out["property"])))
     assert cfg.hyper.lr > cfg.hyper.min_lr > 0
     assert cfg.hyper.scheduler in ("cosine", "sgdr")
+
+
+def test_unknown_config_key_warns(tmp_path):
+    """A typo'd hyperparameter must not silently train on the default."""
+    import warnings
+
+    from scann_tpu.config import ScannConfig
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = ScannConfig.from_dict(
+            {"model": {}, "hyper": {"bach_size": 256}})
+    assert any("bach_size" in str(x.message) for x in w)
+    assert cfg.hyper.batch_size != 256  # default kept, but loudly

@@ -63,3 +63,15 @@ def test_ladder_is_monotone_bounded_and_aligned():
         assert q <= max(2 * x, base)  # never more than 2x padding waste
     # bounded shape set: 2000 distinct sizes collapse to a handful of levels
     assert len(seen) <= 16
+
+
+def test_evaluate_without_data_raises_actionable(tmp_path):
+    """evaluate() with no prepared data must raise the same actionable
+    RuntimeError style as predict_data, not a TypeError on None."""
+    s = _bare_scann()
+    s.config.hyper.save_path = str(tmp_path / "ev")
+    s.trainer.workdir = str(tmp_path / "ev_homo")
+    s.trainer.init_state(s._example_inputs())
+    s.trainer.save_checkpoint("best")  # parameters exist, data doesn't
+    with pytest.raises(RuntimeError, match="prepare_dataset"):
+        s.evaluate()

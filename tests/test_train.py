@@ -80,21 +80,56 @@ class TestTrainer:
         cfg.hyper.target_mean, cfg.hyper.target_std = mean, std
         tr = Trainer(cfg)
         tr.fit(train_b, val_b, epochs=1)
-        # predict on the train subset itself
+        # predict directly on SUBSET buckets — original dataset indices are
+        # sparse and > n; predict must remap them to compact output
+        # positions (it used to scatter by raw index and crash)
         n = sum(b.num_structures for b in train_b)
-        # re-index buckets into a 0..n-1 local order for predict
-        import copy
-        local = copy.deepcopy(train_b)
-        remap = {int(oi): k for k, oi in enumerate(
-            np.concatenate([b.indices for b in local]))}
-        for b in local:
-            b.indices = np.array([remap[int(i)] for i in b.indices])
-        preds, gas = tr.predict(local, with_ga=True)
+        preds, gas = tr.predict(train_b, with_ga=True)
         assert preds.shape == (n,)
         assert len(gas) == n
-        k0 = int(local[0].inputs["atom_mask"][0].sum())
-        assert gas[0].shape == (k0,)
+        k0 = int(train_b[0].inputs["atom_mask"][0].sum())
+        sorted_orig = np.sort(np.concatenate([b.indices for b in train_b]))
+        pos0 = int(np.searchsorted(sorted_orig, train_b[0].indices[0]))
+        assert gas[pos0].shape == (k0,)
         assert np.all(np.isfinite(preds))
+        # one jit object per Trainer: a second call must reuse it
+        assert tr._predict_fwd is not None
+        fwd1 = tr._predict_fwd
+        tr.predict(train_b)
+        assert tr._predict_fwd is fwd1
+
+    def test_second_fit_retraces_changed_schedule(self, packed, tmp_path):
+        """fit() bakes the lr schedule into the traced epoch fn; a second
+        fit with a different schedule signature (epochs here -> different
+        cosine decay) must rebuild the traced functions, not silently train
+        on the first fit's trajectory."""
+        train_b, val_b, _, _, _ = packed
+        cfg = tiny_config(str(tmp_path / "refit"))
+        tr = Trainer(cfg)
+        tr.fit(train_b, val_b, epochs=2)
+        first = tr._train_epoch
+        tr.fit(train_b, val_b, epochs=2)   # same signature: reuse
+        assert tr._train_epoch is first
+        tr.fit(train_b, val_b, epochs=6)   # different decay length: rebuild
+        assert tr._train_epoch is not first
+
+    def test_put_buckets_evicts_replaced_tag(self, packed, tmp_path):
+        """Swapping datasets must evict the old tag entries (HBM) and the
+        cache must pin bucket objects so a recycled id() can never serve a
+        different dataset's device arrays."""
+        train_b, val_b, _, _, _ = packed
+        cfg = tiny_config(str(tmp_path / "putb"))
+        tr = Trainer(cfg)
+        tr._put_buckets(train_b, "train")
+        keys1 = {k for k in tr._device_buckets if k[0] == "train"}
+        assert keys1 and all(
+            tr._device_buckets[k][0] is b
+            for k, b in zip(sorted(keys1, key=lambda k: k[1]),
+                            sorted(train_b, key=id)))
+        tr._put_buckets(val_b, "train")  # same tag, new buckets
+        keys2 = {k for k in tr._device_buckets if k[0] == "train"}
+        assert keys1.isdisjoint(keys2)
+        assert len(keys2) == len(val_b)
 
 
 class TestSchedules:
