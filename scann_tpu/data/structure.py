@@ -32,9 +32,38 @@ class Structure:
     molecule_box: bool = False
 
     def __post_init__(self):
+        # Validate eagerly: Structure is the boundary where user input
+        # (serve requests, CLI files, dataset records) enters the framework,
+        # and an invalid structure otherwise surfaces as a KeyError/qhull
+        # crash deep inside featurization (or, worse, a silently wrong
+        # result). Cost is negligible next to one Voronoi tessellation.
+        if len(self.species) == 0:
+            raise ValueError("structure has no atoms")
+        norm = []
+        for s in self.species:
+            if isinstance(s, (int, np.integer)):  # accept atomic numbers
+                if not 0 < int(s) < len(chemical_symbols):
+                    raise ValueError(f"atomic number {int(s)} out of range")
+                norm.append(chemical_symbols[int(s)])
+            else:
+                norm.append(str(s))
+        unknown = sorted({s for s in norm if s not in atomic_numbers})
+        if unknown:
+            raise ValueError(f"unknown element symbol(s): {unknown}")
+        self.species = norm
         self.coords = np.asarray(self.coords, dtype=np.float64).reshape(-1, 3)
+        if self.coords.shape[0] != len(self.species):
+            raise ValueError(
+                f"{len(self.species)} species but coordinates for "
+                f"{self.coords.shape[0]} sites")
+        if not np.isfinite(self.coords).all():
+            raise ValueError("non-finite atomic coordinates")
         if self.lattice is not None:
             self.lattice = np.asarray(self.lattice, dtype=np.float64).reshape(3, 3)
+            if not np.isfinite(self.lattice).all():
+                raise ValueError("non-finite lattice")
+            if abs(np.linalg.det(self.lattice)) < 1e-9:
+                raise ValueError("singular lattice (zero cell volume)")
 
     def __len__(self) -> int:
         return len(self.species)
@@ -137,7 +166,14 @@ class Structure:
     @classmethod
     def from_xyz_lines(cls, lines: Sequence[str]) -> "Structure":
         """Parse (extended) xyz: natoms / comment [Lattice="9 floats"] / sites."""
-        natoms = int(lines[0].split()[0])
+        if not lines or not lines[0].split():
+            raise ValueError("empty xyz input")
+        try:
+            natoms = int(lines[0].split()[0])
+        except ValueError:
+            raise ValueError(
+                f"xyz header must start with the atom count, got "
+                f"{lines[0].strip()!r}") from None
         comment = lines[1] if len(lines) > 1 else ""
         lattice = None
         if 'Lattice="' in comment:
@@ -156,13 +192,25 @@ class Structure:
                 if abs(np.linalg.det(cand)) > 1e-6:
                     lattice = cand
         species, coords = [], []
-        for line in lines[2 : 2 + natoms]:
+        for k, line in enumerate(lines[2 : 2 + natoms]):
             parts = line.split()
-            sym = parts[0]
-            if sym.isdigit():
-                sym = chemical_symbols[int(sym)]
+            try:
+                sym = parts[0]
+                if sym.isdigit():
+                    sym = chemical_symbols[int(sym)]
+                xyz = [float(x) for x in parts[1:4]]
+                if len(xyz) != 3:
+                    raise ValueError("fewer than 3 coordinates")
+            except (ValueError, IndexError) as e:
+                raise ValueError(
+                    f"malformed xyz site line {k + 3}: {line.strip()!r} "
+                    f"({e})") from None
             species.append(sym)
-            coords.append([float(x) for x in parts[1:4]])
+            coords.append(xyz)
+        if len(species) != natoms:
+            raise ValueError(
+                f"xyz declares {natoms} atoms but only {len(species)} site "
+                "lines follow (truncated file?)")
         return cls(species, np.array(coords), lattice)
 
     @classmethod
@@ -201,11 +249,25 @@ class Structure:
         .sdf): counts line at row 4, then the atom block ``x y z symbol``."""
         with open(path) as f:
             lines = f.readlines()
-        counts = lines[3]
-        natoms = int(counts[0:3])
+        if len(lines) < 4:
+            raise ValueError(f"molfile {path} too short for a V2000 header")
+        try:
+            natoms = int(lines[3][0:3])
+        except ValueError:
+            raise ValueError(
+                f"molfile {path}: malformed counts line "
+                f"{lines[3].rstrip()!r}") from None
+        if len(lines) < 4 + natoms:
+            raise ValueError(
+                f"molfile {path} declares {natoms} atoms but the atom block "
+                f"has only {len(lines) - 4} lines (truncated file?)")
         species, coords = [], []
-        for line in lines[4 : 4 + natoms]:
+        for k, line in enumerate(lines[4 : 4 + natoms]):
             parts = line.split()
+            if len(parts) < 4:
+                raise ValueError(
+                    f"molfile {path}: malformed atom line {k + 5}: "
+                    f"{line.strip()!r}")
             coords.append([float(x) for x in parts[:3]])
             species.append(parts[3])
         return cls(species, np.array(coords), None)

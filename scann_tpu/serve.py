@@ -14,6 +14,9 @@ deployment path for the TPU framework:
 
       POST /predict   {"structures": [{"species": [...], "coords": [[...]],
                                        "lattice": [[...]] | null}, ...]}
+                      (species = element symbols or atomic numbers; invalid
+                       structures — unknown elements, length mismatches,
+                       non-finite values — are rejected with a 400)
                    or a raw (multi-)xyz body with Content-Type text/plain
       GET  /healthz   liveness + model metadata
 

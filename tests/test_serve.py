@@ -199,6 +199,34 @@ def test_http_server_json_and_xyz(scann):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(empty, timeout=30)
         assert exc.value.code == 400
+
+        # invalid structures are the client's fault -> 400, not a 500 from
+        # deep inside featurization
+        for structs in (
+            [{"species": ["O", "Xx"], "coords": [[0, 0, 0], [1, 0, 0]]}],
+            [{"species": ["O", "H"], "coords": [[0, 0, 0]]}],
+            [{"species": ["O"], "coords": [[0, 0, float("nan")]]}],
+        ):
+            bad = urllib.request.Request(
+                base + "/predict",
+                data=json.dumps({"structures": structs}).encode(),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(bad, timeout=30)
+            assert exc.value.code == 400, structs
+
+        # species given as atomic numbers predict identically to symbols
+        znum = json.dumps({"structures": [
+            {"species": [8, 1, 1],
+             "coords": [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]],
+             "lattice": None},
+        ]}).encode()
+        req = urllib.request.Request(base + "/predict", data=znum,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out3 = json.loads(r.read())
+        assert out3["predictions"][0] == pytest.approx(out["predictions"][0],
+                                                       rel=1e-6)
     finally:
         server.shutdown()
 

@@ -212,6 +212,75 @@ M  END
         assert d1 == pytest.approx(d2)
 
 
+class TestStructureValidation:
+    """Construction-time validation: Structure is the boundary where user
+    input (serve requests, CLI files) enters the framework, so invalid
+    structures must fail here with a clear ValueError instead of a
+    KeyError/qhull crash deep inside featurization."""
+
+    def test_unknown_element_rejected(self):
+        with pytest.raises(ValueError, match="unknown element.*Xx"):
+            Structure(["C", "Xx"], [[0, 0, 0], [1, 0, 0]])
+
+    def test_species_coords_mismatch_rejected(self):
+        with pytest.raises(ValueError, match="2 species.*3 sites"):
+            Structure(["C", "O"], [[0, 0, 0], [1, 0, 0], [2, 0, 0]])
+
+    def test_non_finite_coords_rejected(self):
+        with pytest.raises(ValueError, match="non-finite"):
+            Structure(["C", "O"], [[0, 0, 0], [np.nan, 0, 0]])
+
+    def test_empty_structure_rejected(self):
+        with pytest.raises(ValueError, match="no atoms"):
+            Structure([], np.zeros((0, 3)))
+
+    def test_singular_lattice_rejected(self):
+        lat = np.array([[5, 0, 0], [0, 5, 0], [5, 5, 0]], dtype=float)
+        with pytest.raises(ValueError, match="singular lattice"):
+            Structure(["Si"], [[0, 0, 0]], lat)
+
+    def test_non_finite_lattice_rejected(self):
+        lat = np.eye(3) * 5.0
+        lat[2, 2] = np.inf
+        with pytest.raises(ValueError, match="non-finite lattice"):
+            Structure(["Si"], [[0, 0, 0]], lat)
+
+    def test_atomic_numbers_accepted_as_species(self):
+        s = Structure([8, 1, 1], [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+        assert s.species == ["O", "H", "H"]
+        with pytest.raises(ValueError, match="out of range"):
+            Structure([0], [[0, 0, 0]])
+        with pytest.raises(ValueError, match="out of range"):
+            Structure([200], [[0, 0, 0]])
+
+    def test_truncated_xyz_rejected(self):
+        lines = ["3", "water", "O 0 0 0", "H 0.96 0 0"]
+        with pytest.raises(ValueError, match="declares 3 atoms.*2 site"):
+            Structure.from_xyz_lines(lines)
+
+    def test_bad_xyz_header_rejected(self):
+        with pytest.raises(ValueError, match="atom count"):
+            Structure.from_xyz_lines(["water", "comment", "O 0 0 0"])
+        with pytest.raises(ValueError, match="empty xyz"):
+            Structure.from_xyz_lines([])
+
+    def test_malformed_xyz_site_line_rejected(self):
+        with pytest.raises(ValueError, match="site line 4"):
+            Structure.from_xyz_lines(["2", "", "O 0 0 0", "H 0.96 zero 0"])
+        with pytest.raises(ValueError, match="site line 3"):
+            Structure.from_xyz_lines(["1", "", "O 0 0"])
+
+    def test_truncated_molfile_rejected(self, tmp_path):
+        p = tmp_path / "bad.mol"
+        p.write_text("m\n\n\n  3  2  0  0  0  0  0  0  0  0999 V2000\n"
+                     "    0.0 0.0 0.0 O   0  0\n")
+        with pytest.raises(ValueError, match="declares 3 atoms"):
+            Structure.from_molfile(str(p))
+        p.write_text("too short\n")
+        with pytest.raises(ValueError, match="too short"):
+            Structure.from_molfile(str(p))
+
+
 class TestNonOrthorhombicLattices:
     def test_hexagonal_lattice_facets_sum_to_4pi(self):
         # hcp-like hexagonal cell (graphite-ish lattice vectors)
