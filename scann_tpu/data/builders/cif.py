@@ -141,8 +141,12 @@ def parse_cif(text: str, site_tol: float = 1e-3) -> Structure:
 
     species, fracs = [], []
     for row in site_rows:
-        sym = re.sub(r"[\d+\-]+$", "", row[c_sym].strip("'\""))
-        base = np.array([_num(row[cx]), _num(row[cy]), _num(row[cz])])
+        try:
+            sym = re.sub(r"[\d+\-]+$", "", row[c_sym].strip("'\""))
+            base = np.array([_num(row[cx]), _num(row[cy]), _num(row[cz])])
+        except (IndexError, ValueError) as e:
+            raise ValueError(
+                f"malformed CIF atom_site row {row!r}: {e}") from None
         for rot, trans in symops:
             f = (rot @ base + trans) % 1.0
             # dedupe symmetry-equivalent copies — of the SAME species only:

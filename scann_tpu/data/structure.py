@@ -222,6 +222,20 @@ class Structure:
     def from_poscar(cls, path: str) -> "Structure":
         with open(path) as f:
             lines = [ln.rstrip() for ln in f]
+        if len(lines) < 9:
+            raise ValueError(
+                f"POSCAR {path} too short ({len(lines)} lines; a minimal "
+                "file has 9: comment/scale/3 lattice/symbols/counts/mode/"
+                "at least one site)")
+        try:
+            return cls._parse_poscar_lines(lines)
+        except (ValueError, IndexError) as e:
+            if isinstance(e, ValueError) and "POSCAR" in str(e):
+                raise
+            raise ValueError(f"malformed POSCAR {path}: {e}") from None
+
+    @classmethod
+    def _parse_poscar_lines(cls, lines: Sequence[str]) -> "Structure":
         scale = float(lines[1].split()[0])
         lattice = np.array([[float(x) for x in lines[i].split()[:3]] for i in (2, 3, 4)])
         if scale < 0:  # negative scale = target volume
@@ -235,6 +249,11 @@ class Structure:
             idx += 1
         cartesian = lines[idx].strip().lower().startswith(("c", "k"))
         idx += 1
+        if len(lines) < idx + sum(counts):
+            raise ValueError(
+                f"POSCAR declares {sum(counts)} sites but only "
+                f"{len(lines) - idx} coordinate lines follow "
+                "(truncated file?)")
         species = [s for s, c in zip(symbols, counts) for _ in range(c)]
         coords = np.array(
             [[float(x) for x in lines[idx + i].split()[:3]] for i in range(sum(counts))]

@@ -270,6 +270,39 @@ class TestStructureValidation:
         with pytest.raises(ValueError, match="site line 3"):
             Structure.from_xyz_lines(["1", "", "O 0 0"])
 
+    def test_truncated_poscar_rejected(self, tmp_path):
+        p = tmp_path / "POSCAR"
+        p.write_text("Si2\n1.0\n5.4 0 0\n0 5.4 0\n0 0 5.4\nSi\n2\nDirect\n"
+                     "0.0 0.0 0.0\n")
+        with pytest.raises(ValueError, match="declares 2 sites.*1 coord"):
+            Structure.from_poscar(str(p))
+        p.write_text("Si2\n1.0\n")
+        with pytest.raises(ValueError, match="too short"):
+            Structure.from_poscar(str(p))
+        p.write_text("Si2\nnot-a-scale\n5.4 0 0\n0 5.4 0\n0 0 5.4\nSi\n2\n"
+                     "Direct\n0 0 0\n0.25 0.25 0.25\n")
+        with pytest.raises(ValueError, match="malformed POSCAR"):
+            Structure.from_poscar(str(p))
+
+    def test_malformed_cif_row_rejected(self, tmp_path):
+        from scann_tpu.data.builders.cif import parse_cif
+        cif = """data_x
+_cell_length_a 5.0
+_cell_length_b 5.0
+_cell_length_c 5.0
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_atom_site_type_symbol
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Si 0.0 0.0
+"""
+        with pytest.raises(ValueError, match="malformed CIF atom_site row"):
+            parse_cif(cif)
+
     def test_truncated_molfile_rejected(self, tmp_path):
         p = tmp_path / "bad.mol"
         p.write_text("m\n\n\n  3  2  0  0  0  0  0  0  0  0999 V2000\n"
