@@ -190,20 +190,20 @@ class Scann:
         obj.trainer.restore_checkpoint("best")
         return obj
 
-    def _example_inputs(self) -> Dict[str, np.ndarray]:
-        M, N = 8, 4
+    def _example_inputs(self, M: int = 8, N: int = 4,
+                        B: int = 1) -> Dict[str, np.ndarray]:
         ex = {
-            "atomic": np.zeros((1, M), np.int32),
-            "atom_mask": np.ones((1, M, 1), np.float32),
-            "neighbors": np.zeros((1, M, N), np.int32),
-            "neighbor_mask": np.ones((1, M, N), np.float32),
-            "neighbor_weight": np.ones((1, M, N), np.float32),
-            "neighbor_distance": np.ones((1, M, N), np.float32),
+            "atomic": np.zeros((B, M), np.int32),
+            "atom_mask": np.ones((B, M, 1), np.float32),
+            "neighbors": np.zeros((B, M, N), np.int32),
+            "neighbor_mask": np.ones((B, M, N), np.float32),
+            "neighbor_weight": np.ones((B, M, N), np.float32),
+            "neighbor_distance": np.ones((B, M, N), np.float32),
         }
         if self.config.model.feature == "cgcnn":
-            ex["atomic"] = np.zeros((1, M, 92), np.float32)
+            ex["atomic"] = np.zeros((B, M, 92), np.float32)
         if self.config.model.use_ring:
-            ex["ring_aromatic"] = np.zeros((1, M, 2), np.float32)
+            ex["ring_aromatic"] = np.zeros((B, M, 2), np.float32)
         return ex
 
     # --- dataset --------------------------------------------------------------
@@ -357,6 +357,52 @@ class Scann:
         value = float(pred[0, 0]) * hyper.target_std + hyper.target_mean
         return value, np.asarray(ga)[0, : len(struct), 0]
 
+    def _get_serve_fwd(self):
+        """ONE jit object per Scann instance: jax.jit caches compilations by
+        (function identity, shapes) — a fresh jit per call would recompile
+        on every serving request (~45 s each over the tunnel). Creation is
+        locked: ``predict_structures`` is public concurrent API, and racing
+        first callers would otherwise each build (and re-compile under)
+        their own jit object."""
+        with self._serve_fwd_lock:
+            if self._serve_fwd is None:
+                def fwd(params, batch):
+                    pred, ga = self.trainer.forward_eval(params, batch)
+                    return pred[:, 0], ga[..., 0]
+
+                self._serve_fwd = jax.jit(fwd)
+        return self._serve_fwd
+
+    def warmup_serving(self, shapes: List[Tuple[int, int]],
+                       batch_size: Optional[int] = None
+                       ) -> List[Tuple[int, int]]:
+        """Pre-compile the serving forward for (max_atoms, max_neighbors)
+        shapes so first requests don't pay the XLA/Pallas compile.
+
+        Cold-start compiles dominate serving tail latency (measured 14.9 s
+        sequential p95 on TPU, ``benchmarks/serve_latency.json``; ~45 s per
+        novel shape over the remote tunnel). Shapes are quantized to the
+        same ``_ladder`` rungs as ``predict_structures``, so warming e.g.
+        ``(30, 14)`` covers every later request landing in that rung, and
+        duplicates collapse. Runs on dummy inputs through the SAME cached
+        jit the serving path uses (``_get_serve_fwd``), so the compile cache
+        hit is guaranteed by construction. Returns the distinct (M, N)
+        rungs compiled, in order."""
+        self._require_state("warmup_serving")
+        bs = batch_size or self.config.hyper.batch_size
+        base_m = self.config.tpu.atoms_pad_multiple
+        base_n = self.config.tpu.neighbors_pad_multiple
+        fwd = self._get_serve_fwd()
+        done: List[Tuple[int, int]] = []
+        for m, n in shapes:
+            rung = (_ladder(int(m), base_m), _ladder(int(n), base_n))
+            if rung in done:
+                continue
+            batch = self._example_inputs(M=rung[0], N=rung[1], B=bs)
+            jax.block_until_ready(fwd(self.trainer.state.params, batch))
+            done.append(rung)
+        return done
+
     def predict_structures(self, structs: List[Structure], d_t: float = 4.0,
                            w_t: float = 0.4,
                            featurize_pool: int = 0,
@@ -428,20 +474,7 @@ class Scann:
         hyper = self.config.hyper
         S = len(structs)
 
-        # ONE jit object per Scann instance: jax.jit caches compilations by
-        # (function identity, shapes) — a fresh jit per call would recompile
-        # on every serving request (~45 s each over the tunnel). Creation is
-        # locked: this method is public concurrent API, and racing first
-        # callers would otherwise each build (and re-compile under) their
-        # own jit object.
-        with self._serve_fwd_lock:
-            if self._serve_fwd is None:
-                def fwd(params, batch):
-                    pred, ga = self.trainer.forward_eval(params, batch)
-                    return pred[:, 0], ga[..., 0]
-
-                self._serve_fwd = jax.jit(fwd)
-        fwd = self._serve_fwd
+        fwd = self._get_serve_fwd()
 
         results: List[Optional[Tuple[float, np.ndarray]]] = [None] * S
         for (M, N), members in groups.items():

@@ -22,6 +22,12 @@ def main(argv=None):
                         help="featurize coalesced batches across N worker "
                              "processes (host Voronoi dominates serving "
                              "latency; use ~the host's core count)")
+    parser.add_argument("--warmup", type=str, default="",
+                        help="comma-separated MxN shapes to pre-compile "
+                             "before accepting requests, e.g. '30x14,96x32' "
+                             "(atoms x neighbors; quantized to the serving "
+                             "shape ladder). Avoids first-request XLA "
+                             "compile stalls (~45 s/shape on remote TPU)")
     parser.add_argument("--canonical-frame", action="store_true",
                         help="rotate molecules into their principal-axes "
                              "frame before featurizing, so the same molecule "
@@ -32,10 +38,23 @@ def main(argv=None):
 
     from scann_tpu.serve import BatchedPredictor, PredictionServer
 
+    warmup_shapes = []
+    if args.warmup:
+        try:
+            for part in args.warmup.split(","):
+                m, n = part.lower().split("x")
+                warmup_shapes.append((int(m), int(n)))
+        except ValueError:
+            parser.error(f"--warmup must look like '30x14,96x32', "
+                         f"got {args.warmup!r}")
+
     predictor = BatchedPredictor.from_model_dir(
         args.model_dir, max_batch=args.max_batch, window_ms=args.window_ms,
         featurize_pool=args.featurize_pool,
-        canonical_frame=args.canonical_frame)
+        canonical_frame=args.canonical_frame,
+        warmup_shapes=warmup_shapes)
+    if warmup_shapes:
+        print(f"warmed serving shapes: {predictor.warmed}")
     server = PredictionServer(predictor, host=args.host, port=args.port)
     try:
         server.serve_forever()

@@ -62,7 +62,8 @@ class BatchedPredictor:
 
     def __init__(self, scann, max_batch: int = 64, window_ms: float = 5.0,
                  max_pending: int = 256, featurize_pool: int = 0,
-                 owns_scann: bool = False, canonical_frame: bool = False):
+                 owns_scann: bool = False, canonical_frame: bool = False,
+                 warmup_shapes: Optional[List[Tuple[int, int]]] = None):
         self.scann = scann
         self.max_batch = max_batch
         self.window_ms = window_ms
@@ -84,6 +85,13 @@ class BatchedPredictor:
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_pending)
         self._deferred: Optional[_Request] = None  # worker-thread only
         self._stop = threading.Event()
+        # pre-compile the serving forward for the expected (M, N) rungs
+        # BEFORE accepting requests, so first clients don't pay XLA compiles
+        # (measured 14.9 s cold-start p95 on TPU, benchmarks/serve_latency.json)
+        # (batch_size defaults inside warmup_serving to hyper.batch_size —
+        # the SAME device batch size predict_structures chunks with)
+        self.warmed = (scann.warmup_serving(warmup_shapes)
+                       if warmup_shapes else [])
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 

@@ -418,3 +418,46 @@ def test_featurize_pool_recovers_from_dead_worker(scann):
     assert len(out) == 2 and np.isfinite(out[0][0])
     assert scann._feat_pool is not ex  # pool was replaced, not returned
     scann.close()
+
+
+def test_warmup_precompiles_serving_shapes(scann):
+    """warmup_serving compiles the ladder rungs ONCE through the same cached
+    jit the serving path uses: duplicates collapse, repeat calls and real
+    requests landing in a warmed rung add no new compilation."""
+    rungs = scann.warmup_serving([(3, 3), (5, 2), (9, 5)])
+    assert rungs == [(8, 8), (16, 8)]  # dedup within the call
+
+    fwd = scann._get_serve_fwd()
+    res = scann.predict_structures([WATER, CO])  # both land in the (8,8) rung
+    assert len(res) == 2 and np.isfinite(res[0][0])
+
+    if hasattr(fwd, "_cache_size"):
+        before = fwd._cache_size()
+        assert scann.warmup_serving([(17, 3)]) == [(24, 8)]
+        assert fwd._cache_size() == before + 1  # a genuinely new rung compiles
+        assert scann.warmup_serving([(18, 4)]) == [(24, 8)]
+        assert fwd._cache_size() == before + 1  # same rung: jit cache hit
+
+
+def test_batched_predictor_warmup_shapes(scann):
+    p = BatchedPredictor(scann, max_batch=16, window_ms=5.0,
+                         warmup_shapes=[(3, 3), (2, 2)])
+    try:
+        assert p.warmed == [(8, 8)]
+        out = p.predict([WATER])
+        assert len(out) == 1 and np.isfinite(out[0][0])
+    finally:
+        p.close()
+
+
+def test_warmup_requires_state():
+    cfg = ScannConfig(
+        model=ModelConfig(n_atoms=95, embedding_dim=8, n_attention=1,
+                          local_dim=16, num_head=2, global_dim=16,
+                          dense_out=8),
+        hyper=HyperConfig(batch_size=4, target="homo"),
+        tpu=TpuConfig(use_pallas=False),
+    )
+    s = Scann(cfg)
+    with pytest.raises(RuntimeError, match="train\\(\\) first"):
+        s.warmup_serving([(8, 8)])
