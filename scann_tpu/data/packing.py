@@ -1,0 +1,252 @@
+"""Structure packing: several structures per padded (M, N) slot.
+
+The TPU analogue of LLM sequence packing. The fused SCANN kernels are
+elementwise-bound on the [rows, N, D] geometry stream (NEXT.md round-3
+measurements), and rows = slots * M regardless of how many of those rows
+are padding — so throughput per STRUCTURE is set by padding density. The
+default pipeline (``pipeline.pack_dataset``) pads one structure per slot
+inside quantile-cut (M, N) buckets; this module instead bin-packs whole
+structures into fixed-capacity slots:
+
+- one static (M, N) shape for the whole dataset (one kernel compile,
+  no bucket ladder),
+- slot occupancy set by best-fit-decreasing bin packing instead of the
+  size distribution (>95% typical at QM9-like size spreads vs ~75%),
+- exactness: neighbor indices are per-structure and get offset to the
+  structure's rows, so LocalAttention is untouched; every cross-structure
+  reduction (GlobalAttention readout, loss) becomes segment-aware via a
+  [slot, M, S] one-hot (``ops.attention.global_attention_core``). The math
+  per structure is identical to the unpacked path (parity-tested).
+
+The reference has no analogue — its per-batch dynamic padding
+(``scann/utils/datagenerator.py:75-76``) re-pads every batch to the batch
+max and eats the padding cost on every step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from scann_tpu.data.atomic_data import get_atomic_features
+from scann_tpu.data.pipeline import build_csr, _round_up
+
+
+@dataclasses.dataclass
+class PackedSlots:
+    """Fixed-shape packed arrays: ``slots`` structures per padded row block.
+
+    ``inputs`` carries the standard model keys plus ``segment_onehot``
+    [S, M, SEG] and ``segment_mask`` [S, SEG]; ``targets``/``indices`` are
+    [S, SEG] (``indices`` = original dataset index, -1 for an empty segment).
+    """
+
+    inputs: Dict[str, np.ndarray]
+    targets: np.ndarray
+    indices: np.ndarray
+
+    @property
+    def num_structures(self) -> int:
+        return int((self.indices >= 0).sum())
+
+    @property
+    def num_slots(self) -> int:
+        return len(self.targets)
+
+    @property
+    def num_segments(self) -> int:
+        return self.targets.shape[1]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        m = self.inputs["atomic"].shape[1]
+        n = self.inputs["neighbors"].shape[2]
+        return m, n
+
+    @property
+    def occupancy(self) -> float:
+        """Fraction of slot rows that hold real atoms."""
+        am = self.inputs["atom_mask"]
+        return float(am.sum() / (am.shape[0] * am.shape[1]))
+
+
+def plan_slots(
+    atom_counts: np.ndarray,
+    capacity: int,
+    max_segments: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Best-fit-decreasing bin packing of structures into capacity-row slots.
+
+    Returns (slot_of, offset_of, segment_of, n_slots, max_used_segments):
+    structure i occupies rows [offset_of[i], offset_of[i] + atom_counts[i])
+    of slot slot_of[i] as its segment_of[i]-th segment. Deterministic
+    (stable sort) so packings reproduce across runs.
+    """
+    atom_counts = np.asarray(atom_counts, np.int64)
+    if len(atom_counts) and int(atom_counts.max()) > capacity:
+        big = int(np.argmax(atom_counts))
+        raise ValueError(
+            f"structure {big} has {int(atom_counts[big])} atoms > slot "
+            f"capacity {capacity}")
+    if len(atom_counts) and int(atom_counts.min()) <= 0:
+        raise ValueError("structures must have at least one atom")
+
+    order = np.argsort(-atom_counts, kind="stable")
+    slot_of = np.empty(len(atom_counts), np.int64)
+    offset_of = np.empty(len(atom_counts), np.int64)
+    segment_of = np.empty(len(atom_counts), np.int64)
+
+    # open slots bucketed by remaining space; by_space[r] = slot ids with
+    # exactly r free rows (LIFO — recently opened first)
+    by_space: List[List[int]] = [[] for _ in range(capacity + 1)]
+    rows_used: List[int] = []
+    segs_used: List[int] = []
+
+    for i in order:
+        na = int(atom_counts[i])
+        # best fit: the smallest adequate remaining space
+        slot = -1
+        for space in range(na, capacity + 1):
+            bucket = by_space[space]
+            if bucket:
+                slot = bucket.pop()
+                break
+        if slot == -1:
+            slot = len(rows_used)
+            rows_used.append(0)
+            segs_used.append(0)
+        slot_of[i] = slot
+        offset_of[i] = rows_used[slot]
+        segment_of[i] = segs_used[slot]
+        rows_used[slot] += na
+        segs_used[slot] += 1
+        rem = capacity - rows_used[slot]
+        if rem > 0 and segs_used[slot] < max_segments:
+            by_space[rem].append(slot)
+
+    n_slots = len(rows_used)
+    max_used = max(segs_used) if segs_used else 1
+    return slot_of, offset_of, segment_of, n_slots, max_used
+
+
+def pack_dataset_slots(
+    records: List[dict],
+    neighbors: List[list],
+    g_update: bool = False,
+    feature: str = "atomic",
+    use_ring: bool = False,
+    atoms_multiple: int = 8,
+    neighbors_multiple: int = 8,
+    capacity: Optional[int] = None,
+    max_segments: int = 8,
+    converter: float = 1.0,
+    csr_cache_path: Optional[str] = None,
+    csr_source_path: Optional[str] = None,
+) -> PackedSlots:
+    """Pack the whole dataset into one static-(M, N)-shape slot tensor.
+
+    Mirrors ``pipeline.pack_dataset``'s feature semantics (weight column by
+    ``g_update``, cgcnn expansion, ring channel, eV->meV ``converter``) but
+    emits ONE PackedSlots instead of per-size buckets. ``capacity`` defaults
+    to the max atom count rounded up to ``atoms_multiple``.
+
+    The ragged->packed fill is fully vectorized (flat destination-index
+    scatter over the CSR arrays) — no per-structure Python loop.
+    """
+    csr = build_csr(records, neighbors, csr_cache_path,
+                    source_path=csr_source_path)
+    S = len(csr.targets)
+    atom_counts = np.diff(csr.atom_offsets)
+    if capacity is None:
+        capacity = _round_up(int(atom_counts.max()), atoms_multiple)
+    nbr_counts = np.diff(csr.nbr_offsets)
+    N = _round_up(max(int(nbr_counts.max()), 1), neighbors_multiple)
+    M = int(capacity)
+
+    slot_of, offset_of, segment_of, n_slots, max_seg = plan_slots(
+        atom_counts, M, max_segments)
+
+    # --- vectorized fill ----------------------------------------------------
+    # per-atom destination row (into the flattened [n_slots * M] row space)
+    struct_of_atom = np.repeat(np.arange(S), atom_counts)
+    local_atom = np.arange(len(struct_of_atom)) - np.repeat(
+        csr.atom_offsets[:-1], atom_counts)
+    dest_row = (slot_of[struct_of_atom] * M
+                + offset_of[struct_of_atom] + local_atom)
+
+    atomic = np.zeros(n_slots * M, np.int32)
+    atomic[dest_row] = csr.atomic
+    atom_mask = np.zeros(n_slots * M, np.float32)
+    atom_mask[dest_row] = 1.0
+    seg_id = np.full(n_slots * M, -1, np.int64)
+    seg_id[dest_row] = segment_of[struct_of_atom]
+
+    # per-neighbor destination (dest_row of the owning atom, position within
+    # its neighbor list)
+    atom_of_nbr = np.repeat(np.arange(len(nbr_counts)), nbr_counts)
+    pos = np.arange(len(atom_of_nbr)) - np.repeat(
+        csr.nbr_offsets[:-1], nbr_counts)
+    dest_nbr = dest_row[atom_of_nbr] * N + pos
+
+    nbr_idx = np.zeros(n_slots * M * N, np.int32)
+    # neighbor indices are within-structure -> offset to the packed rows
+    nbr_idx[dest_nbr] = (
+        csr.nbr_index
+        + offset_of[struct_of_atom[atom_of_nbr]].astype(np.int32))
+    nbr_mask = np.zeros(n_slots * M * N, np.float32)
+    nbr_mask[dest_nbr] = 1.0
+    weights = csr.weight_raw if g_update else csr.weight_norm
+    nbr_weight = np.zeros(n_slots * M * N, np.float32)
+    nbr_weight[dest_nbr] = weights
+    nbr_dist = np.zeros(n_slots * M * N, np.float32)
+    nbr_dist[dest_nbr] = csr.nbr_dist
+
+    inputs = {
+        "atomic": atomic.reshape(n_slots, M),
+        "atom_mask": atom_mask.reshape(n_slots, M, 1),
+        "neighbors": nbr_idx.reshape(n_slots, M, N),
+        "neighbor_mask": nbr_mask.reshape(n_slots, M, N),
+        "neighbor_weight": nbr_weight.reshape(n_slots, M, N),
+        "neighbor_distance": nbr_dist.reshape(n_slots, M, N),
+    }
+
+    seg_id = seg_id.reshape(n_slots, M)
+    onehot = np.zeros((n_slots, M, max_seg), np.float32)
+    valid = seg_id >= 0
+    sl, at = np.nonzero(valid)
+    onehot[sl, at, seg_id[valid]] = 1.0
+    inputs["segment_onehot"] = onehot
+
+    targets = np.zeros((n_slots, max_seg), np.float32)
+    indices = np.full((n_slots, max_seg), -1, np.int64)
+    targets[slot_of, segment_of] = csr.targets * converter
+    indices[slot_of, segment_of] = np.arange(S)
+    inputs["segment_mask"] = (indices >= 0).astype(np.float32)
+
+    if feature == "cgcnn":
+        table = get_atomic_features()
+        max_z = max(int(k) for k in table)
+        feat_table = np.zeros((max_z + 1, 92), np.float32)
+        for k, v in table.items():
+            feat_table[int(k)] = v
+        am = inputs["atom_mask"][..., 0] > 0
+        inputs["atomic"] = feat_table[inputs["atomic"]] * am[..., None]
+
+    if use_ring:
+        if csr.ring is None:
+            raise ValueError("use_ring=True but records have no 'ring' data")
+        ring = np.zeros((n_slots * M, csr.ring.shape[1]), np.float32)
+        ring[dest_row] = csr.ring
+        inputs["ring_aromatic"] = ring.reshape(n_slots, M, -1)
+
+    return PackedSlots(inputs=inputs, targets=targets, indices=indices)
+
+
+def unpack_predictions(packed: PackedSlots, preds: np.ndarray) -> np.ndarray:
+    """Scatter per-segment predictions [S, SEG] back to dataset order."""
+    valid = packed.indices >= 0
+    out = np.zeros(packed.num_structures, np.float32)
+    out[packed.indices[valid]] = np.asarray(preds)[valid]
+    return out

@@ -171,10 +171,12 @@ class GlobalAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, centers: jnp.ndarray, atom_mask: jnp.ndarray):
+    def __call__(self, centers: jnp.ndarray, atom_mask: jnp.ndarray,
+                 segment_onehot: Optional[jnp.ndarray] = None):
         query = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype, name="query")(centers)
         key = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype, name="key")(centers)
-        return global_attention_core(query, key, key, atom_mask, norm=self.norm)
+        return global_attention_core(query, key, key, atom_mask, norm=self.norm,
+                                     segment_onehot=segment_onehot)
 
 
 class ScannModel(nn.Module):
@@ -278,9 +280,16 @@ class ScannModel(nn.Module):
             nn.Dense(cfm.global_dim, kernel_init=dense_init, dtype=dtype, name="after_Lc")(centers)
         )
 
+        # structure packing: per-segment readout when slots carry several
+        # structures (inputs["segment_onehot"] [B, M, S]); property is then
+        # [B, S] — one prediction per packed structure
+        segments = inputs.get("segment_onehot")
+        if segments is not None:
+            segments = segments.astype(dtype)
+
         ga_score, struc_rep = GlobalAttention(
             dim=cfm.global_dim, norm=cfm.use_ga_norm, dtype=dtype, name="global_attention"
-        )(centers, atom_mask)
+        )(centers, atom_mask, segment_onehot=segments)
 
         struc_rep = swish(
             nn.Dense(cfm.dense_out, kernel_init=dense_init, dtype=dtype, name="bf_property")(struc_rep)
@@ -291,6 +300,8 @@ class ScannModel(nn.Module):
         )
         if self.mrelu_head:
             out = mrelu(out)
+        if segments is not None:
+            out = out[..., 0]  # [B, S]
 
         result = {"property": out, "ga_score": ga_score.astype(jnp.float32)}
         if return_local_attn:

@@ -107,14 +107,29 @@ def global_attention_core(
     mask: jnp.ndarray,    # [B, M, 1] float atom mask
     norm: bool = True,
     materialize_energy: bool = False,
+    segment_onehot: Optional[jnp.ndarray] = None,  # [B, M, S]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """GA-score readout. Returns (attn [B, M, 1], context [B, D]).
 
     ``materialize_energy=True`` computes the full [B, M, M] pairwise energy as
     the reference does (for testing the O(M D) path against it).
+
+    ``segment_onehot`` enables STRUCTURE PACKING: several structures share
+    one padded [M] slot (the TPU analogue of LLM sequence packing — padding
+    rows are what the elementwise-bound kernels spend their time on). Each
+    valid atom carries a one-hot segment id; every per-structure reduction
+    (q-sum, GA-norm, softmax normalization, pooled context) then runs per
+    SEGMENT instead of per slot, so the math per structure is exactly the
+    unpacked math. Returns (attn [B, M, 1], context [B, S, D]) — one pooled
+    representation per segment. With S=1 and ``segment_onehot == mask`` this
+    reproduces the unpacked path bit-for-bit (binary masks are idempotent).
     """
     mk = mask * key
     mq = mask * query
+
+    if segment_onehot is not None:
+        return _segmented_global_attention(mk, mq, value, mask,
+                                           segment_onehot, norm)
 
     if materialize_energy:
         energy = jnp.einsum("bkd,bqd->bkq", mk, mq)
@@ -145,4 +160,41 @@ def global_attention_core(
     attn = jax.nn.softmax(agg, axis=1)
 
     context = jnp.sum(mask * attn * value, axis=1)  # [B, D]
+    return attn, context
+
+
+def _segmented_global_attention(mk, mq, value, mask, seg, norm):
+    """Per-segment GA reductions for packed slots (see global_attention_core).
+
+    ``seg`` [B, M, S] is binary with exactly one hot per valid atom and
+    all-zero rows for slot padding (so ``seg.sum(-1, keepdims=True) == mask``).
+    Per-segment sums are two tiny einsums (segment-sum, then broadcast back
+    to atoms); S is small and static (<= the packing plan's max_segments).
+    """
+    # per-atom sum of the OWN segment's masked queries
+    qseg = jnp.einsum("bms,bmd->bsd", seg, mq)
+    q_own = jnp.einsum("bms,bsd->bmd", seg, qseg)
+    cross = jnp.sum(mk * q_own, axis=-1, keepdims=True)      # [B, M, 1]
+    diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
+    agg = mask * (cross - diag)
+
+    if norm:
+        # per-segment euclidean norm (see the unpacked path's zero guard)
+        sq = jnp.einsum("bms,bm->bs", seg, jnp.square(agg[..., 0]))
+        nrm = jnp.sqrt(jnp.where(sq == 0, jnp.ones_like(sq), sq))
+        nrm_own = jnp.einsum("bms,bs->bm", seg, nrm)[..., None]
+        agg = agg / jnp.where(nrm_own == 0, jnp.ones_like(nrm_own), nrm_own)
+
+    # softmax per segment: a per-SLOT max shift is constant within every
+    # segment, so each segment's softmax is exact; padding rows are zeroed
+    # exactly (the unpacked path's exp(-1e9 - max) underflows to 0 in f32
+    # the same way)
+    agg = agg + (1.0 - mask) * jnp.asarray(-1e9, agg.dtype)
+    z = agg - jnp.max(agg, axis=1, keepdims=True)
+    e = jnp.exp(z) * mask
+    den = jnp.einsum("bms,bm->bs", seg, e[..., 0])
+    den_own = jnp.einsum("bms,bs->bm", seg, den)[..., None]
+    attn = e / jnp.where(den_own == 0, jnp.ones_like(den_own), den_own)
+
+    context = jnp.einsum("bms,bmd->bsd", seg, attn * value)  # [B, S, D]
     return attn, context

@@ -1,0 +1,208 @@
+"""Structure packing (scann_tpu/data/packing.py + segment-aware readout).
+
+Exactness contract: packing several structures into one padded slot must
+not change any structure's prediction, GA scores, or loss gradients — the
+segment-aware GlobalAttention makes every cross-structure reduction
+per-segment (ops/attention.py:_segmented_global_attention).
+"""
+
+import numpy as np
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import pytest
+
+from scann_tpu.config import ModelConfig
+from scann_tpu.data.packing import (
+    PackedSlots,
+    pack_dataset_slots,
+    plan_slots,
+    unpack_predictions,
+)
+from scann_tpu.data.pipeline import load_dataset, pack_dataset
+from scann_tpu.data.synthetic import make_synthetic_dataset
+from scann_tpu.models import ScannModel
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("packing_data")
+    e, n = make_synthetic_dataset(str(root), n_structures=40, min_atoms=4,
+                                  max_atoms=14, seed=3)
+    return load_dataset(e, n, target="homo")
+
+
+def test_plan_slots_invariants():
+    rng = np.random.default_rng(0)
+    counts = rng.integers(3, 30, size=500)
+    slot_of, offset_of, segment_of, n_slots, max_seg = plan_slots(
+        counts, capacity=32, max_segments=4)
+
+    rows = np.zeros(n_slots, np.int64)
+    segs = np.zeros(n_slots, np.int64)
+    for i, c in enumerate(counts):
+        rows[slot_of[i]] += c
+        segs[slot_of[i]] += 1
+    assert (rows <= 32).all()
+    assert (segs <= 4).all()
+    assert max_seg == segs.max()
+    # offsets partition each slot contiguously from 0
+    for s in range(n_slots):
+        members = np.nonzero(slot_of == s)[0]
+        spans = sorted((offset_of[i], offset_of[i] + counts[i]) for i in members)
+        assert spans[0][0] == 0
+        for (a0, a1), (b0, _) in zip(spans, spans[1:]):
+            assert a1 == b0  # contiguous, no overlap
+    # segment ids are 0..k-1 per slot
+    for s in range(n_slots):
+        members = np.nonzero(slot_of == s)[0]
+        assert sorted(segment_of[i] for i in members) == list(range(len(members)))
+    # decent occupancy on a random mix
+    assert rows.sum() / (n_slots * 32) > 0.9
+    # deterministic
+    again = plan_slots(counts, capacity=32, max_segments=4)
+    assert all(np.array_equal(a, b) for a, b in zip(again[:3], (slot_of, offset_of, segment_of)))
+
+
+def test_plan_slots_rejects_oversize():
+    with pytest.raises(ValueError, match="capacity"):
+        plan_slots(np.array([4, 40]), capacity=32)
+
+
+def test_pack_dataset_slots_layout(dataset):
+    records, neighbors = dataset
+    packed = pack_dataset_slots(records, neighbors, g_update=True,
+                                capacity=16, max_segments=4)
+    assert isinstance(packed, PackedSlots)
+    assert packed.num_structures == len(records)
+    M, N = packed.shape
+    assert M == 16
+    seg = packed.inputs["segment_onehot"]
+    am = packed.inputs["atom_mask"]
+    # one-hot rows match the atom mask exactly
+    np.testing.assert_array_equal(seg.sum(-1), am[..., 0])
+    # neighbor indices stay within their own segment's rows
+    nbr = packed.inputs["neighbors"]
+    nmask = packed.inputs["neighbor_mask"]
+    seg_id = seg.argmax(-1)
+    for s in range(packed.num_slots):
+        for m in range(M):
+            if am[s, m, 0] == 0:
+                continue
+            own = seg_id[s, m]
+            for k in np.nonzero(nmask[s, m])[0]:
+                j = nbr[s, m, k]
+                assert am[s, j, 0] == 1
+                assert seg_id[s, j] == own
+    # targets land at their (slot, segment)
+    valid = packed.indices >= 0
+    got = packed.targets[valid]
+    want = np.array([records[i]["target"] for i in packed.indices[valid]],
+                    np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _forward(params, model, inputs):
+    return model.apply({"params": params},
+                       {k: jnp.asarray(v) for k, v in inputs.items()})
+
+
+@pytest.mark.parametrize("g_update,use_ga_norm", [(True, True), (False, False)])
+def test_packed_forward_matches_unpacked(dataset, g_update, use_ga_norm):
+    records, neighbors = dataset
+    cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=2,
+                      local_dim=16, num_head=4, global_dim=16, dense_out=16,
+                      g_update=g_update, use_ga_norm=use_ga_norm)
+    model = ScannModel(cfg)
+
+    buckets = pack_dataset(records, neighbors, g_update=g_update)
+    packed = pack_dataset_slots(records, neighbors, g_update=g_update,
+                                capacity=16, max_segments=4)
+
+    params = model.init(jax.random.PRNGKey(0),
+                        {k: jnp.asarray(v) for k, v in buckets[0].inputs.items()})["params"]
+
+    per_structure = np.zeros(len(records), np.float32)
+    for b in buckets:
+        out = _forward(params, model, b.inputs)
+        per_structure[b.indices] = np.asarray(out["property"][:, 0])
+
+    out_packed = _forward(params, model, packed.inputs)
+    assert out_packed["property"].shape == (packed.num_slots, packed.num_segments)
+    packed_per_structure = unpack_predictions(packed, np.asarray(out_packed["property"]))
+
+    np.testing.assert_allclose(packed_per_structure, per_structure,
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_packed_ga_scores_match(dataset):
+    records, neighbors = dataset
+    cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=2,
+                      local_dim=16, num_head=4, global_dim=16, dense_out=16,
+                      g_update=True, use_ga_norm=True)
+    model = ScannModel(cfg)
+    buckets = pack_dataset(records, neighbors, g_update=True)
+    packed = pack_dataset_slots(records, neighbors, g_update=True,
+                                capacity=16, max_segments=4)
+    params = model.init(jax.random.PRNGKey(1),
+                        {k: jnp.asarray(v) for k, v in buckets[0].inputs.items()})["params"]
+
+    # reference GA per structure, keyed by original index
+    ga_by_struct = {}
+    for b in buckets:
+        ga = np.asarray(_forward(params, model, b.inputs)["ga_score"])
+        for r, orig in enumerate(b.indices):
+            na = int(b.inputs["atom_mask"][r].sum())
+            ga_by_struct[int(orig)] = ga[r, :na, 0]
+
+    ga_packed = np.asarray(_forward(params, model, packed.inputs)["ga_score"])
+    seg = packed.inputs["segment_onehot"]
+    for s in range(packed.num_slots):
+        for g in range(packed.num_segments):
+            orig = packed.indices[s, g]
+            if orig < 0:
+                continue
+            rows = np.nonzero(seg[s, :, g] > 0)[0]
+            np.testing.assert_allclose(ga_packed[s, rows, 0],
+                                       ga_by_struct[int(orig)],
+                                       rtol=2e-5, atol=2e-6)
+
+
+def test_packed_gradients_match_unpacked(dataset):
+    """RMSE-loss gradients over the same set of structures are identical
+    whether the batch is packed or not (slot arrangement is not observable)."""
+    records, neighbors = dataset
+    cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=2,
+                      local_dim=16, num_head=4, global_dim=16, dense_out=16,
+                      g_update=True, use_ga_norm=True)
+    model = ScannModel(cfg)
+    # single bucket so one unpacked batch covers every structure
+    buckets = pack_dataset(records, neighbors, g_update=True, max_buckets=1)
+    assert len(buckets) == 1
+    b = buckets[0]
+    packed = pack_dataset_slots(records, neighbors, g_update=True,
+                                capacity=16, max_segments=4)
+    params = model.init(jax.random.PRNGKey(2),
+                        {k: jnp.asarray(v) for k, v in b.inputs.items()})["params"]
+
+    def loss_unpacked(p):
+        out = model.apply({"params": p},
+                          {k: jnp.asarray(v) for k, v in b.inputs.items()})
+        # order by original index so both losses sum identically
+        pred = out["property"][jnp.argsort(jnp.asarray(b.indices)), 0]
+        y = jnp.asarray(b.targets)[jnp.argsort(jnp.asarray(b.indices))]
+        return jnp.sqrt(jnp.mean(jnp.square(pred - y)))
+
+    def loss_packed(p):
+        out = model.apply({"params": p},
+                          {k: jnp.asarray(v) for k, v in packed.inputs.items()})
+        m = jnp.asarray(packed.inputs["segment_mask"])
+        err = (out["property"] - jnp.asarray(packed.targets)) * m
+        return jnp.sqrt(jnp.sum(jnp.square(err)) / jnp.sum(m))
+
+    g1 = jax.grad(loss_unpacked)(params)
+    g2 = jax.grad(loss_packed)(params)
+    flat1, _ = jax.flatten_util.ravel_pytree(g1)
+    flat2, _ = jax.flatten_util.ravel_pytree(g2)
+    np.testing.assert_allclose(np.asarray(flat2), np.asarray(flat1),
+                               rtol=5e-4, atol=1e-6)
