@@ -44,6 +44,26 @@ def mm3_tA(x, dy):  # sum_{m,n} x[m,n,:]^T dy[m,n,:] -> [X, C]
     return mm_tA(x.reshape(M * N, X), dy.reshape(M * N, dy.shape[-1]))
 
 
+def mm_hi(a, b):
+    """f32-exact [R, X] @ [X, C] (Precision.HIGHEST = multi-pass bf16).
+
+    For the PRECISION-CRITICAL one-hot segment pools of the packed readout:
+    the TPU's default f32 matmul is a single bf16 pass, which would round
+    the pooled VALUES to bf16 — the unpacked path's equivalent reductions
+    are exact VPU sums, and packed-vs-unpacked prediction parity is a
+    contract (data/packing.py). These dots are tiny ([M, S] one-hots), so
+    the 3-pass cost is noise."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def mm_tA_hi(a, b):
+    """f32-exact a^T @ b (see mm_hi)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
 def dot_fns(bf16: bool):
     """(mm, mm_tA, mm_tB, dot3, dot3_tB, mm3_tA); bf16 casts every dot's
     operands to bfloat16 with f32 accumulation. The kernels shadow their

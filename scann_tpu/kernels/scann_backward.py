@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scann_tpu.config import ModelConfig, attn_dropout_rate
-from scann_tpu.kernels.dots import dot_fns
+from scann_tpu.kernels.dots import dot_fns, mm_hi, mm_tA_hi
 from scann_tpu.kernels.scann_forward import (
     fused_scann_forward,
     stack_layer_params,
@@ -77,7 +77,7 @@ def _ln_bwd(dy, xhat, inv, gamma):
 def _kernel(
     # batched inputs
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
-    ring_ref, ct_pred_ref, ct_ga_ref, seed_ref,
+    ring_ref, seg_ref, ct_pred_ref, ct_ga_ref, seed_ref,
     # params (same order as forward kernel)
     embed_ref, bembed_ref, wring_ref, bring_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,
@@ -99,6 +99,7 @@ def _kernel(
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
     attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
     ct_from_target: bool = False, mrelu: bool = False, bf16: bool = False,
+    n_segments: int = 0,
 ):
     # shadow: every dot below (incl. the layer_fwd/gather closures) follows
     # the bf16 mode
@@ -257,27 +258,55 @@ def _kernel(
     gk = (_mm(cg, wgk_ref[:]) + bgk_ref[:]).reshape(BT, M, G)
     mq = am3 * gq
     mk = am3 * gk
-    qsum = jnp.sum(mq, axis=1, keepdims=True)                  # [BT, 1, G]
-    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)         # [BT, M, 1]
+    # n_segments > 0 = STRUCTURE PACKING (see the forward kernel's readout
+    # note): per-structure reductions become seg_pool/seg_own one-hot dot
+    # pairs (P = seg seg^T is symmetric, so the transpose rule of every
+    # pooled reduction is the same operator pair applied to the cotangent).
+    if n_segments:
+        seg = seg_ref[...]                                     # [BT, M, S]
+
+        def seg_pool(x):  # [BT, M, C] -> [BT, S, C]
+            return jnp.stack([mm_tA_hi(seg[t], x[t]) for t in range(BT)])
+
+        def seg_own(y):   # [BT, S, C] -> [BT, M, C]
+            return jnp.stack([mm_hi(seg[t], y[t]) for t in range(BT)])
+
+        q_own = seg_own(seg_pool(mq))                          # [BT, M, G]
+        cross = jnp.sum(mk * q_own, axis=-1, keepdims=True)
+    else:
+        qsum = jnp.sum(mq, axis=1, keepdims=True)              # [BT, 1, G]
+        cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)     # [BT, M, 1]
     diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
     agg0 = am3 * (cross - diag)                                # [BT, M, 1]
     if ga_norm:
-        nrm = jnp.sqrt(jnp.sum(agg0 * agg0, axis=1, keepdims=True))
-        nrm_safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+        if n_segments:
+            nrm_own = seg_own(jnp.sqrt(seg_pool(agg0 * agg0)))
+            # row-level guard also covers slot-padding rows (seg row = 0)
+            nrm_safe = jnp.where(nrm_own == 0, jnp.ones_like(nrm_own),
+                                 nrm_own)
+        else:
+            nrm = jnp.sqrt(jnp.sum(agg0 * agg0, axis=1, keepdims=True))
+            nrm_safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
         agg = agg0 / nrm_safe
     else:
         agg = agg0
     aggm = agg + (1.0 - am3) * (-1e9)
     aggm = aggm - jnp.max(aggm, axis=1, keepdims=True)
     e = jnp.exp(aggm)
-    ga = e / jnp.sum(e, axis=1, keepdims=True)                 # [BT, M, 1]
-    struc = jnp.sum(am3 * ga * gk, axis=1)                     # [BT, G]
+    if n_segments:
+        den_own = seg_own(seg_pool(e))
+        ga = e / jnp.where(den_own == 0, jnp.ones_like(den_own), den_own)
+        struc = seg_pool(ga * mk).reshape(BT * n_segments, G)  # [BT*S, G]
+    else:
+        ga = e / jnp.sum(e, axis=1, keepdims=True)             # [BT, M, 1]
+        struc = jnp.sum(am3 * ga * gk, axis=1)                 # [BT, G]
     s_bf = _mm(struc, wbf_ref[:]) + bbf_ref[:]
-    sb = _swish(s_bf)                                          # [BT, O]
+    sb = _swish(s_bf)                                          # [BT(*S), O]
 
-    pred_lin = _mm(sb, wp_ref[:]) + bp_ref[:]                  # [BT, 1]
+    SEG1 = max(n_segments, 1)
+    pred_lin = _mm(sb, wp_ref[:]) + bp_ref[:]                  # [BT(*S), 1]
     pred = jnp.maximum(pred_lin, 0.0) if mrelu else pred_lin
-    pred_out[...] = pred.reshape(BT, 1, 1)
+    pred_out[...] = pred.reshape(BT, SEG1, 1)
 
     # ---------------- backward -------------------------------------------
     if ct_from_target:
@@ -285,37 +314,58 @@ def _kernel(
         # cotangent factorizes as (pred - t) / (B * rmse); the per-structure
         # residual is applied here, the global 1/(B*rmse) scale in the XLA
         # epilogue (mrelu is straight-through — ops/activations.py — so no
-        # relu gate on the residual).
-        ct_pred = pred - ct_pred_ref[...].reshape(BT, 1)
+        # relu gate on the residual). Packed runs zero the residual of
+        # EMPTY segments (whose pred is a head-bias artifact) in-kernel.
+        ct_pred = pred - ct_pred_ref[...].reshape(BT * SEG1, 1)
+        if n_segments:
+            # per-segment atom counts > 0; the [BT, S, 1] -> [BT*S, 1]
+            # collapse matches the struc reshape's layout (Mosaic cannot
+            # cast a [BT, S] lane dim into sublanes)
+            seg_valid = (seg_pool(am3) > 0).astype(jnp.float32)
+            ct_pred = ct_pred * seg_valid.reshape(BT * SEG1, 1)
         ct_ga = jnp.zeros((BT, M, 1), jnp.float32)
     else:
-        ct_pred = ct_pred_ref[...].reshape(BT, 1)
+        ct_pred = ct_pred_ref[...].reshape(BT * SEG1, 1)
         ct_ga = ct_ga_ref[...]                                 # [BT, M, 1]
 
     d_wp[...] += _mm_tA(sb, ct_pred)
     d_bp[...] += jnp.sum(ct_pred, axis=0)
-    dsb = _mm_tB(ct_pred, wp_ref[:])                           # [BT, O]
+    dsb = _mm_tB(ct_pred, wp_ref[:])                           # [BT(*S), O]
     ds_bf = dsb * _swish_grad(s_bf)
     d_wbf[...] += _mm_tA(struc, ds_bf)
     d_bbf[...] += jnp.sum(ds_bf, axis=0)
-    dstruc = _mm_tB(ds_bf, wbf_ref[:]).reshape(BT, 1, G)
+    dstruc = _mm_tB(ds_bf, wbf_ref[:])                         # [BT(*S), G]
 
-    dga = jnp.sum(am3 * gk * dstruc, axis=-1, keepdims=True) + ct_ga  # [BT,M,1]
-    dgk = am3 * ga * dstruc                                    # [BT, M, G]
-
-    # softmax over the atom axis (per molecule)
-    dagg = ga * (dga - jnp.sum(ga * dga, axis=1, keepdims=True))
+    if n_segments:
+        dstruc_own = seg_own(dstruc.reshape(BT, n_segments, G))
+        dga = jnp.sum(mk * dstruc_own, axis=-1, keepdims=True) + ct_ga
+        dgk = am3 * ga * dstruc_own                            # [BT, M, G]
+        # softmax over each segment's atoms
+        dagg = ga * (dga - seg_own(seg_pool(ga * dga)))
+    else:
+        dstruc = dstruc.reshape(BT, 1, G)
+        dga = jnp.sum(am3 * gk * dstruc, axis=-1, keepdims=True) + ct_ga
+        dgk = am3 * ga * dstruc                                # [BT, M, G]
+        # softmax over the atom axis (per molecule)
+        dagg = ga * (dga - jnp.sum(ga * dga, axis=1, keepdims=True))
     if ga_norm:
+        if n_segments:
+            inner = seg_own(seg_pool(agg0 * dagg))
+        else:
+            inner = jnp.sum(agg0 * dagg, axis=1, keepdims=True)
         dagg0 = (dagg / nrm_safe
-                 - agg0 * (jnp.sum(agg0 * dagg, axis=1, keepdims=True)
-                           / (nrm_safe * nrm_safe * nrm_safe)))
+                 - agg0 * (inner / (nrm_safe * nrm_safe * nrm_safe)))
     else:
         dagg0 = dagg
     dcd = dagg0 * am3                                          # d(cross - diag)
-    dmk = dcd * qsum - dcd * mq
-    dmq = -dcd * mk
-    dqsum = jnp.sum(dcd * mk, axis=1, keepdims=True)           # [BT, 1, G]
-    dmq = dmq + jnp.broadcast_to(dqsum, mq.shape)
+    if n_segments:
+        dmk = dcd * q_own - dcd * mq
+        dmq = seg_own(seg_pool(dcd * mk)) - dcd * mk
+    else:
+        dmk = dcd * qsum - dcd * mq
+        dmq = -dcd * mk
+        dqsum = jnp.sum(dcd * mk, axis=1, keepdims=True)       # [BT, 1, G]
+        dmq = dmq + jnp.broadcast_to(dqsum, mq.shape)
     dgq = (am3 * dmq).reshape(R, G)
     dgk = (dgk + am3 * dmk).reshape(R, G)
 
@@ -467,6 +517,9 @@ def _fused_grad_impl(params: dict, inputs: dict, cfm: ModelConfig,
     assert supports_config(cfm)
     params = params.get("params", params)
 
+    seg_in = inputs.get("segment_onehot")
+    S = int(seg_in.shape[-1]) if seg_in is not None else 0
+
     B, M = inputs["atomic"].shape[:2]
     N = inputs["neighbors"].shape[2]
     L, D = cfm.n_attention, cfm.local_dim
@@ -539,7 +592,9 @@ def _fused_grad_impl(params: dict, inputs: dict, cfm: ModelConfig,
         f32(inputs["neighbor_weight"]),
         f32(inputs["neighbor_distance"]),
         ring_op,
-        f32(ct_pred)[..., None],          # [B, 1, 1]
+        # unpacked runs reuse atom_mask as a never-read dummy seg operand
+        f32(seg_in) if seg_in is not None else f32(inputs["atom_mask"]),
+        f32(ct_pred).reshape(B, -1)[..., None],   # [B, S(=1), 1]
         f32(ct_ga),                       # [B, M, 1]
         dropout_seed,
     ] + param_operands + [dist_centers, angle_centers]
@@ -553,15 +608,16 @@ def _fused_grad_impl(params: dict, inputs: dict, cfm: ModelConfig,
             idx_map = lambda bb, nd=x.ndim: (0,) * nd
         return pl.BlockSpec(blk, idx_map, memory_space=pltpu.VMEM)
 
-    in_specs = [spec_for(x, i < 9) for i, x in enumerate(operands)]
+    in_specs = [spec_for(x, i < 10) for i, x in enumerate(operands)]
 
+    S1 = max(S, 1)
     grad_templates = param_operands  # same order as the d_* kernel args
     out_specs = [spec_for(x, False) for x in grad_templates] + [
-        pl.BlockSpec((BT, 1, 1), lambda bb: (bb, 0, 0),
+        pl.BlockSpec((BT, S1, 1), lambda bb: (bb, 0, 0),
                      memory_space=pltpu.VMEM)]
     out_shape = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)
                   for x in grad_templates]
-                 + [jax.ShapeDtypeStruct((B, 1, 1), jnp.float32)])
+                 + [jax.ShapeDtypeStruct((B, S1, 1), jnp.float32)])
 
     from scann_tpu.kernels.scann_forward import VMEM_BUDGET_BYTES
 
@@ -573,7 +629,7 @@ def _fused_grad_impl(params: dict, inputs: dict, cfm: ModelConfig,
             attn_dropout=attn_dropout_rate(cfm, dropout_rate),
             use_ring=cfm.use_ring, cgcnn=cgcnn,
             ct_from_target=ct_from_target, mrelu=mrelu,
-            bf16=(cfm.dtype == "bfloat16"),
+            bf16=(cfm.dtype == "bfloat16"), n_segments=S,
         ),
         grid=(B // BT,),
         in_specs=in_specs,
@@ -649,9 +705,13 @@ def fused_scann_train_grads(params, inputs, targets, cfm: ModelConfig,
     ``raw`` are gradients of 0.5 * sum((pred - t)^2); the caller turns them
     into RMSE + l2 gradients with ``raw / (B * rmse) + d l2`` — see
     Trainer._make_steps. Eliminates the separate forward launch the
-    custom-vjp path needs (the bwd kernel recomputes the forward anyway)."""
+    custom-vjp path needs (the bwd kernel recomputes the forward anyway).
+
+    Packed batches (``segment_onehot`` in inputs): targets are [B, S],
+    pred comes back [B, S], and empty segments' residuals are zeroed
+    in-kernel — the caller's scale divisor is the VALID segment count."""
     B, M = inputs["atomic"].shape[:2]
-    targets = jnp.asarray(targets, jnp.float32).reshape(B, 1)
+    targets = jnp.asarray(targets, jnp.float32).reshape(B, -1)
     ct_ga = jnp.zeros((B, M, 1), jnp.float32)
     grads, pred = _fused_grad_impl(params, inputs, cfm, targets, ct_ga,
                                    interpret, dropout_rate, dropout_seed,

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scann_tpu.config import ModelConfig, attn_dropout_rate
-from scann_tpu.kernels.dots import dot_fns
+from scann_tpu.kernels.dots import dot_fns, mm_hi, mm_tA_hi
 from scann_tpu.ops.activations import swish
 from scann_tpu.ops.rbf import make_centers
 
@@ -132,11 +132,12 @@ def fits_vmem(cfm: ModelConfig, M: int, N: int,
 
 
 def _dot_fns(bf16: bool):
-    """(mm, dot3) — the two contraction shapes this kernel uses, from the
+    """(mm, mm_tA, dot3) — the contraction shapes this kernel uses, from the
     shared ``kernels/dots.py`` factory (single casting policy across all
-    three kernel families)."""
+    three kernel families); mm_tA drives the segment-pooling one-hot dots
+    of the packed readout."""
     fns = dot_fns(bf16)
-    return fns[0], fns[3]
+    return fns[0], fns[1], fns[3]
 
 
 def make_dropout_masks(seed, mol_base, bt, m, d, n_layers, rate,
@@ -183,7 +184,7 @@ def make_dropout_masks(seed, mol_base, bt, m, d, n_layers, rate,
 
 def _kernel(
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
-    ring_ref, seed_ref,
+    ring_ref, seg_ref, seed_ref,
     embed_ref, bembed_ref, wring_ref, bring_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,          # g_update geometry embeds
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
@@ -197,9 +198,10 @@ def _kernel(
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
     attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
-    bf16: bool = False,
+    bf16: bool = False, n_segments: int = 0,
 ):
-    _mm, _dot3 = _dot_fns(bf16)  # shadow: every dot below follows the mode
+    # shadow: every dot below follows the mode
+    _mm, _mm_tA_f, _dot3 = _dot_fns(bf16)
     BT = atomic_ref.shape[0]                                   # molecules/program
     M = atomic_ref.shape[1]
     N = idx_ref.shape[2]
@@ -316,6 +318,13 @@ def _kernel(
         centers = _ln(out + h, rln_s_ref[l], rln_b_ref[l])
 
     # --- readout (per-molecule reductions via [BT, M, .] views) -----------
+    # n_segments > 0 = STRUCTURE PACKING (data/packing.py): each slot's M
+    # rows hold several structures, identified by the one-hot seg_ref
+    # [BT, M, S]; every per-structure reduction (q-sum, GA norm, softmax
+    # normalization, pooled context) becomes a pair of one-hot matmuls
+    # (pool rows per segment / broadcast back to member rows), and the
+    # property head runs on [BT*S] pooled rows. The unpacked branch is
+    # byte-identical to before (no numeric drift on golden fixtures).
     centers = swish(_mm(centers, wal_ref[:]) + bal_ref[:])     # [R, G]
     G = centers.shape[-1]
     gq = (_mm(centers, wgq_ref[:]) + bgq_ref[:]).reshape(BT, M, G)
@@ -323,25 +332,47 @@ def _kernel(
     am3 = am.reshape(BT, M, 1)
     mq = am3 * gq
     mk = am3 * gk
-    qsum = jnp.sum(mq, axis=1, keepdims=True)                  # [BT, 1, G]
-    cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)         # [BT, M, 1]
+    if n_segments:
+        seg = seg_ref[...]                                     # [BT, M, S]
+
+        def seg_pool(x):  # [BT, M, C] -> [BT, S, C]: sum rows per segment
+            return jnp.stack([mm_tA_hi(seg[t], x[t]) for t in range(BT)])
+
+        def seg_own(y):   # [BT, S, C] -> [BT, M, C]: broadcast to own rows
+            return jnp.stack([mm_hi(seg[t], y[t]) for t in range(BT)])
+
+        cross = jnp.sum(mk * seg_own(seg_pool(mq)), axis=-1, keepdims=True)
+    else:
+        qsum = jnp.sum(mq, axis=1, keepdims=True)              # [BT, 1, G]
+        cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)     # [BT, M, 1]
     diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
     agg = am3 * (cross - diag)
     if ga_norm:
-        nrm = jnp.sqrt(jnp.sum(agg * agg, axis=1, keepdims=True))
-        agg = agg / jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+        if n_segments:
+            nrm_own = seg_own(jnp.sqrt(seg_pool(agg * agg)))
+            agg = agg / jnp.where(nrm_own == 0, jnp.ones_like(nrm_own),
+                                  nrm_own)
+        else:
+            nrm = jnp.sqrt(jnp.sum(agg * agg, axis=1, keepdims=True))
+            agg = agg / jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+    # the per-SLOT max shift is constant within every segment, so each
+    # segment's softmax is exact under it
     agg = agg + (1.0 - am3) * (-1e9)
     agg = agg - jnp.max(agg, axis=1, keepdims=True)
     e = jnp.exp(agg)
-    ga = e / jnp.sum(e, axis=1, keepdims=True)                 # [BT, M, 1]
-
-    struc = jnp.sum(am3 * ga * gk, axis=1)                     # [BT, G]
-    struc = swish(_mm(struc, wbf_ref[:]) + bbf_ref[:])         # [BT, O]
-    pred = _mm(struc, wp_ref[:]) + bp_ref[:]                   # [BT, 1]
+    if n_segments:
+        den_own = seg_own(seg_pool(e))
+        ga = e / jnp.where(den_own == 0, jnp.ones_like(den_own), den_own)
+        struc = seg_pool(ga * mk).reshape(BT * n_segments, G)  # [BT*S, G]
+    else:
+        ga = e / jnp.sum(e, axis=1, keepdims=True)             # [BT, M, 1]
+        struc = jnp.sum(am3 * ga * gk, axis=1)                 # [BT, G]
+    struc = swish(_mm(struc, wbf_ref[:]) + bbf_ref[:])         # [BT(*S), O]
+    pred = _mm(struc, wp_ref[:]) + bp_ref[:]                   # [BT(*S), 1]
     if mrelu:
         pred = jnp.maximum(pred, 0.0)
 
-    out_ref[...] = pred[:, :, None]                            # [BT, 1, 1]
+    out_ref[...] = pred.reshape(BT, max(n_segments, 1), 1)
     ga_ref[...] = ga                                           # [BT, M, 1]
 
 
@@ -615,9 +646,17 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
     (in-kernel PRNG streamed from ``dropout_seed`` + program id).
     ``batch_tile`` molecules are processed per Pallas program (auto-picked
     by VMEM budget when None).
+
+    STRUCTURE PACKING: when ``inputs`` carries ``segment_onehot``
+    [B, M, S] (data/packing.py), each slot holds several structures and
+    property comes back [B, S] — one prediction per packed segment (empty
+    segments produce a head-bias artifact; mask with ``segment_mask``).
     """
     assert supports_config(cfm), "config not supported by the fused forward"
     params = params.get("params", params)
+
+    seg_in = inputs.get("segment_onehot")
+    S = int(seg_in.shape[-1]) if seg_in is not None else 0
 
     B, M = inputs["atomic"].shape[:2]
     N = inputs["neighbors"].shape[2]
@@ -678,6 +717,9 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
         f32(inputs["neighbor_weight"]),
         f32(inputs["neighbor_distance"]),
         ring_op,
+        # unpacked runs reuse atom_mask as a never-read dummy seg operand
+        # (no extra HBM, negligible DMA)
+        f32(seg_in) if seg_in is not None else f32(inputs["atom_mask"]),
         dropout_seed,
         w_embed, b_embed, w_ring, b_ring,
         f32(params["dense_embed"]["kernel"]), f32(params["dense_embed"]["bias"]),
@@ -706,8 +748,9 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
             idx_map = lambda b, nd=x.ndim: (0,) * nd
         return pl.BlockSpec(blk, idx_map, memory_space=pltpu.VMEM)
 
-    in_specs = [spec_for(x, i < 7) for i, x in enumerate(operands)]
+    in_specs = [spec_for(x, i < 8) for i, x in enumerate(operands)]
 
+    S1 = max(S, 1)
     out, ga = pl.pallas_call(
         functools.partial(
             _kernel, n_layers=L, num_head=cfm.num_head, scale=cfm.scale,
@@ -715,16 +758,16 @@ def fused_scann_forward(params: dict, inputs: dict, cfm: ModelConfig,
             rbf_width=0.25, dropout_rate=dropout_rate,
             attn_dropout=attn_dropout_rate(cfm, dropout_rate),
             use_ring=cfm.use_ring, cgcnn=cgcnn,
-            bf16=(cfm.dtype == "bfloat16"),
+            bf16=(cfm.dtype == "bfloat16"), n_segments=S,
         ),
         grid=(B // BT,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((BT, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, S1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, M, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, S1, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
         ],
         # v5e has ~128 MB VMEM; Mosaic's default cap is far lower, so raise

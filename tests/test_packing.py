@@ -168,6 +168,77 @@ def test_packed_ga_scores_match(dataset):
                                        rtol=2e-5, atol=2e-6)
 
 
+def test_packed_fused_forward_matches_xla(dataset):
+    """The fused forward kernel's segmented readout (interpret mode) matches
+    the XLA packed path, and predictions stay exact per structure."""
+    from scann_tpu.kernels.scann_forward import fused_scann_forward
+
+    records, neighbors = dataset
+    cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=2,
+                      local_dim=16, num_head=4, global_dim=16, dense_out=16,
+                      g_update=True, use_ga_norm=True)
+    model = ScannModel(cfg)
+    packed = pack_dataset_slots(records, neighbors, g_update=True,
+                                capacity=16, max_segments=4)
+    inp = {k: jnp.asarray(v) for k, v in packed.inputs.items()}
+    params = model.init(jax.random.PRNGKey(3), inp)["params"]
+
+    out_xla = model.apply({"params": params}, inp)
+    B = packed.num_slots
+    bt = 2 if B % 2 == 0 else 1
+    pred_f, ga_f = fused_scann_forward(params, inp, cfg, interpret=True,
+                                       batch_tile=bt)
+    assert pred_f.shape == (B, packed.num_segments)
+    np.testing.assert_allclose(np.asarray(pred_f),
+                               np.asarray(out_xla["property"]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ga_f),
+                               np.asarray(out_xla["ga_score"]),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_packed_fused_train_grads_match_xla(dataset):
+    """One-kernel-per-step training on a packed batch (interpret mode):
+    in-kernel residual * valid-segment mask + XLA 1/(n*rmse) scale equals
+    jax.grad of the masked-RMSE XLA loss."""
+    import jax.flatten_util
+    from scann_tpu.kernels.scann_backward import fused_scann_train_grads
+
+    records, neighbors = dataset
+    cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=2,
+                      local_dim=16, num_head=4, global_dim=16, dense_out=16,
+                      g_update=True, use_ga_norm=True)
+    model = ScannModel(cfg)
+    packed = pack_dataset_slots(records, neighbors, g_update=True,
+                                capacity=16, max_segments=4)
+    inp = {k: jnp.asarray(v) for k, v in packed.inputs.items()}
+    params = model.init(jax.random.PRNGKey(4), inp)["params"]
+    y = jnp.asarray(packed.targets)
+    smask = jnp.asarray(packed.inputs["segment_mask"])
+    nvalid = smask.sum()
+
+    def loss_xla(p):
+        out = model.apply({"params": p}, inp)
+        err = (out["property"] - y) * smask
+        return jnp.sqrt(jnp.sum(jnp.square(err)) / nvalid)
+
+    g_ref = jax.grad(loss_xla)(params)
+
+    B = packed.num_slots
+    bt = 2 if B % 2 == 0 else 1
+    pred, raw = fused_scann_train_grads(params, inp, y, cfg,
+                                        interpret=True, batch_tile=bt)
+    err = (np.asarray(pred) - np.asarray(y)) * np.asarray(smask)
+    rmse = np.sqrt((err ** 2).sum() / float(nvalid))
+    scale = 1.0 / (float(nvalid) * rmse)
+    g_fused = jax.tree.map(lambda r: r * scale, raw)
+
+    f1, _ = jax.flatten_util.ravel_pytree(g_ref)
+    f2, _ = jax.flatten_util.ravel_pytree(g_fused)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=5e-4, atol=1e-6)
+
+
 def test_packed_gradients_match_unpacked(dataset):
     """RMSE-loss gradients over the same set of structures are identical
     whether the batch is packed or not (slot arrangement is not observable)."""
