@@ -740,22 +740,35 @@ def make_sharded_scann_train(mesh, cfm: ModelConfig, mrelu_head: bool = False,
                                             dropout_rate, shard_seed)
         return pred, jax.lax.psum(raw, "data")
 
-    batch_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
-                  "neighbor_weight", "neighbor_distance")
+    base_keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
+                 "neighbor_weight", "neighbor_distance")
     if cfm.use_ring:
-        batch_keys = batch_keys + ("ring_aromatic",)
-    sharded = shard_map(fn, mesh=mesh,
-                        in_specs=(P(), {k: P("data") for k in batch_keys},
-                                  P("data"), P()),
-                        out_specs=(P("data"), P()),
-                        check_vma=False)
+        base_keys = base_keys + ("ring_aromatic",)
+
+    shmaps = {}  # key tuple -> shard_map instance (packed vs unpacked)
+
+    def get_sharded(batch_keys):
+        if batch_keys not in shmaps:
+            shmaps[batch_keys] = shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), {k: P("data") for k in batch_keys},
+                          P("data"), P()),
+                out_specs=(P("data"), P()),
+                check_vma=False)
+        return shmaps[batch_keys]
 
     def wrapper(params, inputs, targets, seed):
-        extra = set(inputs) - set(batch_keys)
+        # packed batches (data/packing.py) additionally shard the segment
+        # one-hot; segment_mask is epilogue-only and never enters the kernel
+        batch_keys = base_keys + (
+            ("segment_onehot",) if "segment_onehot" in inputs else ())
+        extra = set(inputs) - set(batch_keys) - {"segment_mask"}
         if extra:
             raise ValueError(f"unsupported inputs for the fused kernels: {extra}")
-        return sharded(params, {k: inputs[k] for k in batch_keys},
-                       jnp.asarray(targets, jnp.float32).reshape(-1, 1), seed)
+        targets = jnp.asarray(targets, jnp.float32)
+        targets = targets.reshape(targets.shape[0], -1)
+        return get_sharded(batch_keys)(
+            params, {k: inputs[k] for k in batch_keys}, targets, seed)
 
     return wrapper
 

@@ -269,6 +269,10 @@ class Trainer:
         adam_decay = self.config.hyper.adam_decay
         bsh = self._bsh
 
+        # STRUCTURE PACKING (data/packing.py): slots carry several
+        # structures; targets are [slots, SEG] with a segment_mask input,
+        # and the per-batch RMSE/MAE normalize by the VALID segment count
+        # (which varies per batch of slots) instead of the batch size.
         @partial(jax.jit, donate_argnums=(0,))
         def train_epoch(state: TrainState, binputs, btargets, epoch_rng, sgdr_lr):
             S = btargets.shape[0]
@@ -278,6 +282,7 @@ class Trainer:
             # wrap-around fill of the final partial batch (modular: correct
             # even when the bucket is smaller than the pad)
             idx_plan = perm[jnp.arange(n_batches * B) % S].reshape(n_batches, B)
+            packed = "segment_mask" in binputs
 
             def body(state, inp):
                 idx, k = inp
@@ -289,26 +294,34 @@ class Trainer:
                 rng = jax.random.fold_in(drop_key, k)
                 batch = jax.tree.map(lambda x: x[idx], binputs)
                 y = btargets[idx]
+                smask = batch["segment_mask"] if packed else None
+                nvalid = smask.sum() if packed else jnp.float32(y.shape[0])
+
+                def masked_stats(pred):
+                    """(rmse, mae) over structures; packed = valid segments."""
+                    err = (pred - y) * smask if packed else pred - y
+                    rmse = jnp.sqrt(jnp.sum(jnp.square(err)) / nvalid)
+                    mae = jnp.sum(jnp.abs(err)) / nvalid
+                    return rmse, mae
 
                 def loss_fn(params):
                     out = model.apply({"params": params}, batch,
                                       deterministic=False,
                                       rngs={"dropout": rng})
-                    pred = out["property"][:, 0]
-                    rmse = jnp.sqrt(jnp.mean(jnp.square(pred - y)))
-                    loss = rmse + l2_penalty(params, l2)
-                    mae = jnp.mean(jnp.abs(pred - y))
-                    return loss, mae
+                    pred = out["property"] if packed else out["property"][:, 0]
+                    rmse, mae = masked_stats(pred)
+                    return rmse + l2_penalty(params, l2), mae
 
                 # Fused regimes: ONE kernel per step — the bwd kernels
                 # recompute the forward anyway, so they also emit pred and
                 # form the RMSE residual in-kernel; here we apply the global
-                # 1/(B*rmse) scale + the l2 term (measured +31% at the
+                # 1/(n*rmse) scale + the l2 term (measured +31% at the
                 # MP2018 crystal shape over the fwd+bwd launch pair).
                 use_fused_oneshot = (self._use_fused_train
                                      and self._batch_fits_fused(batch))
                 use_loop_oneshot = (
                     self._use_fused_train
+                    and not packed  # loop kernels are crystal-scale: no segs
                     and not use_fused_oneshot
                     and self._batch_fits_loop(batch, training=True))
                 if use_fused_oneshot or use_loop_oneshot:
@@ -339,11 +352,12 @@ class Trainer:
                             pred, raw = loop_scann_train_grads(
                                 state.params, batch, y, self.config.model,
                                 self.model.mrelu_head, False, 0.1, seed)
-                    pred = pred[:, 0]
-                    rmse = jnp.sqrt(jnp.mean(jnp.square(pred - y)))
+                    pred = pred if packed else pred[:, 0]
+                    rmse, mae = masked_stats(pred)
                     loss = rmse + l2_penalty(state.params, l2)
-                    mae = jnp.mean(jnp.abs(pred - y))
-                    scale = 1.0 / (y.shape[0] * rmse)
+                    # packed: empty segments' residuals are already zeroed
+                    # in-kernel, so raw is d 0.5*sum(masked err^2) exactly
+                    scale = 1.0 / (nvalid * rmse)
                     l2g = jax.grad(lambda p: l2_penalty(p, l2))(state.params)
                     grads = jax.tree.map(lambda r, g2: r * scale + g2,
                                          raw, l2g)
@@ -452,8 +466,11 @@ class Trainer:
         hyper = self.config.hyper
         epochs = epochs or hyper.epochs
 
+        # batches are over SLOTS (targets rows): for the default bucketed
+        # pipeline that equals num_structures; for packed slots each row
+        # carries several structures (data/packing.py)
         steps_per_epoch = sum(
-            -(-b.num_structures // hyper.batch_size) for b in train_buckets
+            -(-b.targets.shape[0] // hyper.batch_size) for b in train_buckets
         )
         sgdr = None
         if hyper.scheduler == "sgdr":

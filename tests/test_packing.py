@@ -239,6 +239,71 @@ def test_packed_fused_train_grads_match_xla(dataset):
                                rtol=5e-4, atol=1e-6)
 
 
+def test_packed_training_end_to_end(tmp_path):
+    """Scann API with tpu.structure_packing: pack the train split, train on
+    the XLA packed path (CPU), loss decreases, bucketed eval still works."""
+    from scann_tpu.api import Scann
+    from scann_tpu.config import ScannConfig
+    from scann_tpu.data.synthetic import make_synthetic_dataset
+
+    e, n = make_synthetic_dataset(str(tmp_path), n_structures=60,
+                                  min_atoms=4, max_atoms=14, seed=7)
+    cfg = ScannConfig.from_dict({
+        "model": {"n_atoms": 16, "embedding_dim": 16, "n_attention": 1,
+                  "local_dim": 16, "num_head": 4, "global_dim": 16,
+                  "dense_out": 16},
+        "hyper": {"batch_size": 8, "epochs": 4, "save_path":
+                  str(tmp_path / "out"), "target": "homo",
+                  "data_energy_path": e, "data_nei_path": n},
+        "tpu": {"structure_packing": True, "pack_max_segments": 4},
+    })
+    sc = Scann(cfg)
+    sc.prepare_dataset()
+    packed = sc.train_buckets[0]
+    assert packed.inputs["segment_onehot"].shape[-1] <= 4
+    assert packed.occupancy > 0.85
+    rep = sc.train()
+    assert rep["loss"][-1] < rep["loss"][0]
+    res = sc.evaluate()
+    assert np.isfinite(res["test_mae"])
+
+
+@pytest.mark.slow
+def test_sharded_packed_train_grads(dataset):
+    """make_sharded_scann_train over the 8-device CPU mesh (interpret mode)
+    on a PACKED batch == the unsharded fused train grads."""
+    from scann_tpu.kernels.scann_backward import (
+        fused_scann_train_grads,
+        make_sharded_scann_train,
+    )
+    from scann_tpu.parallel import make_mesh
+
+    records, neighbors = dataset
+    cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=1,
+                      local_dim=16, num_head=4, global_dim=16, dense_out=16,
+                      g_update=True, use_ga_norm=True)
+    model = ScannModel(cfg)
+    packed = pack_dataset_slots(records, neighbors, g_update=True,
+                                capacity=16, max_segments=4)
+    # 8-way sharding needs slots % 8 == 0: wrap-pad slots
+    idx = np.arange(16) % packed.num_slots
+    inp = {k: jnp.asarray(v[idx]) for k, v in packed.inputs.items()}
+    y = jnp.asarray(packed.targets[idx])
+    params = model.init(jax.random.PRNGKey(5), inp)["params"]
+
+    pred1, raw1 = fused_scann_train_grads(params, inp, y, cfg,
+                                          interpret=True, batch_tile=1)
+    sharded = make_sharded_scann_train(make_mesh(n_devices=8), cfg,
+                                       interpret=True, dropout_rate=0.0)
+    pred8, raw8 = sharded(params, inp, y, None)
+    np.testing.assert_allclose(np.asarray(pred8), np.asarray(pred1),
+                               rtol=1e-5, atol=1e-6)
+    f1, _ = jax.flatten_util.ravel_pytree(raw1)
+    f8, _ = jax.flatten_util.ravel_pytree(raw8)
+    np.testing.assert_allclose(np.asarray(f8), np.asarray(f1),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_packed_gradients_match_unpacked(dataset):
     """RMSE-loss gradients over the same set of structures are identical
     whether the batch is packed or not (slot arrangement is not observable)."""
