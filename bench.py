@@ -93,8 +93,13 @@ def _ensure_backend(init_timeout_s: float = 300.0):
     done.set()
 
 
-def run_case(cfg, S, M, N):
-    """Best-of-3 whole-epoch training throughput (structures/s/chip)."""
+def run_case(cfg, S, M, N, bucket=None, count=None):
+    """Best-of-3 whole-epoch training throughput (structures/s/chip).
+
+    ``bucket`` overrides the default one-structure-per-slot synthetic bucket
+    (used for the PACKED case, where slots carry several structures);
+    ``count`` is the number of structures credited per epoch (defaults to
+    the number of slots ``S``)."""
     import jax
     import jax.numpy as jnp
 
@@ -105,9 +110,15 @@ def run_case(cfg, S, M, N):
     from __graft_entry__ import _synthetic_inputs
 
     B = cfg.hyper.batch_size
-    inputs = _synthetic_inputs(B=S, M=M, N=N, seed=0)
-    targets = np.random.default_rng(0).normal(size=S).astype(np.float32)
-    bucket = PackedBucket(inputs=inputs, targets=targets, indices=np.arange(S))
+    if bucket is None:
+        inputs = _synthetic_inputs(B=S, M=M, N=N, seed=0)
+        targets = np.random.default_rng(0).normal(size=S).astype(np.float32)
+        bucket = PackedBucket(inputs=inputs, targets=targets,
+                              indices=np.arange(S))
+    else:
+        inputs, targets = bucket.inputs, bucket.targets
+        S = len(targets)
+    count = count or S
 
     trainer = Trainer(cfg)
     trainer._lr_fn = make_cosine_lr(cfg.hyper.lr, cfg.hyper.min_lr, S // B, 100)
@@ -131,7 +142,7 @@ def run_case(cfg, S, M, N):
                                         jax.random.fold_in(rng, e),
                                         jnp.float32(0.0))
         float(m["loss"])
-        best = max(best, S / (time.perf_counter() - t0))
+        best = max(best, count / (time.perf_counter() - t0))
     return best / len(jax.devices())
 
 
@@ -145,6 +156,26 @@ def main():
     cfg.hyper.save_path = "/tmp/scann_tpu_bench"
     cfg.hyper.scheduler = "cosine"
     qm9 = run_case(cfg, S=16384, M=32, N=16)
+
+    # packed: the SAME QM9 flagship config trained with structure packing
+    # (data/packing.py) at a QM9-like size spread (uniform 9-29 atoms, mean
+    # ~19): several molecules share each 32-row slot, so the same per-slot
+    # step trains ~1.6x the structures. This is the production path a real
+    # QM9 run uses with tpu.structure_packing=True; credited throughput is
+    # STRUCTURES (valid segments), not slots.
+    from __graft_entry__ import _synthetic_packed_slots
+
+    pslots = _synthetic_packed_slots(n_structs=24576, capacity=32, N=16,
+                                     max_segments=8, seed=0)
+    # the production recipe (tpu.pack_preserve_batch): batch slots so each
+    # optimizer step sees ~128 STRUCTURES, like the reference's batch 128
+    slot_bs = max(1, round(128 * pslots.num_slots / pslots.num_structures))
+    pk_cfg = _flagship_config(batch_size=slot_bs)
+    pk_cfg.hyper.save_path = "/tmp/scann_tpu_bench_packed"
+    pk_cfg.hyper.scheduler = "cosine"
+    packed = run_case(pk_cfg, S=pslots.num_slots, M=32, N=16,
+                      bucket=pslots, count=pslots.num_structures)
+    packed_slot_rate = packed * pslots.num_slots / pslots.num_structures
 
     # secondary: MP2018 large-crystal bucket (reference model_mp2018.yaml:
     # 9 layers, batch 64, gaussian_d 6.0; crystals ~100 sites)
@@ -197,6 +228,22 @@ def main():
         "flops_per_structure": round(qm9_fps),
         "measured_ref_baseline": (
             measured["qm9_b128_m32_n16"] if measured else None),
+        "packed": {
+            "metric": "train_structures_per_sec_per_chip_qm9_packed",
+            "value": round(packed, 1),
+            "unit": "structures/s/chip",
+            "vs_baseline": round(packed / BASELINE_STRUCTURES_PER_SEC, 3),
+            # per-slot compute ~= the headline (M=32, N=16) shape, so TFLOPs
+            # follow the slot rate; structures/s exceeds it by the packing
+            # factor (occupancy-driven)
+            "tflops_per_sec": round(packed_slot_rate * qm9_fps / 1e12, 2),
+            "mfu": (round(packed_slot_rate * qm9_fps / 1e12 / peak, 4)
+                    if peak else None),
+            "slots": pslots.num_slots,
+            "structures": pslots.num_structures,
+            "occupancy": round(pslots.occupancy, 4),
+            "slot_batch": slot_bs,  # ~128 structures per optimizer step
+        },
         "secondary": {
             "metric": "train_structures_per_sec_per_chip_mp2018_M96_scann_plus",
             "value": round(mp, 1),

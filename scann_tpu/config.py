@@ -115,6 +115,11 @@ class TpuConfig:
     # Eval/valid/test stay on the bucketed pipeline.
     structure_packing: bool = False
     pack_max_segments: int = 8     # max structures per packed slot
+    # Preserve the reference recipe's EFFECTIVE batch: hyper.batch_size
+    # counts STRUCTURES, so the Trainer batches round(batch_size / packing
+    # factor) slots per step (~batch_size structures each). Disable to
+    # batch hyper.batch_size slots instead (bigger effective batches).
+    pack_preserve_batch: bool = True
 
 
 @dataclass

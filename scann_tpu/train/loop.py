@@ -264,7 +264,9 @@ class Trainer:
         # scanning all steps of an epoch inside a single jit removes every
         # per-step host interaction, including batch-index generation: the
         # epoch permutation is computed on device from the epoch RNG key.
-        B = self.config.hyper.batch_size
+        # packed training batches SLOTS: fit() resolves a smaller slot batch
+        # when tpu.pack_preserve_batch keeps ~batch_size structures per step
+        B = getattr(self, "_slot_batch", None) or self.config.hyper.batch_size
         use_cosine = self.config.hyper.scheduler != "sgdr"
         adam_decay = self.config.hyper.adam_decay
         bsh = self._bsh
@@ -468,9 +470,19 @@ class Trainer:
 
         # batches are over SLOTS (targets rows): for the default bucketed
         # pipeline that equals num_structures; for packed slots each row
-        # carries several structures (data/packing.py)
+        # carries several structures (data/packing.py). With
+        # tpu.pack_preserve_batch the slot batch shrinks by the packing
+        # factor so every optimizer step still sees ~hyper.batch_size
+        # STRUCTURES — the reference recipe's effective batch.
+        slot_bs = hyper.batch_size
+        n_structs = sum(b.num_structures for b in train_buckets)
+        n_slots = sum(b.targets.shape[0] for b in train_buckets)
+        if (n_structs > n_slots
+                and getattr(self.config.tpu, "pack_preserve_batch", True)):
+            slot_bs = max(1, round(hyper.batch_size * n_slots / n_structs))
+        self._slot_batch = slot_bs
         steps_per_epoch = sum(
-            -(-b.targets.shape[0] // hyper.batch_size) for b in train_buckets
+            -(-b.targets.shape[0] // slot_bs) for b in train_buckets
         )
         sgdr = None
         if hyper.scheduler == "sgdr":
@@ -481,7 +493,7 @@ class Trainer:
                                          epochs, hyper.adam_decay)
 
         steps_key = (hyper.scheduler, hyper.lr, hyper.min_lr,
-                     hyper.adam_decay, hyper.batch_size, steps_per_epoch,
+                     hyper.adam_decay, slot_bs, steps_per_epoch,
                      epochs)
         if self._train_epoch is None or self._steps_key != steps_key:
             self._make_steps(steps_key)
@@ -491,7 +503,8 @@ class Trainer:
             )
 
         # device-validate fused batch tiles eagerly, before any jit tracing
-        self._preresolve_tiles(train_buckets, training=True)
+        self._preresolve_tiles(train_buckets, training=True,
+                               batch_size=slot_bs)
         self._preresolve_tiles(list(train_buckets) + list(valid_buckets),
                                training=False)
 
@@ -552,7 +565,7 @@ class Trainer:
                     jnp.asarray(epoch_lr, jnp.float32), log_fn=log_fn)
                 losses.append(m["loss"])
                 maes.append(m["mae"])
-                step += -(-btargets.shape[0] // hyper.batch_size)
+                step += -(-btargets.shape[0] // slot_bs)
 
             train_loss = float(np.mean([np.asarray(x) for x in losses]))
             train_mae = float(np.mean([np.asarray(x) for x in maes]))

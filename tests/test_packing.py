@@ -264,6 +264,10 @@ def test_packed_training_end_to_end(tmp_path):
     assert packed.occupancy > 0.85
     rep = sc.train()
     assert rep["loss"][-1] < rep["loss"][0]
+    # pack_preserve_batch (default): the slot batch shrank by the packing
+    # factor so each step still sees ~batch_size STRUCTURES
+    factor = packed.num_structures / packed.num_slots
+    assert sc.trainer._slot_batch == max(1, round(8 / factor))
     res = sc.evaluate()
     assert np.isfinite(res["test_mae"])
 
@@ -342,3 +346,33 @@ def test_packed_gradients_match_unpacked(dataset):
     flat2, _ = jax.flatten_util.ravel_pytree(g2)
     np.testing.assert_allclose(np.asarray(flat2), np.asarray(flat1),
                                rtol=5e-4, atol=1e-6)
+
+
+def test_synthetic_packed_slots_invariants():
+    """The bench's synthetic PackedSlots generator (__graft_entry__) obeys
+    the packed-layout invariants: every structure lands in exactly one
+    segment, and neighbor indices stay within the owning segment's rows."""
+    from __graft_entry__ import _synthetic_packed_slots
+
+    p = _synthetic_packed_slots(n_structs=80, capacity=16, N=8,
+                                max_segments=4, seed=3,
+                                min_atoms=4, max_atoms=14)
+    assert p.num_structures == 80
+    assert p.occupancy > 0.85
+    am = p.inputs["atom_mask"][..., 0]
+    oh = p.inputs["segment_onehot"]
+    # each valid atom carries exactly one segment id; padding rows none
+    np.testing.assert_array_equal(oh.sum(-1), am)
+    # targets/indices only where segment_mask says so
+    assert ((p.indices >= 0) == (p.inputs["segment_mask"] > 0)).all()
+    # vectorized neighbor containment: every valid (atom, j) points at a
+    # valid atom of the SAME segment
+    seg = oh.argmax(-1)  # [S, M] (0 for padding; masked below)
+    nb, nm = p.inputs["neighbors"], p.inputs["neighbor_mask"]
+    S, M, N = nb.shape
+    slot_ix = np.arange(S)[:, None, None]
+    tgt_seg = seg[slot_ix, nb]      # [S, M, N]: segment of each neighbor
+    own_seg = np.broadcast_to(seg[:, :, None], (S, M, N))
+    valid = nm > 0
+    assert (tgt_seg[valid] == own_seg[valid]).all()
+    assert (am[slot_ix, nb][valid] == 1.0).all()
