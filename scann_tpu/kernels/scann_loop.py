@@ -144,7 +144,7 @@ def _make_attn_mask(mol_seed, M, N, H, attn_dropout):
 
 def _fwd_kernel(
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
-    ring_ref, seed_ref,
+    ring_ref, seg_ref, seed_ref,
     embed_ref, bembed_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
@@ -159,7 +159,7 @@ def _fwd_kernel(
     *, n_layers: int, num_head: int, scale: float, g_update: bool,
     ga_norm: bool, mrelu: bool, rbf_width: float, dropout_rate: float = 0.0,
     attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
-    bf16: bool = False,
+    bf16: bool = False, n_segments: int = 0,
 ):
     BT = atomic_ref.shape[0]  # molecules per program (eval tiling; train BT=1)
     M = atomic_ref.shape[1]
@@ -179,6 +179,8 @@ def _fwd_kernel(
     nmask = nmask_ref[...].reshape(R, N)
     assert (dropout_rate == 0.0 and attn_dropout == 0.0) or BT == 1, \
         "dropout (training) runs the loop forward at batch_tile=1"
+    assert n_segments == 0 or BT == 1, \
+        "structure packing (n_segments > 0) runs one slot per program"
 
     # dropout: per-molecule stream (seed + global molecule index), drawn
     # up-front in a fixed order (embed, then layer 0..L-1) into scratch
@@ -299,6 +301,44 @@ def _fwd_kernel(
     # scann_forward.py:331-358)
     centers = _swish(mm(centers, wal_ref[:]) + bal_ref[:])
     G = centers.shape[-1]
+    if n_segments:
+        # STRUCTURE PACKING (data/packing.py): the slot's M rows hold
+        # several structures; every cross-structure reduction becomes a
+        # per-segment pool (mm_tA with the masked [M, S] one-hot) followed
+        # by a broadcast back to member rows (mm with it) — the unrolled
+        # kernels' scheme (scann_forward.py:321-375), BT=1 only.
+        S = n_segments
+        seg = seg_ref[...].reshape(M, S)
+        pool = lambda x: mm_tA(seg, x)            # [M, C] -> [S, C]
+        rows = lambda x: mm(seg, x)               # [S, C] -> [M, C]
+        gq = mm(centers, wgq_ref[:]) + bgq_ref[:]  # [M, G]
+        gk = mm(centers, wgk_ref[:]) + bgk_ref[:]
+        mq = am * gq
+        mk = am * gk
+        qsum_rows = rows(pool(mq))
+        cross = jnp.sum(mk * qsum_rows, axis=-1, keepdims=True)
+        diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
+        agg = am * (cross - diag)                 # [M, 1]
+        if ga_norm:
+            nrm = rows(jnp.sqrt(pool(agg * agg)))
+            agg = agg / jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+        aggm = agg + (1.0 - am) * (-1e9)
+        # per-segment max: members see their value, non-members -inf
+        t = aggm + (seg - 1.0) * 1e9              # [M, S]
+        segmax = jnp.max(t, axis=0, keepdims=True)        # [1, S]
+        e = jnp.exp(aggm - mm_tB(seg, segmax)) * am
+        # guard AFTER the rows-broadcast: padding atoms have an all-zero
+        # one-hot row, so their denominator is 0 regardless of esum
+        den = rows(pool(e))                               # [M, 1]
+        ga = e / jnp.where(den == 0, jnp.ones_like(den), den)
+        struc = pool(am * ga * gk)                        # [S, G]
+        struc = _swish(mm(struc, wbf_ref[:]) + bbf_ref[:])
+        pred = mm(struc, wp_ref[:]) + bp_ref[:]           # [S, 1]
+        if mrelu:
+            pred = jnp.maximum(pred, 0.0)
+        out_ref[...] = pred[None]                         # [1, S, 1]
+        ga_ref[...] = ga[None]                            # [1, M, 1]
+        return
     gq = (mm(centers, wgq_ref[:]) + bgq_ref[:]).reshape(BT, M, G)
     gk = (mm(centers, wgk_ref[:]) + bgk_ref[:]).reshape(BT, M, G)
     am3 = am.reshape(BT, M, 1)
@@ -331,7 +371,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     atomic_ref, atom_mask_ref, idx_ref, nmask_ref, weight_ref, dist_ref,
-    ring_ref, ct_pred_ref, ct_ga_ref, seed_ref,
+    ring_ref, seg_ref, ct_pred_ref, ct_ga_ref, seed_ref,
     embed_ref, bembed_ref, wde_ref, bde_ref,
     wnd_ref, bnd_ref, wnw_ref, bnw_ref,
     wfg_ref, bfg_ref, wk_ref, bk_ref, wq_ref, bq_ref,
@@ -352,6 +392,7 @@ def _bwd_kernel(
     ga_norm: bool, rbf_width: float, dropout_rate: float = 0.0,
     attn_dropout: float = 0.0, use_ring: bool = False, cgcnn: bool = False,
     bf16: bool = False, ct_from_target: bool = False, mrelu: bool = False,
+    n_segments: int = 0,
 ):
     b = pl.program_id(0)
     grads = [d_embed, d_bembed, d_wde, d_bde, d_wnd, d_bnd, d_wnw, d_bnw,
@@ -503,27 +544,47 @@ def _bwd_kernel(
         g_stash[L] = gL
 
     # ---------------- readout forward + backward --------------------------
+    # STRUCTURE PACKING (n_segments > 0): every cross-structure reduction
+    # becomes pool (per-segment sum via the masked [M, S] one-hot) + rows
+    # (broadcast back to member rows); with n_segments == 0 pool is the
+    # whole-slot sum and rows the identity ([1, C] broadcasts elementwise),
+    # so one code path serves both.
+    if n_segments:
+        seg = seg_ref[0]                                       # [M, S]
+        pool = lambda x: mm_tA(seg, x)
+        rows = lambda x: mm(seg, x)
+    else:
+        pool = lambda x: jnp.sum(x, axis=0, keepdims=True)
+        rows = lambda x: x
     s_al = mm(cL, wal_ref[:]) + bal_ref[:]
     cg = _swish(s_al)
     gq = mm(cg, wgq_ref[:]) + bgq_ref[:]
     gk = mm(cg, wgk_ref[:]) + bgk_ref[:]
     mq = am * gq
     mk = am * gk
-    qsum = jnp.sum(mq, axis=0, keepdims=True)
+    qsum = rows(pool(mq))                   # [M or 1, G]
     cross = jnp.sum(mk * qsum, axis=-1, keepdims=True)
     diag = jnp.sum(mk * mq, axis=-1, keepdims=True)
     agg0 = am * (cross - diag)
     if ga_norm:
-        nrm = jnp.sqrt(jnp.sum(agg0 * agg0, axis=0, keepdims=True))
+        nrm = rows(jnp.sqrt(pool(agg0 * agg0)))
         nrm_safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
         agg = agg0 / nrm_safe
     else:
         agg = agg0
     aggm = agg + (1.0 - am) * (-1e9)
-    aggm = aggm - jnp.max(aggm, axis=0, keepdims=True)
-    e = jnp.exp(aggm)
-    ga = e / jnp.sum(e, axis=0, keepdims=True)
-    struc = jnp.sum(am * ga * gk, axis=0, keepdims=True)
+    if n_segments:
+        # per-segment max: members see their value, non-members -inf
+        segmax = jnp.max(aggm + (seg - 1.0) * 1e9, axis=0, keepdims=True)
+        aggm = aggm - mm_tB(seg, segmax)
+    else:
+        aggm = aggm - jnp.max(aggm, axis=0, keepdims=True)
+    e = jnp.exp(aggm) * am
+    # guard AFTER the rows-broadcast: padding atoms have an all-zero one-hot
+    # row, so their denominator is 0 regardless of the per-segment sum
+    den = rows(pool(e))
+    ga = e / jnp.where(den == 0, jnp.ones_like(den), den)
+    struc = pool(am * ga * gk)              # [S or 1, G]
     s_bf = mm(struc, wbf_ref[:]) + bbf_ref[:]
     sb = _swish(s_bf)
 
@@ -532,11 +593,14 @@ def _bwd_kernel(
     pred_out[0] = pred
     if ct_from_target:
         # one-shot train mode: ct_pred_ref carries the TARGET. The RMSE
-        # cotangent factorizes as (pred - t) / (B * rmse); the per-structure
-        # residual is applied here, the global 1/(B*rmse) scale in the XLA
+        # cotangent factorizes as (pred - t) / (n * rmse); the per-structure
+        # residual is applied here, the global 1/(n*rmse) scale in the XLA
         # epilogue (mrelu is straight-through — ops/activations.py — so no
-        # relu gate on the residual).
+        # relu gate on the residual). Packed: empty segments' residuals are
+        # zeroed so the caller's masked loss is exact.
         ct_pred = pred - ct_pred_ref[0]
+        if n_segments:
+            ct_pred = ct_pred * (pool(am) > 0).astype(jnp.float32)
         ct_ga = jnp.zeros((M, 1), jnp.float32)
     else:
         ct_pred = ct_pred_ref[0]
@@ -548,22 +612,21 @@ def _bwd_kernel(
     ds_bf = dsb * _swish_grad(s_bf)
     d_wbf[...] += mm_tA(struc, ds_bf)
     d_bbf[...] += jnp.sum(ds_bf, axis=0)
-    dstruc = mm_tB(ds_bf, wbf_ref[:])
+    dstruc = rows(mm_tB(ds_bf, wbf_ref[:]))
 
     dga = jnp.sum(am * gk * dstruc, axis=-1, keepdims=True) + ct_ga
     dgk = am * ga * dstruc
-    dagg = ga * (dga - jnp.sum(ga * dga, axis=0, keepdims=True))
+    dagg = ga * (dga - rows(pool(ga * dga)))
     if ga_norm:
         dagg0 = (dagg / nrm_safe
-                 - agg0 * (jnp.sum(agg0 * dagg, axis=0, keepdims=True)
+                 - agg0 * (rows(pool(agg0 * dagg))
                            / (nrm_safe * nrm_safe * nrm_safe)))
     else:
         dagg0 = dagg
     dcd = dagg0 * am
     dmk = dcd * qsum - dcd * mq
     dmq = -dcd * mk
-    dqsum = jnp.sum(dcd * mk, axis=0, keepdims=True)
-    dmq = dmq + jnp.broadcast_to(dqsum, mq.shape)
+    dmq = dmq + jnp.broadcast_to(rows(pool(dcd * mk)), mq.shape)
     dgq = am * dmq
     dgk = dgk + am * dmk
 
@@ -747,13 +810,14 @@ def _assemble(params, cfm: ModelConfig):
     ]
 
 
-N_BATCH_OPERANDS = 7
+N_BATCH_OPERANDS = 8
 
 
 def _batch_operands(inputs, cgcnn=False,
                     f32=lambda x: jnp.asarray(x, jnp.float32)):
     B, M = inputs["atomic"].shape[:2]
     ring = inputs.get("ring_aromatic")
+    seg = inputs.get("segment_onehot")
     return [
         # feature="cgcnn": [B, M, 92] one-hot descriptors (already rank 3);
         # feature="atomic": [B, M] numbers with a trailing singleton
@@ -765,7 +829,15 @@ def _batch_operands(inputs, cgcnn=False,
         f32(inputs["neighbor_weight"]),
         f32(inputs["neighbor_distance"]),
         f32(ring) if ring is not None else jnp.zeros((B, M, 2), jnp.float32),
+        # structure packing: masked [B, M, S] segment one-hot (dummy [B,M,1]
+        # when unpacked — the kernels ignore it at n_segments == 0)
+        f32(seg) if seg is not None else jnp.zeros((B, M, 1), jnp.float32),
     ]
+
+
+def _n_segments(inputs) -> int:
+    seg = inputs.get("segment_onehot")
+    return 0 if seg is None else int(seg.shape[-1])
 
 
 def _specs(operands, n_batched, bt: int = 1):
@@ -813,8 +885,9 @@ def loop_scann_forward(params, inputs, cfm: ModelConfig,
     B, M = inputs["atomic"].shape[:2]
     N = inputs["neighbors"].shape[2]
     L, D = cfm.n_attention, cfm.local_dim
-    if dropout_rate > 0.0:
-        BT = 1
+    S = _n_segments(inputs)
+    if dropout_rate > 0.0 or S:
+        BT = 1  # per-molecule PRNG streams / one packed slot per program
     else:
         BT = (batch_tile if batch_tile is not None
               else pick_loop_fwd_tile(cfm, B, M, N))
@@ -834,15 +907,16 @@ def loop_scann_forward(params, inputs, cfm: ModelConfig,
             rbf_width=0.25, dropout_rate=dropout_rate,
             attn_dropout=attn_dropout_rate(cfm, dropout_rate),
             use_ring=cfm.use_ring, cgcnn=(cfm.feature == "cgcnn"),
-            bf16=(cfm.dtype == "bfloat16")),
+            bf16=(cfm.dtype == "bfloat16"), n_segments=S),
         grid=(B // BT,),
         in_specs=_specs(operands, N_BATCH_OPERANDS, bt=BT),
         out_specs=[
-            pl.BlockSpec((BT, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, max(S, 1), 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, M, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, max(S, 1), 1), jnp.float32),
             jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((max(L, 1), M, D), jnp.float32)],
@@ -867,6 +941,7 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
     B, M = inputs["atomic"].shape[:2]
     N = inputs["neighbors"].shape[2]
     L, D = cfm.n_attention, cfm.local_dim
+    S = _n_segments(inputs)
     f32 = lambda x: jnp.asarray(x, jnp.float32)
 
     dist_centers = jnp.asarray(make_centers(cfm.gaussian_d, cfm.num_gaussian))[None]
@@ -877,10 +952,11 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
                 + param_operands + [dist_centers, angle_centers])
 
     out_specs = _specs(param_operands, 0) + [
-        pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+        pl.BlockSpec((1, max(S, 1), 1), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM)]
     out_shape = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)
                   for x in param_operands]
-                 + [jax.ShapeDtypeStruct((B, 1, 1), jnp.float32)])
+                 + [jax.ShapeDtypeStruct((B, max(S, 1), 1), jnp.float32)])
 
     g_shape = (L + 1, M, N, D) if cfm.g_update else (1, 1, 1, 1)
     outs = pl.pallas_call(
@@ -892,7 +968,7 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
             use_ring=cfm.use_ring,
             cgcnn=(cfm.feature == "cgcnn"),
             bf16=(cfm.dtype == "bfloat16"),
-            ct_from_target=ct_from_target, mrelu=mrelu),
+            ct_from_target=ct_from_target, mrelu=mrelu, n_segments=S),
         grid=(B,),
         in_specs=_specs(operands, N_BATCH_OPERANDS + 2),
         out_specs=out_specs,
@@ -932,7 +1008,8 @@ def loop_scann_train_grads(params, inputs, targets, cfm: ModelConfig,
     custom-vjp path needs (the bwd kernel recomputes the forward anyway),
     measured ~27%% of crystal-shape step time."""
     B, M = inputs["atomic"].shape[:2]
-    targets = jnp.asarray(targets, jnp.float32).reshape(B, 1)
+    # packed slots: targets are [B, SEG] (one per segment); otherwise [B, 1]
+    targets = jnp.asarray(targets, jnp.float32).reshape(B, -1)
     ct_ga = jnp.zeros((B, M, 1), jnp.float32)
     grads, pred = _grad_impl(params, inputs, cfm, targets, ct_ga, interpret,
                              dropout_rate, dropout_seed,
@@ -1018,10 +1095,14 @@ def _la_bwd(cfm, mrelu_head, interpret, dropout_rate, res, cts):
 loop_scann_apply.defvjp(_la_fwd, _la_bwd)
 
 
-def _loop_batch_keys(cfm: ModelConfig):
+def _loop_batch_keys(cfm: ModelConfig, inputs=None):
     keys = ("atomic", "atom_mask", "neighbors", "neighbor_mask",
             "neighbor_weight", "neighbor_distance")
-    return keys + ("ring_aromatic",) if cfm.use_ring else keys
+    if cfm.use_ring:
+        keys = keys + ("ring_aromatic",)
+    if inputs is not None and "segment_onehot" in inputs:
+        keys = keys + ("segment_onehot",)  # packed batches (data/packing.py)
+    return keys
 
 
 def make_sharded_loop_forward(mesh, cfm: ModelConfig, mrelu_head: bool = False,
@@ -1038,17 +1119,24 @@ def make_sharded_loop_forward(mesh, cfm: ModelConfig, mrelu_head: bool = False,
         return loop_scann_forward(params, inputs, cfm, mrelu_head=mrelu_head,
                                   interpret=interpret)
 
-    batch_keys = _loop_batch_keys(cfm)
-    sharded = shard_map(fn, mesh=mesh,
-                        in_specs=(P(), {k: P("data") for k in batch_keys}),
-                        out_specs=(P("data"), P("data")),
-                        check_vma=False)
+    shmaps = {}  # key tuple -> shard_map instance (packed vs unpacked)
+
+    def get_sharded(batch_keys):
+        if batch_keys not in shmaps:
+            shmaps[batch_keys] = shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), {k: P("data") for k in batch_keys}),
+                out_specs=(P("data"), P("data")),
+                check_vma=False)
+        return shmaps[batch_keys]
 
     def wrapper(params, inputs):
-        extra = set(inputs) - set(batch_keys)
+        batch_keys = _loop_batch_keys(cfm, inputs)
+        extra = set(inputs) - set(batch_keys) - {"segment_mask"}
         if extra:
             raise ValueError(f"unsupported inputs for the loop kernels: {extra}")
-        return sharded(params, {k: inputs[k] for k in batch_keys})
+        return get_sharded(batch_keys)(
+            params, {k: inputs[k] for k in batch_keys})
 
     return wrapper
 
@@ -1073,19 +1161,27 @@ def make_sharded_loop_train(mesh, cfm: ModelConfig, mrelu_head: bool = False,
                                            dropout_rate, shard_seed)
         return pred, jax.lax.psum(raw, "data")
 
-    batch_keys = _loop_batch_keys(cfm)
-    sharded = shard_map(fn, mesh=mesh,
-                        in_specs=(P(), {k: P("data") for k in batch_keys},
-                                  P("data"), P()),
-                        out_specs=(P("data"), P()),
-                        check_vma=False)
+    shmaps = {}  # key tuple -> shard_map instance (packed vs unpacked)
+
+    def get_sharded(batch_keys):
+        if batch_keys not in shmaps:
+            shmaps[batch_keys] = shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), {k: P("data") for k in batch_keys},
+                          P("data"), P()),
+                out_specs=(P("data"), P()),
+                check_vma=False)
+        return shmaps[batch_keys]
 
     def wrapper(params, inputs, targets, seed):
-        extra = set(inputs) - set(batch_keys)
+        batch_keys = _loop_batch_keys(cfm, inputs)
+        extra = set(inputs) - set(batch_keys) - {"segment_mask"}
         if extra:
             raise ValueError(f"unsupported inputs for the loop kernels: {extra}")
-        return sharded(params, {k: inputs[k] for k in batch_keys},
-                       jnp.asarray(targets, jnp.float32).reshape(-1, 1), seed)
+        targets = jnp.asarray(targets, jnp.float32)
+        targets = targets.reshape(targets.shape[0], -1)
+        return get_sharded(batch_keys)(
+            params, {k: inputs[k] for k in batch_keys}, targets, seed)
 
     return wrapper
 
@@ -1109,17 +1205,23 @@ def make_sharded_loop_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
         return loop_scann_apply(params, inputs, cfm, mrelu_head, interpret,
                                 dropout_rate, shard_seed)
 
-    batch_keys = _loop_batch_keys(cfm)
-    in_specs = (P(), {k: P("data") for k in batch_keys}, P())
-    sharded = shard_map(fn, mesh=mesh,
-                        in_specs=in_specs,
-                        out_specs=(P("data"), P("data")),
-                        check_vma=False)
+    shmaps = {}  # key tuple -> shard_map instance (packed vs unpacked)
+
+    def get_sharded(batch_keys):
+        if batch_keys not in shmaps:
+            shmaps[batch_keys] = shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), {k: P("data") for k in batch_keys}, P()),
+                out_specs=(P("data"), P("data")),
+                check_vma=False)
+        return shmaps[batch_keys]
 
     def wrapper(params, inputs, seed):
-        extra = set(inputs) - set(batch_keys)
+        batch_keys = _loop_batch_keys(cfm, inputs)
+        extra = set(inputs) - set(batch_keys) - {"segment_mask"}
         if extra:
             raise ValueError(f"unsupported inputs for the loop kernels: {extra}")
-        return sharded(params, {k: inputs[k] for k in batch_keys}, seed)
+        return get_sharded(batch_keys)(
+            params, {k: inputs[k] for k in batch_keys}, seed)
 
     return wrapper

@@ -504,3 +504,74 @@ def test_loop_use_drop_train_grads_consistent(rng):
         np.testing.assert_allclose(
             np.asarray(v2) * scale, np.asarray(v1), rtol=0, atol=2e-5 * s,
             err_msg=f"raw-grad mismatch at {jax.tree_util.keystr(p1)}")
+
+
+# ---------------------------------------------------------------------------
+# structure packing (data/packing.py) through the loop kernels
+# ---------------------------------------------------------------------------
+
+def _packed_case(L=3):
+    from scann_tpu.data.packing import pack_dataset_slots
+    from scann_tpu.data.pipeline import load_dataset
+    from scann_tpu.data.synthetic import make_synthetic_dataset
+    import tempfile
+
+    root = tempfile.mkdtemp()
+    e, n = make_synthetic_dataset(root, n_structures=20, min_atoms=4,
+                                  max_atoms=14, seed=9)
+    records, neighbors = load_dataset(e, n, target="homo")
+    cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=L,
+                      local_dim=32, num_head=4, global_dim=32, dense_out=16,
+                      g_update=True, use_ga_norm=True)
+    packed = pack_dataset_slots(records, neighbors, g_update=True,
+                                capacity=16, max_segments=4)
+    inp = {k: jnp.asarray(v) for k, v in packed.inputs.items()}
+    model = ScannModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(7), inp, deterministic=True)
+    return cfg, packed, inp, model, params
+
+
+def test_loop_packed_forward_matches_flax():
+    """Loop forward on a PACKED batch (segment-aware readout, one slot per
+    program) == the XLA packed path: per-segment predictions + GA scores."""
+    cfg, packed, inp, model, params = _packed_case(L=2)
+    ref = model.apply(params, inp, deterministic=True)
+    pred, ga = loop_scann_forward(params, inp, cfg, interpret=True)
+    assert pred.shape == (packed.num_slots, packed.num_segments)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ref["ga_score"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow  # interpret-mode backward, ~15 s
+def test_loop_packed_train_grads_match_xla():
+    """One-shot loop training on a PACKED batch: in-kernel masked residual +
+    XLA 1/(n*rmse) scale == jax.grad of the masked-RMSE XLA loss."""
+    import jax.flatten_util
+    from scann_tpu.kernels.scann_loop import loop_scann_train_grads
+
+    cfg, packed, inp, model, params = _packed_case(L=2)
+    params_inner = params["params"]
+    y = jnp.asarray(packed.targets)
+    smask = jnp.asarray(packed.inputs["segment_mask"])
+    nvalid = smask.sum()
+
+    def loss_xla(p):
+        out = model.apply({"params": p}, inp, deterministic=True)
+        err = (out["property"] - y) * smask
+        return jnp.sqrt(jnp.sum(jnp.square(err)) / nvalid)
+
+    g_ref = jax.grad(loss_xla)(params_inner)
+
+    pred, raw = loop_scann_train_grads(params_inner, inp, y, cfg,
+                                       interpret=True)
+    err = (np.asarray(pred) - np.asarray(y)) * np.asarray(smask)
+    rmse = np.sqrt((err ** 2).sum() / float(nvalid))
+    scale = 1.0 / (float(nvalid) * rmse)
+    g_loop = jax.tree.map(lambda r: r * scale, raw)
+
+    f1, _ = jax.flatten_util.ravel_pytree(g_ref)
+    f2, _ = jax.flatten_util.ravel_pytree(g_loop)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=5e-4, atol=1e-6)
