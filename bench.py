@@ -168,8 +168,12 @@ def main():
     pslots = _synthetic_packed_slots(n_structs=24576, capacity=32, N=16,
                                      max_segments=8, seed=0)
     # the production recipe (tpu.pack_preserve_batch): batch slots so each
-    # optimizer step sees ~128 STRUCTURES, like the reference's batch 128
+    # optimizer step sees ~128 STRUCTURES, like the reference's batch 128;
+    # rounded down to a multiple of 16 so the fused batch tiles divide it
+    # (Trainer.fit applies the same rounding)
     slot_bs = max(1, round(128 * pslots.num_slots / pslots.num_structures))
+    if slot_bs >= 16:
+        slot_bs -= slot_bs % 16
     pk_cfg = _flagship_config(batch_size=slot_bs)
     pk_cfg.hyper.save_path = "/tmp/scann_tpu_bench_packed"
     pk_cfg.hyper.scheduler = "cosine"

@@ -43,6 +43,11 @@ def main(argv=None):
                              "LOGDIR (TensorBoard-loadable)")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the run's 'last' checkpoint")
+    parser.add_argument("--structure-packing", action="store_true",
+                        help="bin-pack several structures per padded slot for "
+                             "training (~1.5x structures/s at QM9-like size "
+                             "spreads; per-structure math exact, effective "
+                             "batch preserved — data/packing.py)")
     args = parser.parse_args(argv)
 
     from scann_tpu.api import Scann
@@ -56,6 +61,8 @@ def main(argv=None):
     config.hyper.use_ref = args.use_ref
     config.hyper.target = args.target
     config.hyper.pretrained = args.pretrained
+    if args.structure_packing:
+        config.tpu.structure_packing = True
 
     scann = Scann(config, pretrained=args.pretrained, mode=args.mode)
     print(f"Loading dataset for target {args.target}")

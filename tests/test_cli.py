@@ -68,6 +68,13 @@ def test_train_cli(workdir):
     assert float(saved["hyper"]["target_std"]) != 1.0
 
 
+def test_train_cli_structure_packing(workdir, capsys):
+    train_main(["lumo", "config.yaml", "--epochs", "2", "--structure-packing"])
+    out = capsys.readouterr().out
+    assert "Packed train split:" in out  # the API actually packed the split
+    assert os.path.exists("trained/model_lumo/report.txt")
+
+
 def test_train_cli_eval_mode(workdir):
     # --mode eval on the trained run dir: evaluate without training
     train_main(["homo", "trained/model_homo/config.yaml", "--mode", "eval"])

@@ -575,3 +575,51 @@ def test_loop_packed_train_grads_match_xla():
     f2, _ = jax.flatten_util.ravel_pytree(g_loop)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
                                rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.slow  # interpret-mode backward
+def test_loop_packed_dropout_gradient_matches_finite_difference():
+    """use_drop + training dropout on a PACKED batch through the loop
+    kernels: fixed-seed fused loss must match central finite differences
+    (same interpreter-PRNG scope caveat as the unpacked FD test above)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, packed, inp, model, params = _packed_case(L=2)
+    cfg = dataclasses.replace(cfg, use_drop=True)
+    params = params["params"]
+    y = jnp.asarray(packed.targets)
+    smask = jnp.asarray(packed.inputs["segment_mask"])
+    nvalid = smask.sum()
+
+    from scann_tpu.kernels.scann_loop import loop_scann_train_grads
+
+    def loss_terms(p):
+        pred, raw = loop_scann_train_grads(p, inp, y, cfg, False, False,
+                                           0.1, 42)
+        err = (pred - y) * smask
+        rmse = jnp.sqrt(jnp.sum(jnp.square(err)) / nvalid)
+        return rmse, raw
+
+    with pltpu.force_tpu_interpret_mode():
+        rmse0, raw = loss_terms(params)
+        scale = 1.0 / (nvalid * rmse0)
+        g = jax.tree.map(lambda r: r * scale, raw)
+
+        flat_p, tree = jax.tree_util.tree_flatten(params)
+        flat_g = jax.tree_util.tree_leaves(g)
+        rng = np.random.default_rng(5)
+        dirs = [np.asarray(rng.normal(size=np.shape(x)), np.float32)
+                for x in flat_p]
+        gn = float(np.sqrt(sum(np.sum(d * d) for d in dirs)))
+        dirs = [d / gn for d in dirs]
+        eps = 1e-2
+        plus = jax.tree_util.tree_unflatten(
+            tree, [x + eps * d for x, d in zip(flat_p, dirs)])
+        minus = jax.tree_util.tree_unflatten(
+            tree, [x - eps * d for x, d in zip(flat_p, dirs)])
+        fd = (float(loss_terms(plus)[0]) - float(loss_terms(minus)[0])) / (2 * eps)
+    analytic = float(sum(np.sum(np.asarray(gg) * d)
+                         for gg, d in zip(flat_g, dirs)))
+    assert fd == pytest.approx(analytic, rel=2e-2, abs=1e-4)

@@ -265,9 +265,15 @@ def test_packed_training_end_to_end(tmp_path):
     rep = sc.train()
     assert rep["loss"][-1] < rep["loss"][0]
     # pack_preserve_batch (default): the slot batch shrank by the packing
-    # factor so each step still sees ~batch_size STRUCTURES
+    # factor so each step still sees ~batch_size STRUCTURES (rounded down
+    # to a tile-admissible multiple, mirroring Trainer.fit)
     factor = packed.num_structures / packed.num_slots
-    assert sc.trainer._slot_batch == max(1, round(8 / factor))
+    expect = max(1, round(8 / factor))
+    if expect >= 16:
+        expect -= expect % 16
+    elif expect >= 4:
+        expect -= expect % 4
+    assert sc.trainer._slot_batch == expect
     res = sc.evaluate()
     assert np.isfinite(res["test_mae"])
 
@@ -376,3 +382,41 @@ def test_synthetic_packed_slots_invariants():
     valid = nm > 0
     assert (tgt_seg[valid] == own_seg[valid]).all()
     assert (am[slot_ix, nb][valid] == 1.0).all()
+
+
+@pytest.mark.parametrize("variant", ["ring", "cgcnn"])
+def test_packed_forward_feature_variants(tmp_path, variant):
+    """Packing stays exact for the ring/aromatic extra embedding and the
+    cgcnn 92-dim descriptor feature (pack_dataset_slots mirrors
+    pipeline.pack_dataset's feature semantics for both)."""
+    e, n = make_synthetic_dataset(str(tmp_path), n_structures=24,
+                                  min_atoms=4, max_atoms=12, seed=11,
+                                  with_ring=(variant == "ring"))
+    records, neighbors = load_dataset(e, n, target="homo",
+                                      use_ring=(variant == "ring"))
+    cfg = ModelConfig(n_atoms=12, embedding_dim=16, n_attention=2,
+                      local_dim=16, num_head=4, global_dim=16, dense_out=16,
+                      g_update=True, use_ga_norm=True,
+                      use_ring=(variant == "ring"),
+                      feature="cgcnn" if variant == "cgcnn" else "atomic")
+    model = ScannModel(cfg)
+    kw = dict(g_update=True, use_ring=cfg.use_ring, feature=cfg.feature)
+    buckets = pack_dataset(records, neighbors, **kw)
+    packed = pack_dataset_slots(records, neighbors, capacity=16,
+                                max_segments=4, **kw)
+    if variant == "ring":
+        assert packed.inputs["ring_aromatic"].shape[-1] == 2
+    else:
+        assert packed.inputs["atomic"].shape[-1] == 92
+
+    params = model.init(jax.random.PRNGKey(4),
+                        {k: jnp.asarray(v)
+                         for k, v in buckets[0].inputs.items()})["params"]
+    per_structure = np.zeros(len(records), np.float32)
+    for b in buckets:
+        out = _forward(params, model, b.inputs)
+        per_structure[b.indices] = np.asarray(out["property"][:, 0])
+    out_packed = _forward(params, model, packed.inputs)
+    np.testing.assert_allclose(
+        unpack_predictions(packed, np.asarray(out_packed["property"])),
+        per_structure, rtol=2e-5, atol=2e-6)
