@@ -245,32 +245,40 @@ class Scann:
         )
         print(f"Split: {len(tr)} train / {len(va)} valid / {len(te)} test")
         if self.config.tpu.structure_packing:
-            # pack the TRAIN split into fixed-capacity slots (several
+            # pack ALL THREE splits into fixed-capacity slots (several
             # structures per padded row block — data/packing.py); capacity =
             # the FULL dataset's max M so the shape never depends on the
-            # split. Valid/test stay bucketed (eval paths and reports are
-            # per-structure already).
+            # split. Eval and predict paths are segment-aware end to end
+            # (Trainer.eval_epoch/_evaluate_buckets/predict), so validation
+            # and test ride the same padding-density win as training.
             from scann_tpu.data.packing import pack_dataset_slots
 
             capacity = max(b.inputs["atomic"].shape[1] for b in buckets)
-            packed = pack_dataset_slots(
-                [records[i] for i in tr], [neighbors[i] for i in tr],
-                g_update=cfm.g_update, feature=cfm.feature,
-                use_ring=cfm.use_ring,
-                atoms_multiple=self.config.tpu.atoms_pad_multiple,
-                neighbors_multiple=self.config.tpu.neighbors_pad_multiple,
-                capacity=capacity,
-                max_segments=self.config.tpu.pack_max_segments,
-            )
-            print(f"Packed train split: {packed.num_structures} structures "
-                  f"in {packed.num_slots} slots of {capacity} rows "
-                  f"({packed.occupancy:.1%} occupancy, "
-                  f"<= {packed.num_segments} segments/slot)")
-            self.train_buckets = [packed]
+
+            def _pack(sub, name):
+                p = pack_dataset_slots(
+                    [records[i] for i in sub], [neighbors[i] for i in sub],
+                    g_update=cfm.g_update, feature=cfm.feature,
+                    use_ring=cfm.use_ring,
+                    atoms_multiple=self.config.tpu.atoms_pad_multiple,
+                    neighbors_multiple=self.config.tpu.neighbors_pad_multiple,
+                    capacity=capacity,
+                    max_segments=self.config.tpu.pack_max_segments,
+                    orig_indices=sub,
+                )
+                print(f"Packed {name} split: {p.num_structures} structures "
+                      f"in {p.num_slots} slots of {capacity} rows "
+                      f"({p.occupancy:.1%} occupancy, "
+                      f"<= {p.num_segments} segments/slot)")
+                return [p]
+
+            self.train_buckets = _pack(tr, "train")
+            self.valid_buckets = _pack(va, "valid")
+            self.test_buckets = _pack(te, "test")
         else:
             self.train_buckets = subset_buckets(buckets, tr)
-        self.valid_buckets = subset_buckets(buckets, va)
-        self.test_buckets = subset_buckets(buckets, te)
+            self.valid_buckets = subset_buckets(buckets, va)
+            self.test_buckets = subset_buckets(buckets, te)
         return tr, va, te
 
     # --- lifecycle ------------------------------------------------------------

@@ -109,10 +109,10 @@ class TpuConfig:
     device_resident_data: bool = True  # keep the whole padded dataset in HBM
     donate_state: bool = True
     # STRUCTURE PACKING (data/packing.py): bin-pack several structures per
-    # padded (M, N) slot for TRAINING — ~1.6x structures/step at QM9-like
-    # size spreads (>95% row occupancy vs ~75% bucketed) with per-structure
-    # math exactly equal to the unpacked path (segment-aware GA readout).
-    # Eval/valid/test stay on the bucketed pipeline.
+    # padded (M, N) slot — ~1.5x structures/step at QM9-like size spreads
+    # (>92% row occupancy vs ~75% bucketed) with per-structure math exactly
+    # equal to the unpacked path (segment-aware GA readout). All three
+    # splits pack; eval/predict are segment-aware end to end.
     structure_packing: bool = False
     pack_max_segments: int = 8     # max structures per packed slot
     # Preserve the reference recipe's EFFECTIVE batch: hyper.batch_size

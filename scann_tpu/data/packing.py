@@ -144,6 +144,7 @@ def pack_dataset_slots(
     converter: float = 1.0,
     csr_cache_path: Optional[str] = None,
     csr_source_path: Optional[str] = None,
+    orig_indices: Optional[np.ndarray] = None,
 ) -> PackedSlots:
     """Pack the whole dataset into one static-(M, N)-shape slot tensor.
 
@@ -222,7 +223,12 @@ def pack_dataset_slots(
     targets = np.zeros((n_slots, max_seg), np.float32)
     indices = np.full((n_slots, max_seg), -1, np.int64)
     targets[slot_of, segment_of] = csr.targets * converter
-    indices[slot_of, segment_of] = np.arange(S)
+    # ``orig_indices``: the records' ORIGINAL dataset indices (matching
+    # pipeline.subset_buckets semantics), so split-carved packings compose
+    # with bucketed subsets in Trainer.predict; defaults to positional.
+    indices[slot_of, segment_of] = (
+        np.arange(S) if orig_indices is None
+        else np.asarray(orig_indices, np.int64))
     inputs["segment_mask"] = (indices >= 0).astype(np.float32)
 
     if feature == "cgcnn":
@@ -245,8 +251,10 @@ def pack_dataset_slots(
 
 
 def unpack_predictions(packed: PackedSlots, preds: np.ndarray) -> np.ndarray:
-    """Scatter per-segment predictions [S, SEG] back to dataset order."""
+    """Scatter per-segment predictions [S, SEG] back to ascending order of
+    the structures' (possibly non-contiguous) original indices."""
     valid = packed.indices >= 0
+    idx = packed.indices[valid]
     out = np.zeros(packed.num_structures, np.float32)
-    out[packed.indices[valid]] = np.asarray(preds)[valid]
+    out[np.argsort(np.argsort(idx))] = np.asarray(preds)[valid]
     return out

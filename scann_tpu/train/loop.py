@@ -378,20 +378,23 @@ class Trainer:
 
         @jax.jit
         def eval_epoch(params, binputs, btargets):
-            """Predictions for all structures (wrap-padded tail), in order."""
+            """Predictions for all structures (wrap-padded tail), in order.
+            Packed slots: returns [rows, SEG] — one column per segment."""
             S = btargets.shape[0]
             n_batches = -(-S // B)
             idx = jnp.arange(n_batches * B) % S
             idx_plan = idx.reshape(n_batches, B)
+            packed = "segment_mask" in binputs
 
             def body(_, idx):
                 idx = jax.lax.with_sharding_constraint(idx, bsh)
                 batch = jax.tree.map(lambda x: x[idx], binputs)
                 pred, _ = self.forward_eval(params, batch)
-                return None, pred[:, 0]
+                return None, (pred if packed else pred[:, 0])
 
             _, preds = jax.lax.scan(body, None, idx_plan)
-            return preds.reshape(-1)
+            return (preds.reshape(n_batches * B, -1) if packed
+                    else preds.reshape(-1))
 
         self._train_epoch = train_epoch
         self._eval_epoch = eval_epoch
@@ -510,10 +513,11 @@ class Trainer:
             )
 
         # device-validate fused batch tiles eagerly, before any jit tracing
+        # (eval_epoch batches at the same slot batch as training)
         self._preresolve_tiles(train_buckets, training=True,
                                batch_size=slot_bs)
         self._preresolve_tiles(list(train_buckets) + list(valid_buckets),
-                               training=False)
+                               training=False, batch_size=slot_bs)
 
         dev_train = self._put_buckets(train_buckets, "train")
         dev_valid = self._put_buckets(valid_buckets, "valid")
@@ -622,8 +626,14 @@ class Trainer:
         for b, (binputs, btargets) in zip(buckets, dev_buckets):
             p = np.asarray(self._retry_transient(
                 self._eval_epoch, self.state.params, binputs, btargets))
-            preds.append(p[: b.num_structures])  # trim the wrap-padded tail
-            ys.append(b.targets)
+            if "segment_mask" in b.inputs:
+                # packed slots: keep only valid segments, per structure
+                valid = np.asarray(b.indices) >= 0
+                preds.append(p[: len(b.targets)][valid])
+                ys.append(np.asarray(b.targets)[valid])
+            else:
+                preds.append(p[: b.num_structures])  # trim wrap-padded tail
+                ys.append(b.targets)
         pred = np.concatenate(preds)
         y = np.concatenate(ys)
         mae = float(np.mean(np.abs(pred - y)))
@@ -636,7 +646,9 @@ class Trainer:
         reference's ``evaluate`` (``scann_model.py:247-313``)."""
         if self._eval_epoch is None:
             self._make_steps()
-        self._preresolve_tiles(test_buckets, training=False)
+        # the traced eval_epoch batches at the slot batch fit() resolved
+        self._preresolve_tiles(test_buckets, training=False,
+                               batch_size=getattr(self, "_slot_batch", None))
         dev = self._put_buckets(test_buckets, "test")
         mae, r2, pred, y = self._evaluate_buckets(test_buckets, dev)
         std = self.config.hyper.target_std
@@ -684,15 +696,20 @@ class Trainer:
         if self._predict_fwd is None:
             def fwd(params, batch):
                 pred, ga = self.forward_eval(params, batch)
-                return pred[:, 0], ga[..., 0]
+                return pred, ga[..., 0]  # pred [bs, 1] or [bs, SEG] (packed)
 
             self._predict_fwd = jax.jit(fwd)
         fwd = self._predict_fwd
 
+        def bucket_indices(b):
+            """Per-structure original indices, in the bucket's row order
+            (packed slots: valid segments in (slot, segment) order)."""
+            ix = np.asarray(b.indices)
+            return ix[ix >= 0] if ix.ndim == 2 else ix[: b.num_structures]
+
         # map original dataset indices -> compact output positions, so a
         # proper SUBSET of buckets (e.g. test_buckets) scatters correctly
-        all_orig = np.concatenate(
-            [np.asarray(b.indices[: b.num_structures]) for b in buckets])
+        all_orig = np.concatenate([bucket_indices(b) for b in buckets])
         sorted_orig = np.sort(all_orig)
         if len(np.unique(sorted_orig)) != len(sorted_orig):
             raise ValueError("buckets contain duplicate structure indices")
@@ -700,7 +717,8 @@ class Trainer:
         preds = np.zeros(n_total, np.float32)
         gas: Dict[int, np.ndarray] = {}
         for b in buckets:
-            S = b.num_structures
+            packed = "segment_mask" in b.inputs
+            S = len(b.targets) if packed else b.num_structures  # rows = slots
             bucket_preds = []
             bucket_gas = []
             for s0 in range(0, S, bs):
@@ -711,13 +729,25 @@ class Trainer:
                 bucket_preds.append(np.asarray(p)[: end - s0])
                 if with_ga:
                     bucket_gas.append(np.asarray(ga)[: end - s0])
-            pos = np.searchsorted(sorted_orig, np.asarray(b.indices[:S]))
-            preds[pos] = np.concatenate(bucket_preds)
+            pos = np.searchsorted(sorted_orig, bucket_indices(b))
+            p_all = np.concatenate(bucket_preds)          # [S, 1 or SEG]
+            if packed:
+                valid = np.asarray(b.indices) >= 0
+                preds[pos] = p_all[valid]  # (slot, segment) order == pos order
+            else:
+                preds[pos] = p_all[:, 0]
             if with_ga:
                 ga_all = np.concatenate(bucket_gas)               # [S, M]
-                na = b.inputs["atom_mask"][:S, :, 0].sum(-1).astype(int)
-                for j, pj in enumerate(pos):
-                    gas[int(pj)] = ga_all[j, : na[j]]  # view, no copy
+                if packed:
+                    onehot = b.inputs["segment_onehot"]
+                    sl, sg = np.nonzero(valid)
+                    for j, pj in enumerate(pos):
+                        rows = np.nonzero(onehot[sl[j], :, sg[j]] > 0)[0]
+                        gas[int(pj)] = ga_all[sl[j], rows]
+                else:
+                    na = b.inputs["atom_mask"][:S, :, 0].sum(-1).astype(int)
+                    for j, pj in enumerate(pos):
+                        gas[int(pj)] = ga_all[j, : na[j]]  # view, no copy
         std, mean = self.config.hyper.target_std, self.config.hyper.target_mean
         preds = preds * std + mean
         if with_ga:

@@ -197,6 +197,8 @@ def test_packed_fused_forward_matches_xla(dataset):
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow  # interpret-mode fused backward; the XLA-level packed
+# gradient contract stays in the fast suite (test_packed_gradients_match_unpacked)
 def test_packed_fused_train_grads_match_xla(dataset):
     """One-kernel-per-step training on a packed batch (interpret mode):
     in-kernel residual * valid-segment mask + XLA 1/(n*rmse) scale equals
@@ -240,8 +242,10 @@ def test_packed_fused_train_grads_match_xla(dataset):
 
 
 def test_packed_training_end_to_end(tmp_path):
-    """Scann API with tpu.structure_packing: pack the train split, train on
-    the XLA packed path (CPU), loss decreases, bucketed eval still works."""
+    """Scann API with tpu.structure_packing: all three splits pack, training
+    on the XLA packed path (CPU) converges, packed eval works, and
+    predict_data over the packed splits EXACTLY matches the bucketed
+    pipeline's predictions structure for structure."""
     from scann_tpu.api import Scann
     from scann_tpu.config import ScannConfig
     from scann_tpu.data.synthetic import make_synthetic_dataset
@@ -274,8 +278,23 @@ def test_packed_training_end_to_end(tmp_path):
     elif expect >= 4:
         expect -= expect % 4
     assert sc.trainer._slot_batch == expect
+    # valid/test are packed too; evaluate rides the segment-aware eval path
+    assert "segment_mask" in sc.test_buckets[0].inputs
     res = sc.evaluate()
     assert np.isfinite(res["test_mae"])
+
+    # predict_data over the union of packed splits == the bucketed pipeline
+    # run with the SAME trained params, in the same (original) order
+    preds_packed, gas = sc.predict_data(with_ga=True)
+    assert preds_packed.shape == (60,)
+    records, neighbors = load_dataset(e, n, target="homo")
+    bucketed = pack_dataset(records, neighbors,
+                            g_update=sc.config.model.g_update)
+    preds_bucketed = sc.trainer.predict(bucketed)
+    np.testing.assert_allclose(preds_packed, preds_bucketed,
+                               rtol=2e-5, atol=2e-6)
+    # per-atom GA lengths follow each structure's true atom count
+    assert all(len(g) == len(r["atomic"]) for g, r in zip(gas, records))
 
 
 @pytest.mark.slow
@@ -384,6 +403,7 @@ def test_synthetic_packed_slots_invariants():
     assert (am[slot_ix, nb][valid] == 1.0).all()
 
 
+@pytest.mark.slow  # variant coverage; the default-feature parity is fast
 @pytest.mark.parametrize("variant", ["ring", "cgcnn"])
 def test_packed_forward_feature_variants(tmp_path, variant):
     """Packing stays exact for the ring/aromatic extra embedding and the
