@@ -225,15 +225,20 @@ class Scann:
             hyper.target_mean, hyper.target_std = mean, std
 
         hyper.data_size = len(records)
-        buckets = pack_dataset(
-            records, neighbors,
-            g_update=cfm.g_update, feature=cfm.feature, use_ring=cfm.use_ring,
-            atoms_multiple=self.config.tpu.atoms_pad_multiple,
-            neighbors_multiple=self.config.tpu.neighbors_pad_multiple,
-            max_buckets=self.config.tpu.max_buckets,
-            csr_cache_path=hyper.data_nei_path + ".csr.npz",
-            csr_source_path=hyper.data_nei_path,
-        )
+        packing = split and self.config.tpu.structure_packing
+        if not packing:
+            # packed prepare never needs the bucketed arrays — skip the
+            # O(dataset * M * N) padded fill entirely in that mode
+            buckets = pack_dataset(
+                records, neighbors,
+                g_update=cfm.g_update, feature=cfm.feature,
+                use_ring=cfm.use_ring,
+                atoms_multiple=self.config.tpu.atoms_pad_multiple,
+                neighbors_multiple=self.config.tpu.neighbors_pad_multiple,
+                max_buckets=self.config.tpu.max_buckets,
+                csr_cache_path=hyper.data_nei_path + ".csr.npz",
+                csr_source_path=hyper.data_nei_path,
+            )
         if not split:
             self._buckets = buckets
             return buckets
@@ -244,20 +249,29 @@ class Scann:
             seed=hyper.seed,
         )
         print(f"Split: {len(tr)} train / {len(va)} valid / {len(te)} test")
-        if self.config.tpu.structure_packing:
+        if packing:
             # pack ALL THREE splits into fixed-capacity slots (several
-            # structures per padded row block — data/packing.py); capacity =
-            # the FULL dataset's max M so the shape never depends on the
-            # split. Eval and predict paths are segment-aware end to end
-            # (Trainer.eval_epoch/_evaluate_buckets/predict), so validation
-            # and test ride the same padding-density win as training.
+            # structures per padded row block — data/packing.py). Capacity,
+            # neighbor width, and segment count are pinned to FULL-dataset
+            # values (from the cached CSR) so all splits share ONE compiled
+            # (M, N, SEG) shape. Eval and predict paths are segment-aware
+            # end to end (Trainer.eval_epoch/_evaluate_buckets/predict), so
+            # validation and test ride the same padding-density win.
             from scann_tpu.data.packing import pack_dataset_slots
+            from scann_tpu.data.pipeline import _round_up, build_csr
 
-            capacity = max(b.inputs["atomic"].shape[1] for b in buckets)
+            csr = build_csr(records, neighbors,
+                            hyper.data_nei_path + ".csr.npz",
+                            source_path=hyper.data_nei_path)
+            capacity = _round_up(int(np.diff(csr.atom_offsets).max()),
+                                 self.config.tpu.atoms_pad_multiple)
+            n_cap = _round_up(max(int(np.diff(csr.nbr_offsets).max()), 1),
+                              self.config.tpu.neighbors_pad_multiple)
 
             def _pack(sub, name):
                 p = pack_dataset_slots(
                     [records[i] for i in sub], [neighbors[i] for i in sub],
+                    csr=csr.subset(sub),
                     g_update=cfm.g_update, feature=cfm.feature,
                     use_ring=cfm.use_ring,
                     atoms_multiple=self.config.tpu.atoms_pad_multiple,
@@ -265,6 +279,8 @@ class Scann:
                     capacity=capacity,
                     max_segments=self.config.tpu.pack_max_segments,
                     orig_indices=sub,
+                    neighbors_capacity=n_cap,
+                    segments_capacity=self.config.tpu.pack_max_segments,
                 )
                 print(f"Packed {name} split: {p.num_structures} structures "
                       f"in {p.num_slots} slots of {capacity} rows "

@@ -145,6 +145,9 @@ def pack_dataset_slots(
     csr_cache_path: Optional[str] = None,
     csr_source_path: Optional[str] = None,
     orig_indices: Optional[np.ndarray] = None,
+    neighbors_capacity: Optional[int] = None,
+    segments_capacity: Optional[int] = None,
+    csr=None,
 ) -> PackedSlots:
     """Pack the whole dataset into one static-(M, N)-shape slot tensor.
 
@@ -153,21 +156,40 @@ def pack_dataset_slots(
     emits ONE PackedSlots instead of per-size buckets. ``capacity`` defaults
     to the max atom count rounded up to ``atoms_multiple``.
 
+    ``neighbors_capacity`` / ``segments_capacity`` pin the N / SEG dims so
+    several packings (e.g. the train/valid/test splits) share ONE compiled
+    shape — otherwise each split's max neighbor count and max used segments
+    would set them, and every distinct shape is a fresh jit compile. SEG
+    padding is free on TPU (the one-hot's lane dim pads to 128 anyway).
+
     The ragged->packed fill is fully vectorized (flat destination-index
     scatter over the CSR arrays) — no per-structure Python loop.
     """
-    csr = build_csr(records, neighbors, csr_cache_path,
-                    source_path=csr_source_path)
+    # ``csr``: a prebuilt CsrDataset for these records (e.g. a split carved
+    # via CsrDataset.subset from the cached full-dataset CSR) — skips the
+    # ragged-list flattening pass entirely
+    if csr is None:
+        csr = build_csr(records, neighbors, csr_cache_path,
+                        source_path=csr_source_path)
     S = len(csr.targets)
     atom_counts = np.diff(csr.atom_offsets)
     if capacity is None:
         capacity = _round_up(int(atom_counts.max()), atoms_multiple)
     nbr_counts = np.diff(csr.nbr_offsets)
-    N = _round_up(max(int(nbr_counts.max()), 1), neighbors_multiple)
+    N = (int(neighbors_capacity) if neighbors_capacity is not None
+         else _round_up(max(int(nbr_counts.max()), 1), neighbors_multiple))
+    if len(nbr_counts) and int(nbr_counts.max()) > N:
+        raise ValueError(f"neighbors_capacity {N} < max neighbor count "
+                         f"{int(nbr_counts.max())}")
     M = int(capacity)
 
     slot_of, offset_of, segment_of, n_slots, max_seg = plan_slots(
         atom_counts, M, max_segments)
+    if segments_capacity is not None:
+        if max_seg > int(segments_capacity):
+            raise ValueError(f"segments_capacity {segments_capacity} < "
+                             f"packing plan's {max_seg} segments")
+        max_seg = int(segments_capacity)
 
     # --- vectorized fill ----------------------------------------------------
     # per-atom destination row (into the flattened [n_slots * M] row space)
@@ -255,6 +277,4 @@ def unpack_predictions(packed: PackedSlots, preds: np.ndarray) -> np.ndarray:
     the structures' (possibly non-contiguous) original indices."""
     valid = packed.indices >= 0
     idx = packed.indices[valid]
-    out = np.zeros(packed.num_structures, np.float32)
-    out[np.argsort(np.argsort(idx))] = np.asarray(preds)[valid]
-    return out
+    return np.asarray(preds)[valid][np.argsort(idx)].astype(np.float32)

@@ -212,6 +212,31 @@ class CsrDataset:
     _CACHE_FIELDS = ("atom_offsets", "nbr_offsets", "atomic", "nbr_index",
                      "weight_raw", "weight_norm", "nbr_dist", "ring")
 
+    def subset(self, indices) -> "CsrDataset":
+        """Carve a compact per-structure subset (fully vectorized) — used to
+        split one cached full-dataset CSR into train/valid/test without
+        re-flattening the ragged neighbor lists per split."""
+        idx = np.asarray(indices, np.int64)
+        obj = CsrDataset.__new__(CsrDataset)
+        a0 = self.atom_offsets[idx]
+        counts = self.atom_offsets[idx + 1] - a0
+        obj.atom_offsets = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(counts, out=obj.atom_offsets[1:])
+        atom_sel = (np.repeat(a0, counts) + np.arange(int(counts.sum()))
+                    - np.repeat(obj.atom_offsets[:-1], counts))
+        obj.atomic = self.atomic[atom_sel]
+        obj.ring = self.ring[atom_sel] if self.ring is not None else None
+        n0 = self.nbr_offsets[atom_sel]
+        ncounts = self.nbr_offsets[atom_sel + 1] - n0
+        obj.nbr_offsets = np.zeros(len(atom_sel) + 1, np.int64)
+        np.cumsum(ncounts, out=obj.nbr_offsets[1:])
+        nbr_sel = (np.repeat(n0, ncounts) + np.arange(int(ncounts.sum()))
+                   - np.repeat(obj.nbr_offsets[:-1], ncounts))
+        for f in ("nbr_index", "weight_raw", "weight_norm", "nbr_dist"):
+            setattr(obj, f, getattr(self, f)[nbr_sel])
+        obj.targets = self.targets[idx]
+        return obj
+
     def save(self, path: str,
              source_stat: Optional[np.ndarray] = None) -> None:
         data = {k: getattr(self, k) for k in self._CACHE_FIELDS

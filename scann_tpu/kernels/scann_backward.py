@@ -728,7 +728,8 @@ def make_sharded_scann_train(mesh, cfm: ModelConfig, mrelu_head: bool = False,
     psum over ICI. Returns (pred [B, 1] gathered, raw grads replicated);
     the caller applies the global 1/(B*rmse) scale + l2 term in XLA."""
     from jax.sharding import PartitionSpec as P
-    from jax import shard_map
+
+    from scann_tpu.kernels.shard_util import lazy_sharded
 
     def fn(params, inputs, targets, seed):
         ax = jax.lax.axis_index("data")
@@ -745,17 +746,7 @@ def make_sharded_scann_train(mesh, cfm: ModelConfig, mrelu_head: bool = False,
     if cfm.use_ring:
         base_keys = base_keys + ("ring_aromatic",)
 
-    shmaps = {}  # key tuple -> shard_map instance (packed vs unpacked)
-
-    def get_sharded(batch_keys):
-        if batch_keys not in shmaps:
-            shmaps[batch_keys] = shard_map(
-                fn, mesh=mesh,
-                in_specs=(P(), {k: P("data") for k in batch_keys},
-                          P("data"), P()),
-                out_specs=(P("data"), P()),
-                check_vma=False)
-        return shmaps[batch_keys]
+    get_sharded = lazy_sharded(fn, mesh, extra_in_specs=(P("data"), P()))
 
     def wrapper(params, inputs, targets, seed):
         # packed batches (data/packing.py) additionally shard the segment

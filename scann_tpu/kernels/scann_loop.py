@@ -1112,23 +1112,15 @@ def make_sharded_loop_forward(mesh, cfm: ModelConfig, mrelu_head: bool = False,
     crystal scale previously fell back to XLA because Pallas kernels can't
     be auto-partitioned by GSPMD; this shard_map wrapper runs the fused
     forward per shard instead."""
-    from jax import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from scann_tpu.kernels.shard_util import lazy_sharded
 
     def fn(params, inputs):
         return loop_scann_forward(params, inputs, cfm, mrelu_head=mrelu_head,
                                   interpret=interpret)
 
-    shmaps = {}  # key tuple -> shard_map instance (packed vs unpacked)
-
-    def get_sharded(batch_keys):
-        if batch_keys not in shmaps:
-            shmaps[batch_keys] = shard_map(
-                fn, mesh=mesh,
-                in_specs=(P(), {k: P("data") for k in batch_keys}),
-                out_specs=(P("data"), P("data")),
-                check_vma=False)
-        return shmaps[batch_keys]
+    get_sharded = lazy_sharded(fn, mesh, out_specs=(P("data"), P("data")))
 
     def wrapper(params, inputs):
         batch_keys = _loop_batch_keys(cfm, inputs)
@@ -1148,8 +1140,9 @@ def make_sharded_loop_train(mesh, cfm: ModelConfig, mrelu_head: bool = False,
     params replicated, batch + targets sharded over 'data', RAW gradient
     psum over ICI. Returns (pred [B, 1] gathered, raw grads replicated);
     the caller applies the global 1/(B*rmse) scale + l2 term in XLA."""
-    from jax import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from scann_tpu.kernels.shard_util import lazy_sharded
 
     def fn(params, inputs, targets, seed):
         ax = jax.lax.axis_index("data")
@@ -1161,17 +1154,7 @@ def make_sharded_loop_train(mesh, cfm: ModelConfig, mrelu_head: bool = False,
                                            dropout_rate, shard_seed)
         return pred, jax.lax.psum(raw, "data")
 
-    shmaps = {}  # key tuple -> shard_map instance (packed vs unpacked)
-
-    def get_sharded(batch_keys):
-        if batch_keys not in shmaps:
-            shmaps[batch_keys] = shard_map(
-                fn, mesh=mesh,
-                in_specs=(P(), {k: P("data") for k in batch_keys},
-                          P("data"), P()),
-                out_specs=(P("data"), P()),
-                check_vma=False)
-        return shmaps[batch_keys]
+    get_sharded = lazy_sharded(fn, mesh, extra_in_specs=(P("data"), P()))
 
     def wrapper(params, inputs, targets, seed):
         batch_keys = _loop_batch_keys(cfm, inputs)
@@ -1194,8 +1177,9 @@ def make_sharded_loop_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
     unrolled kernels' ``make_sharded_scann_apply``. The dropout seed is
     offset by shard_index * local_batch so per-molecule PRNG streams never
     collide across shards."""
-    from jax import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from scann_tpu.kernels.shard_util import lazy_sharded
 
     def fn(params, inputs, seed):
         ax = jax.lax.axis_index("data")
@@ -1205,16 +1189,8 @@ def make_sharded_loop_apply(mesh, cfm: ModelConfig, mrelu_head: bool = False,
         return loop_scann_apply(params, inputs, cfm, mrelu_head, interpret,
                                 dropout_rate, shard_seed)
 
-    shmaps = {}  # key tuple -> shard_map instance (packed vs unpacked)
-
-    def get_sharded(batch_keys):
-        if batch_keys not in shmaps:
-            shmaps[batch_keys] = shard_map(
-                fn, mesh=mesh,
-                in_specs=(P(), {k: P("data") for k in batch_keys}, P()),
-                out_specs=(P("data"), P("data")),
-                check_vma=False)
-        return shmaps[batch_keys]
+    get_sharded = lazy_sharded(fn, mesh, extra_in_specs=(P(),),
+                               out_specs=(P("data"), P("data")))
 
     def wrapper(params, inputs, seed):
         batch_keys = _loop_batch_keys(cfm, inputs)

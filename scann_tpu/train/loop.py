@@ -485,11 +485,16 @@ class Trainer:
             # keep the fused kernels' batch tiles admissible: tiles must
             # DIVIDE the batch, so an odd slot batch (e.g. 82 = 2*41)
             # silently forces batch_tile <= 2 (measured -20% on TPU).
-            # Round down to a multiple of 16 (the default fwd tile).
-            if slot_bs >= 16:
-                slot_bs -= slot_bs % 16
-            elif slot_bs >= 4:
-                slot_bs -= slot_bs % 4
+            # Round down to a multiple of 16 (the default fwd tile) — and
+            # the multiple must also cover the mesh's data axis, or
+            # shard_map rejects the per-shard split at trace time.
+            n_dev = len(self.mesh.devices.flat)
+            mult = n_dev
+            for cand in (16, 4):
+                if slot_bs >= math.lcm(cand, n_dev):
+                    mult = math.lcm(cand, n_dev)
+                    break
+            slot_bs = max(mult, (slot_bs // mult) * mult)
         self._slot_batch = slot_bs
         steps_per_epoch = sum(
             -(-b.targets.shape[0] // slot_bs) for b in train_buckets

@@ -271,12 +271,13 @@ def test_packed_training_end_to_end(tmp_path):
     # pack_preserve_batch (default): the slot batch shrank by the packing
     # factor so each step still sees ~batch_size STRUCTURES (rounded down
     # to a tile-admissible multiple, mirroring Trainer.fit)
+    import math
     factor = packed.num_structures / packed.num_slots
     expect = max(1, round(8 / factor))
-    if expect >= 16:
-        expect -= expect % 16
-    elif expect >= 4:
-        expect -= expect % 4
+    n_dev = len(sc.trainer.mesh.devices.flat)
+    mult = next((math.lcm(c, n_dev) for c in (16, 4)
+                 if expect >= math.lcm(c, n_dev)), n_dev)
+    expect = max(mult, (expect // mult) * mult)
     assert sc.trainer._slot_batch == expect
     # valid/test are packed too; evaluate rides the segment-aware eval path
     assert "segment_mask" in sc.test_buckets[0].inputs
@@ -440,3 +441,37 @@ def test_packed_forward_feature_variants(tmp_path, variant):
     np.testing.assert_allclose(
         unpack_predictions(packed, np.asarray(out_packed["property"])),
         per_structure, rtol=2e-5, atol=2e-6)
+
+
+def test_csr_subset_matches_rebuild(dataset):
+    """CsrDataset.subset (vectorized carve) == CsrDataset built from the
+    subset's raw lists, field for field."""
+    from scann_tpu.data.pipeline import CsrDataset
+
+    records, neighbors = dataset
+    full = CsrDataset(records, neighbors)
+    sub = np.array([7, 0, 19, 3, 11])
+    carved = full.subset(sub)
+    rebuilt = CsrDataset([records[i] for i in sub],
+                         [neighbors[i] for i in sub])
+    for f in ("atom_offsets", "nbr_offsets", "atomic", "nbr_index",
+              "weight_raw", "weight_norm", "nbr_dist", "targets"):
+        np.testing.assert_array_equal(getattr(carved, f), getattr(rebuilt, f),
+                                      err_msg=f)
+
+
+def test_pack_capacity_pinning(dataset):
+    """neighbors_capacity / segments_capacity pin the N / SEG dims (shared
+    compiled shape across splits) and reject impossible values."""
+    records, neighbors = dataset
+    p = pack_dataset_slots(records, neighbors, g_update=True, capacity=16,
+                           max_segments=4, neighbors_capacity=24,
+                           segments_capacity=4)
+    assert p.inputs["neighbors"].shape[-1] == 24
+    assert p.num_segments == 4
+    with pytest.raises(ValueError, match="neighbors_capacity"):
+        pack_dataset_slots(records, neighbors, g_update=True, capacity=16,
+                           neighbors_capacity=1)
+    with pytest.raises(ValueError, match="segments_capacity"):
+        pack_dataset_slots(records, neighbors, g_update=True, capacity=16,
+                           max_segments=4, segments_capacity=1)
