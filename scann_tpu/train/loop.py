@@ -744,11 +744,16 @@ class Trainer:
             if with_ga:
                 ga_all = np.concatenate(bucket_gas)               # [S, M]
                 if packed:
+                    # vectorized per-structure row extraction: member[j] is
+                    # structure j's row mask within its slot (row-major order
+                    # == its contiguous offset..offset+na rows)
                     onehot = b.inputs["segment_onehot"]
                     sl, sg = np.nonzero(valid)
+                    member = onehot[sl, :, sg] > 0            # [n, M]
+                    parts = np.split(ga_all[sl][member],
+                                     np.cumsum(member.sum(1))[:-1])
                     for j, pj in enumerate(pos):
-                        rows = np.nonzero(onehot[sl[j], :, sg[j]] > 0)[0]
-                        gas[int(pj)] = ga_all[sl[j], rows]
+                        gas[int(pj)] = parts[j]
                 else:
                     na = b.inputs["atom_mask"][:S, :, 0].sum(-1).astype(int)
                     for j, pj in enumerate(pos):

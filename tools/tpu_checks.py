@@ -184,6 +184,57 @@ def main():
     checks.append(("loop fwd/bwd mask consistency (FD)",
                    abs(fd - an) / max(abs(fd), 1e-9) < 2e-2))
 
+    # --- STRUCTURE PACKING on hardware: the segmented readout (both kernel
+    # families) must match the XLA packed path at f32 tolerance, and packed
+    # use_drop training through the loop one-shot must satisfy a finite
+    # difference with the replayed masks (seeded PRNG only exists here).
+    from __graft_entry__ import _synthetic_packed_slots
+
+    pk = _synthetic_packed_slots(n_structs=20, capacity=16, N=8,
+                                 max_segments=4, seed=3,
+                                 min_atoms=4, max_atoms=14)
+    pinp = {k: jnp.asarray(v) for k, v in pk.inputs.items()}
+    pparams = model.init(jax.random.PRNGKey(2), pinp, deterministic=True)
+    ref = model.apply(pparams, pinp, deterministic=True)
+    pf, pg = fused_scann_forward(pparams, pinp, cfg)
+    checks.append(("packed fused forward == XLA",
+                   d(pf, ref["property"]) < 5e-3
+                   and d(pg, ref["ga_score"]) < 5e-3))
+    lf, lg = loop_scann_forward(pparams, pinp, cfg)
+    checks.append(("packed loop forward == XLA",
+                   d(lf, ref["property"]) < 5e-3
+                   and d(lg, ref["ga_score"]) < 5e-3))
+
+    py = jnp.asarray(pk.targets)
+    psm = jnp.asarray(pk.inputs["segment_mask"])
+    pn = psm.sum()
+
+    def packed_loss(p):
+        pred, raw = loop_scann_train_grads(p, pinp, py, cfg,
+                                           dropout_rate=0.1, dropout_seed=42)
+        err = (pred - py) * psm
+        return jnp.sqrt(jnp.sum(jnp.square(err)) / pn), raw
+
+    with jax.default_matmul_precision("highest"):
+        rmse0, raw = packed_loss(pparams["params"])
+        gp = jax.tree.map(lambda r: r / (pn * rmse0), raw)
+        flat_p, tree = jax.tree_util.tree_flatten(pparams["params"])
+        dirs = [np.asarray(rng.normal(size=np.shape(x)), np.float32)
+                for x in flat_p]
+        gn = np.sqrt(sum(float(np.sum(dd * dd)) for dd in dirs))
+        dirs = [dd / gn for dd in dirs]
+        eps = 1e-2
+        plus = jax.tree_util.tree_unflatten(
+            tree, [x + eps * dd for x, dd in zip(flat_p, dirs)])
+        minus = jax.tree_util.tree_unflatten(
+            tree, [x - eps * dd for x, dd in zip(flat_p, dirs)])
+        fd = (float(packed_loss(plus)[0])
+              - float(packed_loss(minus)[0])) / (2 * eps)
+    an = float(sum(np.sum(np.asarray(gg) * dd)
+                   for gg, dd in zip(jax.tree.leaves(gp), dirs)))
+    checks.append(("packed loop use_drop FD",
+                   abs(fd - an) / max(abs(fd), 1e-9) < 2e-2))
+
     for name, passed in checks:
         print(f"{'PASS' if passed else 'FAIL'}  {name}")
         ok = ok and passed
