@@ -272,6 +272,68 @@ def pack_dataset_slots(
     return PackedSlots(inputs=inputs, targets=targets, indices=indices)
 
 
+def pack_padded_inputs(
+    inputs: Dict[str, np.ndarray],
+    capacity: Optional[int] = None,
+    max_segments: int = 8,
+    atoms_multiple: int = 8,
+) -> PackedSlots:
+    """Pack already-padded model inputs ([B, M, ...], one structure per row
+    block with real atoms in a prefix) into PackedSlots — the padded-tensor
+    analogue of ``pack_dataset_slots`` (used to pack golden-fixture batches
+    and serving batches without going back to ragged records).
+
+    ``indices`` carries each structure's original batch row; targets are
+    zeros (callers scatter their own by ``indices``).
+    """
+    am = np.asarray(inputs["atom_mask"])[..., 0]
+    B, M0 = am.shape
+    counts = am.sum(1).astype(np.int64)
+    # the packed-layout math assumes each structure's atoms occupy a prefix
+    prefix = np.arange(M0)[None, :] < counts[:, None]
+    if not np.array_equal(am > 0, prefix):
+        raise ValueError("atom_mask rows must be prefix-ones to pack")
+    if capacity is None:
+        capacity = _round_up(int(counts.max()), atoms_multiple)
+    M = int(capacity)
+    slot_of, offset_of, segment_of, n_slots, max_seg = plan_slots(
+        counts, M, max_segments)
+
+    src_b = np.repeat(np.arange(B), counts)
+    local = np.arange(len(src_b)) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    dst_slot = slot_of[src_b]
+    dst_row = offset_of[src_b] + local
+
+    def scatter_rows(x, fill=0):
+        out = np.full((n_slots, M) + x.shape[2:], fill, x.dtype)
+        out[dst_slot, dst_row] = x[src_b, local]
+        return out
+
+    packed = {}
+    for k, v in inputs.items():
+        v = np.asarray(v)
+        if k == "neighbors":
+            # within-structure indices -> offset into the segment's rows
+            nb = scatter_rows(v.astype(np.int32))
+            nb[dst_slot, dst_row] += offset_of[src_b][:, None].astype(np.int32)
+            mask = scatter_rows(np.asarray(inputs["neighbor_mask"],
+                                           np.float32))
+            packed[k] = (nb * (mask > 0)).astype(np.int32)
+        else:
+            packed[k] = scatter_rows(v)
+
+    onehot = np.zeros((n_slots, M, max_seg), np.float32)
+    onehot[dst_slot, dst_row, segment_of[src_b]] = 1.0
+    packed["segment_onehot"] = onehot
+    indices = np.full((n_slots, max_seg), -1, np.int64)
+    indices[slot_of, segment_of] = np.arange(B)
+    packed["segment_mask"] = (indices >= 0).astype(np.float32)
+    return PackedSlots(inputs=packed,
+                       targets=np.zeros((n_slots, max_seg), np.float32),
+                       indices=indices)
+
+
 def unpack_predictions(packed: PackedSlots, preds: np.ndarray) -> np.ndarray:
     """Scatter per-segment predictions [S, SEG] back to ascending order of
     the structures' (possibly non-contiguous) original indices."""

@@ -475,3 +475,19 @@ def test_pack_capacity_pinning(dataset):
     with pytest.raises(ValueError, match="segments_capacity"):
         pack_dataset_slots(records, neighbors, g_update=True, capacity=16,
                            max_segments=4, segments_capacity=1)
+
+
+def test_pack_padded_inputs_requires_prefix_mask():
+    from scann_tpu.data.packing import pack_padded_inputs
+
+    from __graft_entry__ import _synthetic_inputs
+
+    inputs = _synthetic_inputs(B=4, M=8, N=4, seed=0)
+    bad = {k: v.copy() for k, v in inputs.items()}
+    bad["atom_mask"][0, 0, 0] = 0.0  # hole in the prefix
+    with pytest.raises(ValueError, match="prefix"):
+        pack_padded_inputs(bad)
+    p = pack_padded_inputs(inputs, max_segments=4)
+    assert p.num_structures == 4
+    np.testing.assert_array_equal(p.inputs["segment_onehot"].sum(-1),
+                                  p.inputs["atom_mask"][..., 0])
