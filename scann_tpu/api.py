@@ -225,7 +225,7 @@ class Scann:
             hyper.target_mean, hyper.target_std = mean, std
 
         hyper.data_size = len(records)
-        packing = split and self.config.tpu.structure_packing
+        packing = self.config.tpu.structure_packing
         if not packing:
             # packed prepare never needs the bucketed arrays — skip the
             # O(dataset * M * N) padded fill entirely in that mode
@@ -239,24 +239,15 @@ class Scann:
                 csr_cache_path=hyper.data_nei_path + ".csr.npz",
                 csr_source_path=hyper.data_nei_path,
             )
-        if not split:
-            self._buckets = buckets
-            return buckets
-
-        tr, va, te = split_data(
-            len(records), test_percent=hyper.test_percent,
-            train_size=hyper.train_size, test_size=hyper.test_size,
-            seed=hyper.seed,
-        )
-        print(f"Split: {len(tr)} train / {len(va)} valid / {len(te)} test")
-        if packing:
-            # pack ALL THREE splits into fixed-capacity slots (several
-            # structures per padded row block — data/packing.py). Capacity,
+        else:
+            # STRUCTURE PACKING: fixed-capacity slots with several
+            # structures per padded row block (data/packing.py). Capacity,
             # neighbor width, and segment count are pinned to FULL-dataset
-            # values (from the cached CSR) so all splits share ONE compiled
-            # (M, N, SEG) shape. Eval and predict paths are segment-aware
-            # end to end (Trainer.eval_epoch/_evaluate_buckets/predict), so
-            # validation and test ride the same padding-density win.
+            # values (from the cached CSR) so every packing of this dataset
+            # shares ONE compiled (M, N, SEG) shape. Eval and predict paths
+            # are segment-aware end to end (Trainer.eval_epoch /
+            # _evaluate_buckets / predict), so validation, test, and bulk
+            # inference ride the same padding-density win as training.
             from scann_tpu.data.packing import pack_dataset_slots
             from scann_tpu.data.pipeline import _round_up, build_csr
 
@@ -269,6 +260,7 @@ class Scann:
                               self.config.tpu.neighbors_pad_multiple)
 
             def _pack(sub, name):
+                sub = np.asarray(sub, np.int64)
                 p = pack_dataset_slots(
                     [records[i] for i in sub], [neighbors[i] for i in sub],
                     csr=csr.subset(sub),
@@ -288,6 +280,18 @@ class Scann:
                       f"<= {p.num_segments} segments/slot)")
                 return [p]
 
+        if not split:
+            self._buckets = (_pack(np.arange(len(records)), "full")
+                             if packing else buckets)
+            return self._buckets
+
+        tr, va, te = split_data(
+            len(records), test_percent=hyper.test_percent,
+            train_size=hyper.train_size, test_size=hyper.test_size,
+            seed=hyper.seed,
+        )
+        print(f"Split: {len(tr)} train / {len(va)} valid / {len(te)} test")
+        if packing:
             self.train_buckets = _pack(tr, "train")
             self.valid_buckets = _pack(va, "valid")
             self.test_buckets = _pack(te, "test")

@@ -491,3 +491,35 @@ def test_pack_padded_inputs_requires_prefix_mask():
     assert p.num_structures == 4
     np.testing.assert_array_equal(p.inputs["segment_onehot"].sum(-1),
                                   p.inputs["atom_mask"][..., 0])
+
+
+def test_packed_bulk_inference_split_false(tmp_path):
+    """prepare_dataset(split=False) with structure_packing packs the whole
+    dataset; predict_data (the predict_model CLI path) == the bucketed
+    pipeline, in dataset order."""
+    from scann_tpu.api import Scann
+    from scann_tpu.config import ScannConfig
+
+    e, n = make_synthetic_dataset(str(tmp_path), n_structures=30,
+                                  min_atoms=4, max_atoms=14, seed=13)
+    base = {
+        "model": {"n_atoms": 16, "embedding_dim": 16, "n_attention": 1,
+                  "local_dim": 16, "num_head": 4, "global_dim": 16,
+                  "dense_out": 16},
+        "hyper": {"batch_size": 8, "target": "homo", "scaler": False,
+                  "data_energy_path": e, "data_nei_path": n,
+                  "save_path": str(tmp_path / "out")},
+    }
+    sc = Scann(ScannConfig.from_dict(
+        {**base, "tpu": {"structure_packing": True}}))
+    sc.prepare_dataset(split=False)
+    assert "segment_mask" in sc._buckets[0].inputs
+    sc.trainer.init_state({k: v[:1] for k, v in
+                           sc._buckets[0].inputs.items()}, seed=0)
+    preds = sc.predict_data()
+
+    sc2 = Scann(ScannConfig.from_dict(base))
+    sc2.prepare_dataset(split=False)
+    sc2.trainer.state = sc.trainer.state  # same params
+    preds2 = sc2.predict_data()
+    np.testing.assert_allclose(preds, preds2, rtol=2e-5, atol=2e-6)
