@@ -26,13 +26,20 @@ def main(argv=None):
     preds, gas = scann.predict_data(buckets, with_ga=True)
 
     hyper = scann.config.hyper
+    # restore dataset order; packed buckets (tpu.structure_packing) carry
+    # 2-D [slots, SEG] targets/indices with -1 for empty segments
+    import numpy as np
+
     targets = []
     order = []
     for b in buckets:
-        targets.extend((b.targets * hyper.target_std + hyper.target_mean).tolist())
-        order.extend(b.indices.tolist())
-    # restore dataset order
-    import numpy as np
+        y = np.asarray(b.targets, np.float64) * hyper.target_std + hyper.target_mean
+        ix = np.asarray(b.indices)
+        if ix.ndim == 2:
+            valid = ix >= 0
+            y, ix = y[valid], ix[valid]
+        targets.extend(y.tolist())
+        order.extend(ix.tolist())
     t = np.zeros(len(order), np.float64)
     t[np.asarray(order)] = targets
 

@@ -311,15 +311,16 @@ def pack_padded_inputs(
         return out
 
     packed = {}
+    nmask = scatter_rows(np.asarray(inputs["neighbor_mask"], np.float32))
     for k, v in inputs.items():
         v = np.asarray(v)
-        if k == "neighbors":
+        if k == "neighbor_mask":
+            packed[k] = nmask
+        elif k == "neighbors":
             # within-structure indices -> offset into the segment's rows
             nb = scatter_rows(v.astype(np.int32))
             nb[dst_slot, dst_row] += offset_of[src_b][:, None].astype(np.int32)
-            mask = scatter_rows(np.asarray(inputs["neighbor_mask"],
-                                           np.float32))
-            packed[k] = (nb * (mask > 0)).astype(np.int32)
+            packed[k] = (nb * (nmask > 0)).astype(np.int32)
         else:
             packed[k] = scatter_rows(v)
 

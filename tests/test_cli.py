@@ -150,3 +150,18 @@ def test_predict_model_cli(workdir):
         gas = pickle.load(f)
     assert len(gas) == 48
     assert all(np.all(np.isfinite(g)) for g in gas)
+
+
+def test_predict_model_cli_packed(workdir):
+    """predict_model over a model trained WITH structure packing: the saved
+    config carries tpu.structure_packing, so the full-dataset prepare packs
+    and the CLI must handle 2-D [slots, SEG] targets/indices."""
+    predict_model_main(["trained/model_lumo", "--out", "full_preds_packed"])
+    with open("full_preds_packed/energy_pre_lumo.pickle", "rb") as f:
+        data = pickle.load(f)
+    assert data["prediction"].shape == (48,)
+    assert data["target"].shape == (48,)
+    assert np.isfinite(data["prediction"]).all()
+    with open("full_preds_packed/ga_scores_lumo.pickle", "rb") as f:
+        gas = pickle.load(f)
+    assert len(gas) == 48

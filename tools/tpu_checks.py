@@ -49,6 +49,25 @@ def make_synthetic_batch(rng, B, M, N):
     return inputs
 
 
+def fd_directional(loss_fn, params, grads, rng, eps=1e-2):
+    """Central finite difference along one random unit direction vs the
+    analytic directional derivative from ``grads``. Returns (fd, analytic).
+    Callers wrap in jax.default_matmul_precision('highest')."""
+    flat_p, tree = jax.tree_util.tree_flatten(params)
+    dirs = [np.asarray(rng.normal(size=np.shape(x)), np.float32)
+            for x in flat_p]
+    gn = np.sqrt(sum(float(np.sum(dd * dd)) for dd in dirs))
+    dirs = [dd / gn for dd in dirs]
+    plus = jax.tree_util.tree_unflatten(
+        tree, [x + eps * dd for x, dd in zip(flat_p, dirs)])
+    minus = jax.tree_util.tree_unflatten(
+        tree, [x - eps * dd for x, dd in zip(flat_p, dirs)])
+    fd = (float(loss_fn(plus)) - float(loss_fn(minus))) / (2 * eps)
+    an = float(sum(np.sum(np.asarray(gg) * dd)
+                   for gg, dd in zip(jax.tree.leaves(grads), dirs)))
+    return fd, an
+
+
 def main():
     from scann_tpu.config import ModelConfig
     from scann_tpu.kernels.scann_backward import fused_scann_grad, scann_apply
@@ -98,19 +117,7 @@ def main():
 
     with jax.default_matmul_precision("highest"):
         g = jax.grad(loss)(params)
-        flat_p, tree = jax.tree_util.tree_flatten(params)
-        dirs = [np.asarray(rng.normal(size=np.shape(x)), np.float32)
-                for x in flat_p]
-        gn = np.sqrt(sum(float(np.sum(dd * dd)) for dd in dirs))
-        dirs = [dd / gn for dd in dirs]
-        eps = 1e-2
-        plus = jax.tree_util.tree_unflatten(
-            tree, [x + eps * dd for x, dd in zip(flat_p, dirs)])
-        minus = jax.tree_util.tree_unflatten(
-            tree, [x - eps * dd for x, dd in zip(flat_p, dirs)])
-        fd = (float(loss(plus)) - float(loss(minus))) / (2 * eps)
-    an = float(sum(np.sum(np.asarray(gg) * dd)
-                   for gg, dd in zip(jax.tree.leaves(g), dirs)))
+        fd, an = fd_directional(loss, params, g, rng)
     checks.append(("fwd/bwd mask consistency (FD)",
                    abs(fd - an) / max(abs(fd), 1e-9) < 2e-2))
 
@@ -168,19 +175,7 @@ def main():
 
     with jax.default_matmul_precision("highest"):
         g = jax.grad(loop_loss)(params)
-        flat_p, tree = jax.tree_util.tree_flatten(params)
-        dirs = [np.asarray(rng.normal(size=np.shape(x)), np.float32)
-                for x in flat_p]
-        gn = np.sqrt(sum(float(np.sum(dd * dd)) for dd in dirs))
-        dirs = [dd / gn for dd in dirs]
-        eps = 1e-2
-        plus = jax.tree_util.tree_unflatten(
-            tree, [x + eps * dd for x, dd in zip(flat_p, dirs)])
-        minus = jax.tree_util.tree_unflatten(
-            tree, [x - eps * dd for x, dd in zip(flat_p, dirs)])
-        fd = (float(loop_loss(plus)) - float(loop_loss(minus))) / (2 * eps)
-    an = float(sum(np.sum(np.asarray(gg) * dd)
-                   for gg, dd in zip(jax.tree.leaves(g), dirs)))
+        fd, an = fd_directional(loop_loss, params, g, rng)
     checks.append(("loop fwd/bwd mask consistency (FD)",
                    abs(fd - an) / max(abs(fd), 1e-9) < 2e-2))
 
@@ -218,20 +213,8 @@ def main():
     with jax.default_matmul_precision("highest"):
         rmse0, raw = packed_loss(pparams["params"])
         gp = jax.tree.map(lambda r: r / (pn * rmse0), raw)
-        flat_p, tree = jax.tree_util.tree_flatten(pparams["params"])
-        dirs = [np.asarray(rng.normal(size=np.shape(x)), np.float32)
-                for x in flat_p]
-        gn = np.sqrt(sum(float(np.sum(dd * dd)) for dd in dirs))
-        dirs = [dd / gn for dd in dirs]
-        eps = 1e-2
-        plus = jax.tree_util.tree_unflatten(
-            tree, [x + eps * dd for x, dd in zip(flat_p, dirs)])
-        minus = jax.tree_util.tree_unflatten(
-            tree, [x - eps * dd for x, dd in zip(flat_p, dirs)])
-        fd = (float(packed_loss(plus)[0])
-              - float(packed_loss(minus)[0])) / (2 * eps)
-    an = float(sum(np.sum(np.asarray(gg) * dd)
-                   for gg, dd in zip(jax.tree.leaves(gp), dirs)))
+        fd, an = fd_directional(lambda p: packed_loss(p)[0],
+                                pparams["params"], gp, rng)
     checks.append(("packed loop use_drop FD",
                    abs(fd - an) / max(abs(fd), 1e-9) < 2e-2))
 
