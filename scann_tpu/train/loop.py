@@ -45,6 +45,11 @@ class TrainState:
     step: jnp.ndarray
 
 
+# jitted model.init wrappers, keyed by the model's config-printing repr —
+# equal-config Trainers share one compiled init executable (init_state)
+_INIT_CACHE: Dict[str, Any] = {}
+
+
 def r2_score(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     ss_res = float(np.sum((y_true - y_pred) ** 2))
     ss_tot = float(np.sum((y_true - np.mean(y_true)) ** 2))
@@ -131,8 +136,19 @@ class Trainer:
     # --- state ---------------------------------------------------------------
 
     def init_state(self, example_inputs: Dict[str, np.ndarray], seed: int = 0) -> TrainState:
-        params = self.model.init(jax.random.PRNGKey(seed), example_inputs,
-                                 deterministic=True)["params"]
+        # jit the init: eagerly it dispatches hundreds of tiny ops (seconds
+        # of host latency on a 1-core CI host, worse over a tunneled TPU);
+        # one small forward-only compile is strictly cheaper. The wrapper is
+        # cached by the model's config-printing repr so equal-config
+        # Trainers (and repeated init_state calls) share one executable.
+        key = repr(self.model)
+        init_fn = _INIT_CACHE.get(key)
+        if init_fn is None:
+            model = self.model
+            init_fn = _INIT_CACHE.setdefault(
+                key, jax.jit(lambda rng, x: model.init(rng, x,
+                                                       deterministic=True)))
+        params = init_fn(jax.random.PRNGKey(seed), example_inputs)["params"]
         params = jax.device_put(params, self._repl)
         opt_state = self.tx.init(params)
         self.state = TrainState(params=params, opt_state=opt_state,

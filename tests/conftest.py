@@ -20,6 +20,37 @@ def rng():
     return np.random.default_rng(0)
 
 
+# Eager flax apply/init/grad dispatches hundreds of tiny ops — seconds of
+# host latency per call on the 1-core CI host. These helpers jit them, and
+# cache the jitted wrapper by the model's (fully config-printing) repr so
+# equal-config models ACROSS tests share one compiled executable.
+_JIT_CACHE = {}
+
+
+def jit_apply(model):
+    """Cached jax.jit(model.apply) for plain positional apply calls."""
+    key = ("apply", repr(model))
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(model.apply)
+    return _JIT_CACHE[key]
+
+
+def jit_init_vars(model, key, inputs):
+    """model.init under a cached jit; returns the full variables dict."""
+    import jax.numpy as jnp
+
+    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    ck = ("init", repr(model))
+    if ck not in _JIT_CACHE:
+        _JIT_CACHE[ck] = jax.jit(model.init)
+    return _JIT_CACHE[ck](key, inputs)
+
+
+def jit_init(model, key, inputs):
+    """model.init under a cached jit; returns the params pytree."""
+    return jit_init_vars(model, key, inputs)["params"]
+
+
 def make_synthetic_batch(rng, B=4, M=12, N=6, use_ring=False, cgcnn=False, n_atoms=10, seed=None):
     """Random but valid model inputs: ragged atom/neighbor counts with masks."""
     if seed is not None:

@@ -23,6 +23,8 @@ construction, not a bug in this port."""
 import numpy as np
 import pytest
 
+from conftest import jit_apply, jit_init_vars
+
 from scann_tpu.config import HyperConfig, ModelConfig, ScannConfig, TpuConfig
 from scann_tpu.data.structure import Structure
 from scann_tpu.data.voronoi import compute_voronoi_neighbors
@@ -158,9 +160,9 @@ def test_model_atom_permutation_equivariance():
                           local_dim=32, num_head=4, global_dim=32,
                           dense_out=16, g_update=g_update, use_ga_norm=True)
         model = ScannModel(config=cfm)
-        params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
-        out0 = model.apply(params, inputs, deterministic=True)
-        out1 = model.apply(params, permuted, deterministic=True)
+        params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
+        out0 = jit_apply(model)(params, inputs)
+        out1 = jit_apply(model)(params, permuted)
         np.testing.assert_allclose(np.asarray(out1["property"]),
                                    np.asarray(out0["property"]),
                                    rtol=0, atol=1e-5)

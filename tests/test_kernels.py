@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 import scann_tpu.kernels.local_attention as kla
+from conftest import jit_apply, jit_init_vars
 from scann_tpu.kernels.local_attention import (
     _pallas_forward,
     reference_local_attention,
@@ -99,7 +100,7 @@ def test_custom_vjp_matches_reference_grad(rng, g_update, monkeypatch):
     args = (jnp.asarray(centers), jnp.asarray(geometry),
             jax.tree.map(jnp.asarray, params))
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(*args)
 
     for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -121,8 +122,8 @@ def test_model_with_pallas_matches_without(rng):
                           dense_out=16, embedding_dim=8, g_update=True, n_atoms=10)
         inputs = make_synthetic_batch(rng, B=3, M=8, N=4)
         m_ref = ScannModel(config=cfg, use_pallas=False)
-        params = m_ref.init(jax.random.PRNGKey(0), inputs, deterministic=True)
-        out_ref = m_ref.apply(params, inputs, deterministic=True)
+        params = jit_init_vars(m_ref, jax.random.PRNGKey(0), inputs)
+        out_ref = jit_apply(m_ref)(params, inputs)
         m_pl = ScannModel(config=cfg, use_pallas=True)
         out_pl = m_pl.apply(params, inputs, deterministic=True)
         np.testing.assert_allclose(np.asarray(out_pl["property"]),
@@ -158,8 +159,8 @@ def test_fused_whole_model_forward(rng, g_update, ga_norm, mrelu, ring, cgcnn):
     inputs = make_synthetic_batch(rng, B=3, M=12, N=6, use_ring=ring,
                                   cgcnn=cgcnn)
     model = ScannModel(config=cfg, mrelu_head=mrelu)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
-    ref = model.apply(params, inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
+    ref = jit_apply(model)(params, inputs)
     pred, ga = fused_scann_forward(params, inputs, cfg, mrelu_head=mrelu,
                                    interpret=True)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
@@ -203,7 +204,7 @@ def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm, ring, cgcnn):
     inputs = make_synthetic_batch(rng, B=3, M=12, N=6, use_ring=ring,
                                   cgcnn=cgcnn)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
     y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))
 
     def loss_ref(p):
@@ -216,8 +217,8 @@ def test_fused_backward_matches_jax_grad(rng, g_update, ga_norm, ring, cgcnn):
         return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
                 + 0.1 * jnp.sum(ga ** 2))
 
-    l1, g1 = jax.value_and_grad(loss_ref)(params)
-    l2, g2 = jax.value_and_grad(loss_fused)(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_ref))(params)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_fused))(params)
     assert float(l1) == pytest.approx(float(l2), rel=1e-5)
     flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
     flat2 = jax.tree_util.tree_flatten_with_path(g2)[0]
@@ -248,7 +249,7 @@ def test_fused_bf16_mode_tracks_f32(rng):
     cfg_bf = dataclasses.replace(cfg, dtype="bfloat16")
     inputs = make_synthetic_batch(rng, B=2, M=12, N=6)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
 
     p32, g32 = fused_scann_forward(params, inputs, cfg, interpret=True,
                                    batch_tile=1)
@@ -290,7 +291,7 @@ def test_fused_train_grads_matches_apply_grad(rng, mrelu):
                       num_head=4, global_dim=32, dense_out=16, g_update=True)
     inputs = make_synthetic_batch(rng, B=3, M=12, N=6)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
     y = jnp.asarray(np.linspace(-1, 1, 3, dtype=np.float32))
 
     pred, raw = fused_scann_train_grads(params, inputs, y, cfg,
@@ -337,7 +338,7 @@ def test_sharded_fused_train_matches_single_device(rng):
                       num_head=4, global_dim=32, dense_out=16, g_update=True)
     inputs = make_synthetic_batch(rng, B=16, M=12, N=6)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
     y = jnp.asarray(np.linspace(-1, 1, 16, dtype=np.float32))
     mesh = make_mesh(n_devices=8)
     f8 = make_sharded_scann_train(mesh, cfg, interpret=True)
@@ -370,7 +371,7 @@ def test_sharded_fused_apply_matches_single_device(rng):
                       num_head=4, global_dim=32, dense_out=16, g_update=True)
     inputs = make_synthetic_batch(rng, B=16, M=12, N=6)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
     y = jnp.asarray(np.linspace(-1, 1, 16, dtype=np.float32))
     mesh = make_mesh(n_devices=8)
     f8 = make_sharded_scann_apply(mesh, cfg, interpret=True)
@@ -440,7 +441,7 @@ def test_dropout_masks_are_tiling_invariant(rng):
                       g_update=True, use_drop=True)
     inputs = make_synthetic_batch(rng, B=4, M=12, N=6)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
     ct_p = np.ones((4, 1), np.float32)
     ct_g = np.linspace(0, 1, 48).reshape(4, 12, 1).astype(np.float32)
 
@@ -490,7 +491,7 @@ def test_dropout_gradient_matches_finite_difference(rng):
                       g_update=True, use_drop=True)
     inputs = make_synthetic_batch(rng, B=2, M=8, N=4)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
     y = jnp.asarray([0.3, -0.7], jnp.float32)
 
     def loss(p):

@@ -18,7 +18,7 @@ from scann_tpu.kernels.scann_loop import (
     supports_loop,
 )
 from scann_tpu.models import ScannModel
-from conftest import make_synthetic_batch
+from conftest import make_synthetic_batch, jit_apply, jit_init_vars
 
 
 def _case(rng, g_update=True, ga_norm=True, B=3, M=24, N=8, L=3,
@@ -31,7 +31,7 @@ def _case(rng, g_update=True, ga_norm=True, B=3, M=24, N=8, L=3,
     inputs = make_synthetic_batch(rng, B=B, M=M, N=N, use_ring=use_ring,
                                   cgcnn=cgcnn)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
     return cfg, inputs, model, params
 
 
@@ -40,7 +40,7 @@ def _case(rng, g_update=True, ga_norm=True, B=3, M=24, N=8, L=3,
     (False, False)])
 def test_loop_forward_matches_flax(rng, g_update, ga_norm):
     cfg, inputs, model, params = _case(rng, g_update, ga_norm)
-    ref = model.apply(params, inputs, deterministic=True)
+    ref = jit_apply(model)(params, inputs)
     pred, ga = loop_scann_forward(params, inputs, cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
                                rtol=1e-5, atol=1e-6)
@@ -65,7 +65,7 @@ def test_sharded_loop_forward_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(ga_s), np.asarray(ga_1),
                                rtol=1e-6, atol=1e-7)
     # and therefore == the flax model
-    ref = model.apply(params, inputs, deterministic=True)
+    ref = jit_apply(model)(params, inputs)
     np.testing.assert_allclose(np.asarray(pred_s), np.asarray(ref["property"]),
                                rtol=1e-5, atol=1e-6)
 
@@ -106,7 +106,7 @@ def test_loop_ring_forward_matches_flax(rng):
     scale, reference model_ptgp.yaml + scann_model.py:367-371) through the
     loop forward == the flax model."""
     cfg, inputs, model, params = _case(rng, use_ring=True, L=2)
-    ref = model.apply(params, inputs, deterministic=True)
+    ref = jit_apply(model)(params, inputs)
     pred, ga = loop_scann_forward(params, inputs, cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
                                rtol=1e-5, atol=1e-6)
@@ -131,7 +131,7 @@ def test_loop_ring_backward_matches_jax_grad(rng):
         return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
                 + 0.1 * jnp.sum(ga ** 2))
 
-    l1, g1 = jax.value_and_grad(loss_ref)(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_ref))(params)
     l2, g2 = jax.value_and_grad(loss_loop)(params)
     assert float(l1) == pytest.approx(float(l2), rel=1e-5)
     flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
@@ -149,7 +149,7 @@ def test_loop_cgcnn_forward_matches_flax(rng):
     """feature='cgcnn' (92-dim descriptor Dense embedding, reference
     scann_model.py:363-365) through the loop forward == the flax model."""
     cfg, inputs, model, params = _case(rng, cgcnn=True, L=2)
-    ref = model.apply(params, inputs, deterministic=True)
+    ref = jit_apply(model)(params, inputs)
     pred, ga = loop_scann_forward(params, inputs, cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
                                rtol=1e-5, atol=1e-6)
@@ -174,7 +174,7 @@ def test_loop_cgcnn_backward_matches_jax_grad(rng):
         return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
                 + 0.1 * jnp.sum(ga ** 2))
 
-    l1, g1 = jax.value_and_grad(loss_ref)(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_ref))(params)
     l2, g2 = jax.value_and_grad(loss_loop)(params)
     assert float(l1) == pytest.approx(float(l2), rel=1e-5)
     flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
@@ -201,7 +201,7 @@ def test_loop_forward_batch_tiled_matches_single(rng):
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                rtol=1e-6, atol=1e-7)
-    ref = model.apply(params, inputs, deterministic=True)
+    ref = jit_apply(model)(params, inputs)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(ref["property"]),
                                rtol=1e-5, atol=1e-6)
 
@@ -237,7 +237,7 @@ def test_loop_backward_matches_jax_grad(rng, g_update, ga_norm):
         return (jnp.sqrt(jnp.mean((pred[:, 0] - y) ** 2))
                 + 0.1 * jnp.sum(ga ** 2))
 
-    l1, g1 = jax.value_and_grad(loss_ref)(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_ref))(params)
     l2, g2 = jax.value_and_grad(loss_loop)(params)
     assert float(l1) == pytest.approx(float(l2), rel=1e-5)
     flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
@@ -450,8 +450,8 @@ def test_loop_use_drop_eval_matches_flax(rng):
     cfg, inputs, model, params = _case(rng, L=2)
     cfg = dataclasses.replace(cfg, use_drop=True)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
-    ref = model.apply(params, inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
+    ref = jit_apply(model)(params, inputs)
     pred, ga = loop_scann_forward(params, inputs, cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
                                rtol=1e-5, atol=1e-6)
@@ -527,7 +527,7 @@ def _packed_case(L=3):
                                 capacity=16, max_segments=4)
     inp = {k: jnp.asarray(v) for k, v in packed.inputs.items()}
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(7), inp, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(7), inp)
     return cfg, packed, inp, model, params
 
 
@@ -535,7 +535,7 @@ def test_loop_packed_forward_matches_flax():
     """Loop forward on a PACKED batch (segment-aware readout, one slot per
     program) == the XLA packed path: per-segment predictions + GA scores."""
     cfg, packed, inp, model, params = _packed_case(L=2)
-    ref = model.apply(params, inp, deterministic=True)
+    ref = jit_apply(model)(params, inp)
     pred, ga = loop_scann_forward(params, inp, cfg, interpret=True)
     assert pred.shape == (packed.num_slots, packed.num_segments)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(ref["property"]),
@@ -562,7 +562,7 @@ def test_loop_packed_train_grads_match_xla():
         err = (out["property"] - y) * smask
         return jnp.sqrt(jnp.sum(jnp.square(err)) / nvalid)
 
-    g_ref = jax.grad(loss_xla)(params_inner)
+    g_ref = jax.jit(jax.grad(loss_xla))(params_inner)
 
     pred, raw = loop_scann_train_grads(params_inner, inp, y, cfg,
                                        interpret=True)

@@ -9,12 +9,12 @@ from scann_tpu.config import ModelConfig
 from scann_tpu.models import ScannModel
 from scann_tpu.models.scann import l2_penalty
 
-from conftest import make_synthetic_batch
+from conftest import make_synthetic_batch, jit_apply, jit_init_vars
 
 
 def init_and_apply(cfg: ModelConfig, inputs, **kw):
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
     out = model.apply(params, inputs, deterministic=True, **kw)
     return model, params, out
 
@@ -51,8 +51,8 @@ def test_padding_invariance(rng):
                       dense_out=16, embedding_dim=8, g_update=True)
     inputs = make_synthetic_batch(rng, B=2, M=8, N=4, seed=42)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
-    out1 = model.apply(params, inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
+    out1 = jit_apply(model)(params, inputs)
 
     padded = {
         "atomic": np.pad(inputs["atomic"], ((0, 0), (0, 5))),
@@ -62,7 +62,7 @@ def test_padding_invariance(rng):
         "neighbor_weight": np.pad(inputs["neighbor_weight"], ((0, 0), (0, 5), (0, 3))),
         "neighbor_distance": np.pad(inputs["neighbor_distance"], ((0, 0), (0, 5), (0, 3))),
     }
-    out2 = model.apply(params, padded, deterministic=True)
+    out2 = jit_apply(model)(params, padded)
     np.testing.assert_allclose(out1["property"], out2["property"], rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(out1["ga_score"]),
@@ -88,8 +88,8 @@ def test_mrelu_head():
     rng = np.random.default_rng(3)
     inputs = make_synthetic_batch(rng, B=4, M=6, N=3)
     model = ScannModel(config=cfg, mrelu_head=True)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
-    out = model.apply(params, inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
+    out = jit_apply(model)(params, inputs)
     assert np.all(np.asarray(out["property"]) >= 0.0)
 
 
@@ -98,7 +98,7 @@ def test_l2_penalty_selects_expected_kernels(rng):
                       dense_out=8, embedding_dim=8, g_update=True)
     inputs = make_synthetic_batch(rng, B=2, M=6, N=3)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
 
     # oracle: walk the pytree by name
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -125,9 +125,9 @@ def test_dropout_changes_train_output_but_not_eval(rng):
                       dense_out=8, embedding_dim=8, g_update=True, use_drop=True)
     inputs = make_synthetic_batch(rng, B=2, M=6, N=3)
     model = ScannModel(config=cfg)
-    params = model.init(jax.random.PRNGKey(0), inputs, deterministic=True)
-    e1 = model.apply(params, inputs, deterministic=True)
-    e2 = model.apply(params, inputs, deterministic=True)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
+    e1 = jit_apply(model)(params, inputs)
+    e2 = jit_apply(model)(params, inputs)
     np.testing.assert_array_equal(e1["property"], e2["property"])
     t1 = model.apply(params, inputs, deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(1)})

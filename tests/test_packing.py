@@ -22,6 +22,7 @@ from scann_tpu.data.packing import (
 from scann_tpu.data.pipeline import load_dataset, pack_dataset
 from scann_tpu.data.synthetic import make_synthetic_dataset
 from scann_tpu.models import ScannModel
+from conftest import jit_apply, jit_init
 
 
 @pytest.fixture(scope="module")
@@ -103,8 +104,8 @@ def test_pack_dataset_slots_layout(dataset):
 
 
 def _forward(params, model, inputs):
-    return model.apply({"params": params},
-                       {k: jnp.asarray(v) for k, v in inputs.items()})
+    return jit_apply(model)({"params": params},
+                            {k: jnp.asarray(v) for k, v in inputs.items()})
 
 
 @pytest.mark.parametrize("g_update,use_ga_norm", [(True, True), (False, False)])
@@ -119,8 +120,7 @@ def test_packed_forward_matches_unpacked(dataset, g_update, use_ga_norm):
     packed = pack_dataset_slots(records, neighbors, g_update=g_update,
                                 capacity=16, max_segments=4)
 
-    params = model.init(jax.random.PRNGKey(0),
-                        {k: jnp.asarray(v) for k, v in buckets[0].inputs.items()})["params"]
+    params = jit_init(model, jax.random.PRNGKey(0), buckets[0].inputs)
 
     per_structure = np.zeros(len(records), np.float32)
     for b in buckets:
@@ -144,8 +144,7 @@ def test_packed_ga_scores_match(dataset):
     buckets = pack_dataset(records, neighbors, g_update=True)
     packed = pack_dataset_slots(records, neighbors, g_update=True,
                                 capacity=16, max_segments=4)
-    params = model.init(jax.random.PRNGKey(1),
-                        {k: jnp.asarray(v) for k, v in buckets[0].inputs.items()})["params"]
+    params = jit_init(model, jax.random.PRNGKey(1), buckets[0].inputs)
 
     # reference GA per structure, keyed by original index
     ga_by_struct = {}
@@ -181,9 +180,9 @@ def test_packed_fused_forward_matches_xla(dataset):
     packed = pack_dataset_slots(records, neighbors, g_update=True,
                                 capacity=16, max_segments=4)
     inp = {k: jnp.asarray(v) for k, v in packed.inputs.items()}
-    params = model.init(jax.random.PRNGKey(3), inp)["params"]
+    params = jit_init(model, jax.random.PRNGKey(3), packed.inputs)
 
-    out_xla = model.apply({"params": params}, inp)
+    out_xla = jit_apply(model)({"params": params}, inp)
     B = packed.num_slots
     bt = 2 if B % 2 == 0 else 1
     pred_f, ga_f = fused_scann_forward(params, inp, cfg, interpret=True,
@@ -214,7 +213,7 @@ def test_packed_fused_train_grads_match_xla(dataset):
     packed = pack_dataset_slots(records, neighbors, g_update=True,
                                 capacity=16, max_segments=4)
     inp = {k: jnp.asarray(v) for k, v in packed.inputs.items()}
-    params = model.init(jax.random.PRNGKey(4), inp)["params"]
+    params = jit_init(model, jax.random.PRNGKey(4), packed.inputs)
     y = jnp.asarray(packed.targets)
     smask = jnp.asarray(packed.inputs["segment_mask"])
     nvalid = smask.sum()
@@ -224,7 +223,7 @@ def test_packed_fused_train_grads_match_xla(dataset):
         err = (out["property"] - y) * smask
         return jnp.sqrt(jnp.sum(jnp.square(err)) / nvalid)
 
-    g_ref = jax.grad(loss_xla)(params)
+    g_ref = jax.jit(jax.grad(loss_xla))(params)
 
     B = packed.num_slots
     bt = 2 if B % 2 == 0 else 1
@@ -319,7 +318,7 @@ def test_sharded_packed_train_grads(dataset):
     idx = np.arange(16) % packed.num_slots
     inp = {k: jnp.asarray(v[idx]) for k, v in packed.inputs.items()}
     y = jnp.asarray(packed.targets[idx])
-    params = model.init(jax.random.PRNGKey(5), inp)["params"]
+    params = jit_init(model, jax.random.PRNGKey(5), inp)
 
     pred1, raw1 = fused_scann_train_grads(params, inp, y, cfg,
                                           interpret=True, batch_tile=1)
@@ -348,8 +347,7 @@ def test_packed_gradients_match_unpacked(dataset):
     b = buckets[0]
     packed = pack_dataset_slots(records, neighbors, g_update=True,
                                 capacity=16, max_segments=4)
-    params = model.init(jax.random.PRNGKey(2),
-                        {k: jnp.asarray(v) for k, v in b.inputs.items()})["params"]
+    params = jit_init(model, jax.random.PRNGKey(2), b.inputs)
 
     def loss_unpacked(p):
         out = model.apply({"params": p},
@@ -366,8 +364,8 @@ def test_packed_gradients_match_unpacked(dataset):
         err = (out["property"] - jnp.asarray(packed.targets)) * m
         return jnp.sqrt(jnp.sum(jnp.square(err)) / jnp.sum(m))
 
-    g1 = jax.grad(loss_unpacked)(params)
-    g2 = jax.grad(loss_packed)(params)
+    g1 = jax.jit(jax.grad(loss_unpacked))(params)
+    g2 = jax.jit(jax.grad(loss_packed))(params)
     flat1, _ = jax.flatten_util.ravel_pytree(g1)
     flat2, _ = jax.flatten_util.ravel_pytree(g2)
     np.testing.assert_allclose(np.asarray(flat2), np.asarray(flat1),
@@ -430,9 +428,7 @@ def test_packed_forward_feature_variants(tmp_path, variant):
     else:
         assert packed.inputs["atomic"].shape[-1] == 92
 
-    params = model.init(jax.random.PRNGKey(4),
-                        {k: jnp.asarray(v)
-                         for k, v in buckets[0].inputs.items()})["params"]
+    params = jit_init(model, jax.random.PRNGKey(4), buckets[0].inputs)
     per_structure = np.zeros(len(records), np.float32)
     for b in buckets:
         out = _forward(params, model, b.inputs)
