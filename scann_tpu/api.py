@@ -394,11 +394,22 @@ class Scann:
                 "train() first, pass pretrained= to Scann(), or use "
                 "Scann.load_model_infer(run_dir)")
 
+    @staticmethod
+    def _as_structure(struct) -> Structure:
+        """Accept a Structure or a file path (xyz/CIF/mol/POSCAR), mirroring
+        the reference's path-based ``load_file`` workflow
+        (``general.py:178-203``)."""
+        if isinstance(struct, (str, os.PathLike)):
+            return Structure.from_file(os.fspath(struct))
+        return struct
+
     def predict_structure(self, struct: Structure, d_t: float = 4.0,
                           w_t: float = 0.4, canonical_frame: bool = False
                           ) -> Tuple[float, np.ndarray]:
-        """Predict (value, per-atom GA scores) for one structure."""
+        """Predict (value, per-atom GA scores) for one structure (or a
+        structure-file path)."""
         self._require_state("predict_structure")
+        struct = self._as_structure(struct)
         inputs = prepare_input(struct, d_t=d_t, w_t=w_t,
                                angle=self.config.model.g_update,
                                use_ring=self.config.model.use_ring,
@@ -474,6 +485,7 @@ class Scann:
         Returns [(value, ga_scores)] in input order.
         """
         self._require_state("predict_structures")
+        structs = [self._as_structure(s) for s in structs]
         cfm = self.config.model
         kw = dict(d_t=d_t, w_t=w_t, angle=cfm.g_update, use_ring=cfm.use_ring,
                   feature=cfm.feature, canonical_frame=canonical_frame)

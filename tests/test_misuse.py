@@ -75,3 +75,21 @@ def test_evaluate_without_data_raises_actionable(tmp_path):
     s.trainer.save_checkpoint("best")  # parameters exist, data doesn't
     with pytest.raises(RuntimeError, match="prepare_dataset"):
         s.evaluate()
+
+
+def test_predict_structure_accepts_file_path():
+    """predict_structure / predict_structures take a file path as well as a
+    Structure, mirroring the reference's path-based load_file workflow
+    (general.py:178-203)."""
+    s = _bare_scann()
+    s.trainer.init_state(s._example_inputs())
+    # smallest fixture (15 atoms) keeps featurization quick
+    path = "/root/reference/experiments/molecules/Thymine.xyz"
+    v1, ga1 = s.predict_structure(path)
+    from scann_tpu.data.structure import Structure
+
+    v2, ga2 = s.predict_structure(Structure.from_file(path))
+    assert v1 == v2
+    np.testing.assert_array_equal(ga1, ga2)
+    (v3, ga3), = s.predict_structures([path])
+    assert np.isfinite(v3)
