@@ -7,8 +7,11 @@ state INCLUDING per-epoch packed validation (round-2 bucketed rehearsal:
 21,700-22,300), val R2 0.89 in 5 epochs on the synthetic target, full
 predict_data(with_ga) over 6,000 structures in 196 s (one pinned
 (M, N, SEG) shape -> one forward compile)."""
-import sys, time
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from scann_tpu.api import Scann

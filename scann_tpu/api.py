@@ -35,6 +35,10 @@ from scann_tpu.data.voronoi import compute_voronoi_neighbors
 from scann_tpu.models import ScannModel
 from scann_tpu.train import Trainer
 
+# a Structure, or a structure-file path (xyz/CIF/mol/POSCAR) loaded via
+# Structure.from_file — accepted by predict_structure/predict_structures
+StructureLike = Union[Structure, str, os.PathLike]
+
 
 def _ladder(x: int, base: int) -> int:
     """Quantize ``x`` up to a bounded geometric ladder of ``base`` multiples.
@@ -395,7 +399,7 @@ class Scann:
                 "Scann.load_model_infer(run_dir)")
 
     @staticmethod
-    def _as_structure(struct) -> Structure:
+    def _as_structure(struct: "StructureLike") -> Structure:
         """Accept a Structure or a file path (xyz/CIF/mol/POSCAR), mirroring
         the reference's path-based ``load_file`` workflow
         (``general.py:178-203``)."""
@@ -403,7 +407,7 @@ class Scann:
             return Structure.from_file(os.fspath(struct))
         return struct
 
-    def predict_structure(self, struct: Structure, d_t: float = 4.0,
+    def predict_structure(self, struct: "StructureLike", d_t: float = 4.0,
                           w_t: float = 0.4, canonical_frame: bool = False
                           ) -> Tuple[float, np.ndarray]:
         """Predict (value, per-atom GA scores) for one structure (or a
@@ -466,7 +470,8 @@ class Scann:
             done.append(rung)
         return done
 
-    def predict_structures(self, structs: List[Structure], d_t: float = 4.0,
+    def predict_structures(self, structs: List["StructureLike"],
+                           d_t: float = 4.0,
                            w_t: float = 0.4,
                            featurize_pool: int = 0,
                            batch_size: Optional[int] = None,

@@ -26,20 +26,21 @@ def main(argv=None):
     preds, gas = scann.predict_data(buckets, with_ga=True)
 
     hyper = scann.config.hyper
-    # restore dataset order; packed buckets (tpu.structure_packing) carry
-    # 2-D [slots, SEG] targets/indices with -1 for empty segments
+    # restore dataset order (packed-layout handling lives in the helpers)
     import numpy as np
+
+    from scann_tpu.train.loop import (
+        bucket_structure_indices,
+        bucket_structure_targets,
+    )
 
     targets = []
     order = []
     for b in buckets:
-        y = np.asarray(b.targets, np.float64) * hyper.target_std + hyper.target_mean
-        ix = np.asarray(b.indices)
-        if ix.ndim == 2:
-            valid = ix >= 0
-            y, ix = y[valid], ix[valid]
+        y = (bucket_structure_targets(b).astype(np.float64)
+             * hyper.target_std + hyper.target_mean)
         targets.extend(y.tolist())
-        order.extend(ix.tolist())
+        order.extend(bucket_structure_indices(b).tolist())
     t = np.zeros(len(order), np.float64)
     t[np.asarray(order)] = targets
 

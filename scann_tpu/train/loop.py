@@ -46,8 +46,28 @@ class TrainState:
 
 
 # jitted model.init wrappers, keyed by the model's config-printing repr —
-# equal-config Trainers share one compiled init executable (init_state)
+# equal-config Trainers share one compiled init executable (init_state).
+# Bounded: a config sweep in one process would otherwise accumulate one
+# compiled executable per distinct config forever.
 _INIT_CACHE: Dict[str, Any] = {}
+_INIT_CACHE_MAX = 16
+
+
+def bucket_structure_indices(b) -> np.ndarray:
+    """Per-structure original dataset indices of a (Packed)Bucket, in the
+    bucket's row order — packed slots yield valid segments in
+    (slot, segment) order. The single source of truth for the '2-D
+    [slots, SEG] indices with -1 for empty segments' packed layout."""
+    ix = np.asarray(b.indices)
+    return ix[ix >= 0] if ix.ndim == 2 else ix[: b.num_structures]
+
+
+def bucket_structure_targets(b) -> np.ndarray:
+    """Per-structure targets aligned with ``bucket_structure_indices``."""
+    y = np.asarray(b.targets)
+    if y.ndim == 2:
+        return y[np.asarray(b.indices) >= 0]
+    return y[: b.num_structures]
 
 
 def r2_score(y_true: np.ndarray, y_pred: np.ndarray) -> float:
@@ -144,6 +164,8 @@ class Trainer:
         key = repr(self.model)
         init_fn = _INIT_CACHE.get(key)
         if init_fn is None:
+            if len(_INIT_CACHE) >= _INIT_CACHE_MAX:
+                _INIT_CACHE.pop(next(iter(_INIT_CACHE)))  # FIFO eviction
             model = self.model
             init_fn = _INIT_CACHE.setdefault(
                 key, jax.jit(lambda rng, x: model.init(rng, x,
@@ -722,11 +744,7 @@ class Trainer:
             self._predict_fwd = jax.jit(fwd)
         fwd = self._predict_fwd
 
-        def bucket_indices(b):
-            """Per-structure original indices, in the bucket's row order
-            (packed slots: valid segments in (slot, segment) order)."""
-            ix = np.asarray(b.indices)
-            return ix[ix >= 0] if ix.ndim == 2 else ix[: b.num_structures]
+        bucket_indices = bucket_structure_indices
 
         # map original dataset indices -> compact output positions, so a
         # proper SUBSET of buckets (e.g. test_buckets) scatters correctly

@@ -142,6 +142,9 @@ def test_predict_files_cli_same_basename_not_overwritten(workdir, tmp_path):
 
 
 def test_predict_model_cli(workdir):
+    """Full-dataset inference pickles (reference predict_model.py:50-92)."""
+    if not os.path.exists("trained/model_homo"):  # standalone-run safety
+        train_main(["homo", "config.yaml", "--epochs", "2"])
     predict_model_main(["trained/model_homo", "--out", "full_preds"])
     with open("full_preds/energy_pre_homo.pickle", "rb") as f:
         data = pickle.load(f)
@@ -156,6 +159,9 @@ def test_predict_model_cli_packed(workdir):
     """predict_model over a model trained WITH structure packing: the saved
     config carries tpu.structure_packing, so the full-dataset prepare packs
     and the CLI must handle 2-D [slots, SEG] targets/indices."""
+    if not os.path.exists("trained/model_lumo"):  # standalone-run safety
+        train_main(["lumo", "config.yaml", "--epochs", "2",
+                    "--structure-packing"])
     predict_model_main(["trained/model_lumo", "--out", "full_preds_packed"])
     with open("full_preds_packed/energy_pre_lumo.pickle", "rb") as f:
         data = pickle.load(f)
