@@ -39,11 +39,22 @@ def _random_molecule(rng, n_atoms: int, species=("H", "C", "N", "O", "F")):
 
 
 def _random_crystal(rng, n_atoms: int, species=("Si", "O", "Al", "Fe", "Mg")):
-    a = rng.uniform(3.5, 6.5)
-    lattice = np.diag([a, a * rng.uniform(0.9, 1.2), a * rng.uniform(0.9, 1.2)])
-    frac = rng.uniform(0, 1, size=(n_atoms, 3))
+    """Jittered-grid placement at solid-like density (~16 A^3/atom).
+
+    The cell volume scales with the atom count and every pair keeps a
+    guaranteed minimum separation — uniform positions in a fixed-size cell
+    (the previous scheme) put large synthetic crystals at unphysical
+    density with near-coincident atoms, which degenerates the Voronoi
+    cells that featurization is built on."""
+    g = int(np.ceil(n_atoms ** (1.0 / 3.0)))
+    pitch = rng.uniform(2.3, 2.7)  # ~ bond-length scale
+    sites = np.stack(
+        np.meshgrid(*[np.arange(g)] * 3, indexing="ij"), -1).reshape(-1, 3)
+    pick = rng.choice(len(sites), size=n_atoms, replace=False)
+    coords = (sites[pick] + 0.5 + rng.uniform(-0.2, 0.2, (n_atoms, 3))) * pitch
+    lattice = np.diag([g * pitch] * 3)
     syms = [str(rng.choice(species)) for _ in range(n_atoms)]
-    return syms, frac @ lattice, lattice
+    return syms, coords, lattice
 
 
 def _synthetic_target(syms, coords) -> float:

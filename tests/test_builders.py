@@ -258,3 +258,23 @@ def test_as_object_array_stays_1d_for_uniform_shapes():
     assert arr.dtype == object and arr.shape == (3,)
     collapsed = np.asarray(uniform, dtype=object)
     assert collapsed.ndim != 1  # the trap this helper exists to avoid
+
+
+def test_synthetic_crystals_are_physically_plausible():
+    """The synthetic crystal generator scales cell volume with atom count
+    and guarantees a minimum pair separation (jittered grid) — uniform
+    positions in a fixed cell produced near-coincident atoms at large N,
+    degenerating the Voronoi cells featurization is built on."""
+    from scann_tpu.data.synthetic import _random_crystal
+
+    rng = np.random.default_rng(0)
+    for n in (8, 30, 90):
+        syms, coords, lat = _random_crystal(rng, n)
+        assert len(syms) == n and coords.shape == (n, 3)
+        d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        assert d.min() > 1.2  # no near-coincident pairs
+        vol_per_atom = np.prod(np.diag(lat)) / n
+        assert 10.0 < vol_per_atom < 60.0  # solid-like density
+        # all atoms inside the cell
+        assert (coords >= 0).all() and (coords <= np.diag(lat)).all()
