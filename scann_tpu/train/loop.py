@@ -439,14 +439,25 @@ class Trainer:
 
     # --- device-resident data ------------------------------------------------
 
-    def _put_buckets(self, buckets: List[PackedBucket], tag: str):
+    def _put_buckets(self, buckets: List[PackedBucket], tag: str,
+                     ladder_pad: bool = False):
         """Push bucket arrays to device (replicated) once; cache by identity.
 
         The cached entry keeps a reference to the bucket: without it, a
         GC'd bucket's id() could be recycled by a NEW dataset's bucket and
         the cache would silently serve the old dataset's device arrays.
         Entries for a tag are evicted when that tag is re-put with
-        different buckets, so swapping datasets frees the old HBM copies."""
+        different buckets, so swapping datasets frees the old HBM copies.
+
+        ``ladder_pad`` wrap-pads the ROW count (slots) up to a quantized
+        ladder before the device put. The jitted eval scan specializes on
+        the bucket's total row count, so without it every split's first
+        eval pays its own full compile (~200 s over the shared tunnel at
+        flagship shapes); with it the valid and test splits usually land
+        on the same rung and share ONE compiled shape. Row order is
+        preserved (pad rows wrap from the start), so callers' ``[:S]``
+        trims stay correct. Never used for training buckets — pad rows
+        would be trained on."""
         live = {(tag, id(b)) for b in buckets}
         for key in [k for k in self._device_buckets
                     if k[0] == tag and k not in live]:
@@ -455,10 +466,20 @@ class Trainer:
         for b in buckets:
             key = (tag, id(b))
             if key not in self._device_buckets:
+                inputs, targets = b.inputs, b.targets
+                if ladder_pad:
+                    from scann_tpu.api import _ladder
+
+                    S = len(targets)
+                    L = _ladder(S, max(1, self.config.hyper.batch_size))
+                    if L > S:
+                        idx = np.arange(L) % S
+                        inputs = {k: v[idx] for k, v in inputs.items()}
+                        targets = targets[idx]
                 self._device_buckets[key] = (
                     b,
-                    jax.device_put(b.inputs, self._repl),
-                    jax.device_put(b.targets, self._repl),
+                    jax.device_put(inputs, self._repl),
+                    jax.device_put(targets, self._repl),
                 )
             out.append(self._device_buckets[key][1:])
         return out
@@ -563,7 +584,8 @@ class Trainer:
                                training=False, batch_size=slot_bs)
 
         dev_train = self._put_buckets(train_buckets, "train")
-        dev_valid = self._put_buckets(valid_buckets, "valid")
+        dev_valid = self._put_buckets(valid_buckets, "valid",
+                                      ladder_pad=True)
 
         os.makedirs(self.workdir, exist_ok=True)
         from scann_tpu.config import save_config
@@ -692,7 +714,7 @@ class Trainer:
         # the traced eval_epoch batches at the slot batch fit() resolved
         self._preresolve_tiles(test_buckets, training=False,
                                batch_size=getattr(self, "_slot_batch", None))
-        dev = self._put_buckets(test_buckets, "test")
+        dev = self._put_buckets(test_buckets, "test", ladder_pad=True)
         mae, r2, pred, y = self._evaluate_buckets(test_buckets, dev)
         std = self.config.hyper.target_std
         mean = self.config.hyper.target_mean
