@@ -251,3 +251,47 @@ def test_training_is_deterministic(packed, tmp_path):
         hists.append(tr.fit(train_b, val_b, epochs=3, log_fn=lambda s: None))
     np.testing.assert_array_equal(hists[0]["loss"], hists[1]["loss"])
     np.testing.assert_array_equal(hists[0]["val_mae"], hists[1]["val_mae"])
+
+
+def test_eval_buckets_ladder_pad_share_one_shape(tmp_path):
+    """Eval-tagged device buckets wrap-pad their slot count to a quantized
+    ladder so valid/test usually share ONE compiled eval shape; predictions
+    stay correct because pad rows wrap from the start and callers trim at
+    the original count."""
+    from scann_tpu.data.pipeline import PackedBucket
+
+    cfg = tiny_config(str(tmp_path))
+    t = Trainer(cfg)
+
+    def mk(S, seed):
+        rng = np.random.default_rng(seed)
+        inputs = {
+            "atomic": rng.integers(1, 5, size=(S, 4)).astype(np.int32),
+            "atom_mask": np.ones((S, 4, 1), np.float32),
+            "neighbors": np.zeros((S, 4, 2), np.int32),
+            "neighbor_mask": np.ones((S, 4, 2), np.float32),
+            "neighbor_weight": np.ones((S, 4, 2), np.float32),
+            "neighbor_distance": np.ones((S, 4, 2), np.float32),
+        }
+        y = rng.normal(size=S).astype(np.float32)
+        return PackedBucket(inputs=inputs, targets=y, indices=np.arange(S))
+
+    B = cfg.hyper.batch_size
+    valid, test = mk(B * 5 + 3, 0), mk(B * 5 + 9, 1)  # different S, same rung
+    (vi, vt), = t._put_buckets([valid], "valid", ladder_pad=True)
+    (ti, tt), = t._put_buckets([test], "test", ladder_pad=True)
+    # both land on the same ladder rung -> one compiled eval shape
+    assert vt.shape == tt.shape
+    assert vi["atomic"].shape == ti["atomic"].shape
+    # pad rows wrap from the start: first S rows are the original ones
+    np.testing.assert_array_equal(np.asarray(vt)[: len(valid.targets)],
+                                  valid.targets)
+    np.testing.assert_array_equal(
+        np.asarray(vi["atomic"])[: len(valid.targets)],
+        valid.inputs["atomic"])
+    # wrap content: row S equals row 0
+    np.testing.assert_array_equal(np.asarray(vt)[len(valid.targets)],
+                                  valid.targets[0])
+    # training buckets are NEVER padded
+    (bi, bt), = t._put_buckets([valid], "train")
+    assert bt.shape[0] == len(valid.targets)
