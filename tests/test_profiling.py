@@ -18,6 +18,10 @@ from scann_tpu.utils.profiling import Timer, trace
 
 
 def test_trace_captures_xplane(tmp_path):
+    # the profiler serializes metadata for EVERY live compiled executable;
+    # late in the suite (cross-test jit caches) that inflates this test from
+    # <1 s to ~50 s — drop accumulated executables first, we only need f
+    jax.clear_caches()
     logdir = str(tmp_path / "trace")
 
     @jax.jit
