@@ -27,7 +27,12 @@ def main(argv=None):
                              "before accepting requests, e.g. '30x14,96x32' "
                              "(atoms x neighbors; quantized to the serving "
                              "shape ladder). Avoids first-request XLA "
-                             "compile stalls (~45 s/shape on remote TPU)")
+                             "compile stalls (~45 s/shape on remote TPU). "
+                             "Default: the (M, N) bucket shapes the model "
+                             "was trained on (recorded in the run config)")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip startup pre-compilation entirely (first "
+                             "request per shape rung pays the XLA compile)")
     parser.add_argument("--canonical-frame", action="store_true",
                         help="rotate molecules into their principal-axes "
                              "frame before featurizing, so the same molecule "
@@ -38,8 +43,12 @@ def main(argv=None):
 
     from scann_tpu.serve import BatchedPredictor, PredictionServer
 
-    warmup_shapes = []
+    # None = auto (the trained model's recorded bucket shapes); [] = none
+    warmup_shapes = [] if args.no_warmup else None
     if args.warmup:
+        if args.no_warmup:
+            parser.error("--warmup and --no-warmup are mutually exclusive")
+        warmup_shapes = []
         try:
             for part in args.warmup.split(","):
                 m, n = part.lower().split("x")
@@ -53,7 +62,7 @@ def main(argv=None):
         featurize_pool=args.featurize_pool,
         canonical_frame=args.canonical_frame,
         warmup_shapes=warmup_shapes)
-    if warmup_shapes:
+    if predictor.warmed:
         print(f"warmed serving shapes: {predictor.warmed}")
     server = PredictionServer(predictor, host=args.host, port=args.port)
     try:

@@ -120,6 +120,11 @@ class TpuConfig:
     # factor) slots per step (~batch_size structures each). Disable to
     # batch hyper.batch_size slots instead (bigger effective batches).
     pack_preserve_batch: bool = True
+    # Padded (M, N) bucket shapes of the data this model was trained on,
+    # recorded by Trainer.fit into the run dir's config.yaml. Serving warms
+    # (pre-compiles) these rungs by default so first requests don't pay XLA
+    # compile stalls (~45 s/shape over a remote TPU); see cli/serve.py.
+    observed_buckets: Optional[list] = None
 
 
 @dataclass

@@ -89,7 +89,14 @@ class BatchedPredictor:
         # BEFORE accepting requests, so first clients don't pay XLA compiles
         # (measured 14.9 s cold-start p95 on TPU, benchmarks/serve_latency.json)
         # (batch_size defaults inside warmup_serving to hyper.batch_size —
-        # the SAME device batch size predict_structures chunks with)
+        # the SAME device batch size predict_structures chunks with).
+        # warmup_shapes=None (the default) warms the (M, N) bucket shapes the
+        # model was TRAINED on (Trainer.fit records them into the run
+        # config), so a freshly loaded model serves its own data
+        # distribution compile-free; pass [] to skip warmup entirely.
+        if warmup_shapes is None:
+            warmup_shapes = [tuple(s) for s in
+                             (scann.config.tpu.observed_buckets or [])]
         self.warmed = (scann.warmup_serving(warmup_shapes)
                        if warmup_shapes else [])
         self._worker = threading.Thread(target=self._run, daemon=True)

@@ -588,6 +588,14 @@ class Trainer:
                                       ladder_pad=True)
 
         os.makedirs(self.workdir, exist_ok=True)
+        # record the data's padded (M, N) bucket shapes: serving pre-compiles
+        # these rungs by default (cli/serve.py), so a freshly trained model
+        # comes up without first-request XLA compile stalls
+        self.config.tpu.observed_buckets = [
+            list(s) for s in sorted({
+                (int(b.inputs["neighbors"].shape[1]),
+                 int(b.inputs["neighbors"].shape[2]))
+                for b in list(train_buckets) + list(valid_buckets)})]
         from scann_tpu.config import save_config
         save_config(self.config, os.path.join(self.workdir, "config.yaml"))
 

@@ -450,6 +450,29 @@ def test_batched_predictor_warmup_shapes(scann):
         p.close()
 
 
+def test_batched_predictor_default_warmup_from_observed_buckets(scann):
+    """With no warmup_shapes given, the predictor warms the (M, N) bucket
+    shapes training recorded into the config (observed_buckets), so a
+    freshly loaded model serves its own data distribution compile-free;
+    an explicit [] still means "no warmup"."""
+    prev = scann.config.tpu.observed_buckets
+    scann.config.tpu.observed_buckets = [[3, 3], [9, 5]]
+    try:
+        p = BatchedPredictor(scann, max_batch=16, window_ms=5.0)
+        try:
+            assert p.warmed == [(8, 8), (16, 8)]
+        finally:
+            p.close()
+        p2 = BatchedPredictor(scann, max_batch=16, window_ms=5.0,
+                              warmup_shapes=[])
+        try:
+            assert p2.warmed == []
+        finally:
+            p2.close()
+    finally:
+        scann.config.tpu.observed_buckets = prev
+
+
 def test_warmup_requires_state():
     cfg = ScannConfig(
         model=ModelConfig(n_atoms=95, embedding_dim=8, n_attention=1,

@@ -59,6 +59,14 @@ class TestTrainer:
         assert os.path.exists(tr.workdir + "/report.txt")
         assert os.path.exists(tr.workdir + "/config.yaml")
         assert os.path.exists(tr.workdir + "/metrics.jsonl")
+        # fit records the data's padded (M, N) bucket shapes into the saved
+        # config — serving pre-compiles these rungs by default
+        from scann_tpu.config import load_config
+        saved = load_config(tr.workdir + "/config.yaml")
+        want = sorted({(int(b.inputs["neighbors"].shape[1]),
+                        int(b.inputs["neighbors"].shape[2]))
+                       for b in list(train_b) + list(val_b)})
+        assert [tuple(s) for s in saved.tpu.observed_buckets] == want
 
     def test_checkpoint_roundtrip(self, packed, tmp_path):
         train_b, val_b, _, _, _ = packed
