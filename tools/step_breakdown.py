@@ -1,10 +1,13 @@
 """Measured on-device step breakdown for the fused training path.
 
-``jax.profiler.trace`` hangs over the axon tunnel (NEXT.md, verified rounds
-2-3), so this is the repo's measured profiling story (SURVEY.md §5.1): time
+Wall-clock half of the measured profiling story (SURVEY.md §5.1): time
 each component of the QM9 (or MP2018) training step separately on the real
 chip and report achieved TFLOP/s + MFU per component beside the analytic
-FLOP model (``utils/flops.py``). Components:
+FLOP model (``utils/flops.py``). The other half is
+``tools/capture_trace.py`` — a real ``jax.profiler`` device trace of the
+same step body (it hung over the axon tunnel rounds 2-3 but works as of
+late round 3; its device-busy numbers cross-check these wall-clock ones).
+Components:
 
 - ``forward_eval``   — the fused forward kernel alone (eval path),
 - ``train_kernel``   — the one-shot forward+RMSE-residual+backward kernel,
@@ -45,7 +48,15 @@ def _timeit(fn, *args, iters=20, reps=5):
     return best
 
 
-def main(case: str = "qm9"):
+def build_case(case: str = "qm9"):
+    """Construct the measured training-step pieces for one benchmark case.
+
+    Returns a dict with the jitted callables (``fwd``, ``kern``, ``epoch``),
+    their arguments (``params``/``state``/``inputs``/``y``), the shape tuple
+    and the analytic per-step FLOP counts — shared by the wall-clock
+    breakdown below and by ``tools/capture_trace.py`` (the on-device
+    profiler), so both measure exactly the Trainer's step body.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -120,6 +131,22 @@ def main(case: str = "qm9"):
 
     ep = jax.jit(epoch, donate_argnums=(0,))
     state = (params, tx.init(params), jnp.zeros((), jnp.int32))
+    return {
+        "case": case, "cfg": cfg, "B": B, "M": M, "N": N,
+        "fwd": fwd, "kern": kern_j, "epoch": ep, "scan_steps": 32,
+        "params": params, "state": state, "inputs": inputs, "y": y,
+        "forward_flops_per_step": fwd_f, "train_flops_per_step": trn_f,
+    }
+
+
+def main(case: str = "qm9"):
+    import jax
+
+    c = build_case(case)
+    B, M, N = c["B"], c["M"], c["N"]
+    fwd, kern_j, ep = c["fwd"], c["kern"], c["epoch"]
+    params, state, inputs, y = c["params"], c["state"], c["inputs"], c["y"]
+    fwd_f, trn_f = c["forward_flops_per_step"], c["train_flops_per_step"]
 
     t_fwd = _timeit(fwd, {"params": params}, inputs)
     t_kern = _timeit(kern_j, params, inputs, y)
