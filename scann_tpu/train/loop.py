@@ -173,17 +173,23 @@ class Trainer:
         params = init_fn(jax.random.PRNGKey(seed), example_inputs)["params"]
         params = jax.device_put(params, self._repl)
         opt_state = self.tx.init(params)
-        self.state = TrainState(params=params, opt_state=opt_state,
-                                step=jnp.zeros((), jnp.int32))
+        # commit the WHOLE state to the replicated mesh sharding: an
+        # uncommitted scalar (opt count / step) comes back mesh-committed
+        # from the first jitted epoch, which changes the jit signature and
+        # silently re-compiles the whole-epoch executable on epoch 2
+        # (measured: a second 526 s Mosaic compile at the packed QM9 shape)
+        self.state = jax.device_put(
+            TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32)), self._repl)
         return self.state
 
     def load_params(self, params: Any):
         """Install externally-loaded params (e.g. from the H5 converter)."""
         params = params.get("params", params)
-        params = jax.device_put(params, self._repl)
-        opt_state = self.tx.init(params)
-        self.state = TrainState(params=params, opt_state=opt_state,
-                                step=jnp.zeros((), jnp.int32))
+        opt_state = self.tx.init(jax.device_put(params, self._repl))
+        self.state = jax.device_put(
+            TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32)), self._repl)
         return self.state
 
     def load_optimizer(self, count: int, mu: Any, nu: Any):
@@ -209,11 +215,12 @@ class Trainer:
                 f"optimizer slot pytree does not match the model params: {e}"
             ) from e
         opt_state = base._replace(count=jnp.asarray(count, base.count.dtype),
-                                  mu=jax.device_put(new_mu, self._repl),
-                                  nu=jax.device_put(new_nu, self._repl))
-        self.state = TrainState(params=self.state.params,
-                                opt_state=opt_state,
-                                step=jnp.asarray(count, jnp.int32))
+                                  mu=new_mu, nu=new_nu)
+        # device_put the whole state: see init_state — uncommitted scalars
+        # would re-compile the epoch executable on their second use
+        self.state = jax.device_put(
+            TrainState(params=self.state.params, opt_state=opt_state,
+                       step=jnp.asarray(count, jnp.int32)), self._repl)
         return self.state
 
     # --- jitted steps --------------------------------------------------------

@@ -19,14 +19,23 @@ from typing import Dict, Iterator
 
 
 @contextlib.contextmanager
-def trace(logdir: str) -> Iterator[None]:
+def trace(logdir: str, python_tracer: bool = True) -> Iterator[None]:
     """Capture a jax.profiler trace into ``logdir``.
 
     View with TensorBoard (``tensorboard --logdir <logdir>``) or xprof.
+
+    ``python_tracer=False`` drops per-Python-call host events. Use it for
+    long windows: the Chrome-trace export caps at ~1e6 events, and a busy
+    host (e.g. value fetches that busy-wait over the axon tunnel) floods
+    the cap with nested Python frames, truncating the DEVICE lanes
+    (observed on the packed-epoch capture, tools/capture_trace.py).
     """
     import jax
 
-    jax.profiler.start_trace(logdir)
+    opts = jax.profiler.ProfileOptions()
+    if not python_tracer:
+        opts.python_tracer_level = 0
+    jax.profiler.start_trace(logdir, profiler_options=opts)
     try:
         yield
     finally:

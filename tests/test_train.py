@@ -261,6 +261,36 @@ def test_training_is_deterministic(packed, tmp_path):
     np.testing.assert_array_equal(hists[0]["val_mae"], hists[1]["val_mae"])
 
 
+def test_state_signature_stable_across_epochs(packed, tmp_path):
+    """The jit signature of the training state must not change after the
+    first epoch: init_state commits EVERY leaf (incl. the Adam count and
+    step scalars) to the replicated mesh sharding, so epoch 2 reuses the
+    epoch-1 executable. Before this was pinned, the uncommitted scalars
+    came back mesh-committed from epoch 1 and the whole-epoch executable
+    silently recompiled (measured: a second 526 s Mosaic compile at the
+    packed QM9 shape on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    train_b, _, _, _, _ = packed
+    cfg = tiny_config(str(tmp_path))
+    t = Trainer(cfg)
+    t._lr_fn = make_cosine_lr(cfg.hyper.lr, cfg.hyper.min_lr, 8, 10)
+    t._make_steps()
+    t.init_state({k: v[:1] for k, v in train_b[0].inputs.items()}, seed=0)
+    (bi, bt), = t._put_buckets([train_b[0]], "sig")
+
+    def sig(state):
+        return jax.tree.map(
+            lambda x: (x.aval.str_short(), str(x.sharding), bool(x.committed)),
+            state)
+
+    s0_sig = sig(t.state)
+    s1, _ = t._train_epoch(t.state, bi, bt, jax.random.PRNGKey(0),
+                           jnp.float32(0.0))
+    assert sig(s1) == s0_sig
+
+
 def test_eval_buckets_ladder_pad_share_one_shape(tmp_path):
     """Eval-tagged device buckets wrap-pad their slot count to a quantized
     ladder so valid/test usually share ONE compiled eval shape; predictions

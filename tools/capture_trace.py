@@ -168,10 +168,27 @@ def main(case: str = "qm9", logdir: str = ""):
         float(np.asarray(leaf).ravel()[0])
         return state
 
-    state = one_epoch(state, 0)
-    with trace(logdir):
+    import time
+
+    # TWO warm epochs: the first compiles against the freshly-initialized
+    # state's layout; its output state (donated buffers, device-committed)
+    # can have a DIFFERENT jit signature, so the second call may compile
+    # again — observed on the packed Trainer path (526 s Mosaic recompile
+    # inside the trace window). The second warm epoch absorbs that.
+    warm_s = []
+    for w in range(2):
+        t0 = time.perf_counter()
+        state = one_epoch(state, w)
+        warm_s.append(round(time.perf_counter() - t0, 3))
+    # python_tracer off: epoch-long windows with tunnel value fetches
+    # otherwise flood the ~1e6-event Chrome-trace cap with Python frames,
+    # truncating the device lanes
+    epoch_walls = []
+    with trace(logdir, python_tracer=False):
         for e in range(N_TRACED_EPOCHS):
-            state = one_epoch(state, e + 1)
+            t0 = time.perf_counter()
+            state = one_epoch(state, e + 2)
+            epoch_walls.append(round(time.perf_counter() - t0, 3))
 
     summary = parse_device_trace(logdir)
     n_steps = N_TRACED_EPOCHS * steps_per_epoch
@@ -182,6 +199,8 @@ def main(case: str = "qm9", logdir: str = ""):
     summary.update({
         "case": case, "B": c["B"], "M": c["M"], "N": c["N"],
         "steps_traced": n_steps,
+        "warm_epoch_wall_s": warm_s,
+        "traced_epoch_wall_s": epoch_walls,
         "device_ms_per_step": round(dev_step_us / 1e3, 4),
         "device_structures_per_sec": round(
             structs_per_step / (dev_step_us / 1e6), 1),
