@@ -24,19 +24,23 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
 
-def _build_library(force: bool = False) -> Optional[str]:
-    so_path = os.path.join(_BUILD_DIR, "libscannpacker.so")
+def build_shared_library(src: str, lib_name: str, force: bool = False) -> Optional[str]:
+    """Compile ``src`` (a C++ file under ``native/``) into
+    ``native/build/<lib_name>`` with g++ -O3, caching by mtime. Returns the
+    library path, or None when no compiler is available (callers fall back
+    to their pure-Python paths)."""
+    so_path = os.path.join(_BUILD_DIR, lib_name)
     if (not force and os.path.exists(so_path)
-            and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
+            and os.path.getmtime(so_path) >= os.path.getmtime(src)):
         return so_path
     os.makedirs(_BUILD_DIR, exist_ok=True)
     # compile to a temp name and os.replace into place: an interrupted or
     # concurrent build must never leave a truncated .so at the cached path
     # (the mtime check would then skip rebuilding it forever)
-    tmp_path = os.path.join(_BUILD_DIR, f".libscannpacker.{os.getpid()}.so")
+    tmp_path = os.path.join(_BUILD_DIR, f".{lib_name}.{os.getpid()}.so")
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
              "-o", tmp_path],
             check=True, capture_output=True, timeout=120,
         )
@@ -45,7 +49,8 @@ def _build_library(force: bool = False) -> Optional[str]:
     except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         import warnings
 
-        warnings.warn(f"native packer build failed ({e}); using numpy fallback")
+        warnings.warn(f"native build of {os.path.basename(src)} failed ({e}); "
+                      "using pure-Python fallback")
         return None
     finally:
         if os.path.exists(tmp_path):
@@ -53,6 +58,10 @@ def _build_library(force: bool = False) -> Optional[str]:
                 os.remove(tmp_path)
             except OSError:
                 pass
+
+
+def _build_library(force: bool = False) -> Optional[str]:
+    return build_shared_library(_SRC, "libscannpacker.so", force=force)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -30,6 +30,7 @@ permutations + translations) reproduce records to fp noise
 from __future__ import annotations
 
 import itertools
+import os
 from typing import List
 
 import numpy as np
@@ -210,14 +211,10 @@ def _solid_angles_batch(centers: np.ndarray, polys: np.ndarray) -> np.ndarray:
     return sa
 
 
-def _voronoi_facets(home: np.ndarray, lattice: np.ndarray, n_home: int, cutoff: float):
-    """All Voronoi facets of the home atoms.
-
-    Returns per home atom a list of (neighbor_base_index, solid_angle,
-    distance) over every facet of its Voronoi cell. Solid angles are
-    evaluated in vectorized batches grouped by facet vertex count (the
-    scalar per-facet path was ~65% of featurization time).
-    """
+def _image_cloud(home: np.ndarray, lattice: np.ndarray, n_home: int, cutoff: float):
+    """The candidate point cloud both tessellation paths share: home atoms
+    first, then every periodic image within ``cutoff`` of the home cell.
+    Returns (points [P, 3], base_idx [P])."""
     na, nb, nc = _image_ranges(lattice, cutoff)
 
     shifts = [
@@ -231,16 +228,49 @@ def _voronoi_facets(home: np.ndarray, lattice: np.ndarray, n_home: int, cutoff: 
     for s in shifts:
         points.append(home + s @ lattice)
         base_idx.append(np.arange(n_home))
-    points = np.concatenate(points, axis=0)
-    base_idx = np.concatenate(base_idx, axis=0)
-
     # NOTE on a rejected optimization (measured round 3): pruning image
     # points beyond ``cutoff`` of the home bounding box halves qhull time
-    # (the remaining featurization floor) but perturbs KEPT facet solid
-    # angles by up to ~1e-2 — far points shape the rim vertices of strong
-    # facets — which would break the Monte-Carlo oracle's validation of the
-    # true periodic Voronoi geometry. The full image shell stays.
+    # but perturbs KEPT facet solid angles by up to ~1e-2 — far points
+    # shape the rim vertices of strong facets — which would break the
+    # Monte-Carlo oracle's validation of the true periodic Voronoi
+    # geometry. The full image shell stays (both paths).
+    return np.concatenate(points, axis=0), np.concatenate(base_idx, axis=0)
 
+
+def _voronoi_facets(home: np.ndarray, lattice: np.ndarray, n_home: int, cutoff: float,
+                    force: str | None = None):
+    """All Voronoi facets of the home atoms.
+
+    Returns per home atom a list of (neighbor_base_index, solid_angle,
+    distance) over every facet of its Voronoi cell. Dispatches to the
+    native C++ cell-clipping path (``native/voronoi_cell.cc`` — exact
+    per-atom cells, no global tessellation) when available, falling back
+    to the scipy/Qhull path on degenerate geometry, missing compiler, or
+    ``SCANN_TPU_NATIVE_VORONOI=0``. ``force`` pins a path for A/B tests
+    ("native" returns None instead of falling back; "scipy" skips native).
+
+    Facet VALUES are identical between the paths to floating-point noise
+    (both compute the same cells of the same point cloud); the per-atom
+    facet ORDER differs (clipping emits in candidate-distance order, qhull
+    in ridge-enumeration order) — callers must not rely on it, and
+    ``compute_voronoi_neighbors`` canonically re-sorts records anyway.
+    """
+    points, base_idx = _image_cloud(home, lattice, n_home, cutoff)
+    use_native = force != "scipy" and os.environ.get(
+        "SCANN_TPU_NATIVE_VORONOI", "1") != "0"
+    if use_native:
+        from scann_tpu.data.native_voronoi import voronoi_facets_native
+
+        res = voronoi_facets_native(points, n_home, base_idx)
+        if res is not None or force == "native":
+            return res
+    return _voronoi_facets_scipy(points, base_idx, n_home)
+
+
+def _voronoi_facets_scipy(points: np.ndarray, base_idx: np.ndarray, n_home: int):
+    """The scipy/Qhull path: one global Voronoi tessellation of the cloud,
+    solid angles evaluated in vectorized batches grouped by facet vertex
+    count (the scalar per-facet path was ~65% of featurization time)."""
     try:
         vor = Voronoi(points)
     except QhullError:
