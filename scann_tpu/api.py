@@ -554,9 +554,12 @@ class Scann:
                 idxs = [members[j % G] for j in range(s0, s0 + bs)]
                 batch = {k: np.concatenate([padded[i][k] for i in idxs])
                          for k in padded[members[0]]}
-                pred, ga = fwd(self.trainer.state.params, batch)
-                pred = np.asarray(pred) * hyper.target_std + hyper.target_mean
-                ga = np.asarray(ga)
+                # ONE device_get for both outputs: the transfers overlap, so
+                # a serving cycle pays one tunnel round-trip, not two
+                # (sequential np.asarray fetches measured ~30 ms each over
+                # the axon tunnel — they dominated the post-featurizer cycle)
+                pred, ga = jax.device_get(fwd(self.trainer.state.params, batch))
+                pred = pred * hyper.target_std + hyper.target_mean
                 for row, i in enumerate(idxs[: min(bs, G - s0)]):
                     na = len(structs[i])
                     results[i] = (float(pred[row]), ga[row, :na])
