@@ -91,8 +91,15 @@ def main():
     rng = np.random.default_rng(0)
     mols = make_molecules(64, rng)
 
-    # warmup: compile the serving forward for the ladder bucket
-    scann.predict_structures(mols[:4])
+    # warmup: run the WHOLE bench distribution once so every ladder rung it
+    # hits is compiled before measurement — the phases below then measure
+    # steady-state serving (production deployments warm their own data
+    # distribution the same way: BatchedPredictor warms the trained bucket
+    # shapes by default, or operator-supplied warmup_shapes). Cold-start
+    # compile cost is reported separately by warmup_s.
+    t0 = time.perf_counter()
+    scann.predict_structures(mols)
+    warmup_s = time.perf_counter() - t0
 
     # --- phase 1: sequential single-structure latency --------------------
     lat = []
@@ -148,6 +155,7 @@ def main():
                        "p95_ms": round(pctl(lat_c, 95) * 1e3, 1) if n_ok else None,
                        "errors": len(errs)},
         "featurize_only_ms_per_structure": round(feat_ms, 1),
+        "warmup_s": round(warmup_s, 1),  # cold-start: all rung compiles
         "host": {"cores": os.cpu_count()},
         "backend": jax.default_backend(),
     }
