@@ -92,6 +92,29 @@ class TestParityWithScipy:
                 np.testing.assert_allclose(ra[2:], rb[2:], rtol=0, atol=1e-8)
 
 
+@pytest.mark.slow
+class TestLargeScaleFuzz:
+    def test_large_sheared_crystal_and_fuzz(self):
+        # trajectory/ptgp-scale shapes, where the per-atom construction's
+        # advantage is largest (measured 17x at 240 sites), plus a fuzz
+        # sweep across assorted sizes — all must match scipy exactly
+        rng = np.random.default_rng(42)
+        g, pitch = 7, 2.5
+        sites = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
+                         -1).reshape(-1, 3)
+        pick = rng.choice(len(sites), size=240, replace=False)
+        coords = (sites[pick] + 0.5 + rng.uniform(-0.2, 0.2, (240, 3))) * pitch
+        L = np.array([[g * pitch, 0, 0], [3.0, g * pitch, 0],
+                      [1.5, 2.0, g * pitch]])
+        _assert_paths_agree(Structure(["Si"] * 240, coords, L))
+        for i in range(12):
+            if i % 2 == 0:
+                st = Structure(*_random_molecule(rng, int(rng.integers(4, 40))))
+            else:
+                st = Structure(*_random_crystal(rng, int(rng.integers(10, 100))))
+            _assert_paths_agree(st)
+
+
 class TestRobustness:
     def test_fallback_on_none(self, monkeypatch):
         # native returning None (geometric failure) must fall through to scipy
