@@ -271,7 +271,9 @@ def main():
         "flops_per_structure": round(qm9_fps),
         "measured_ref_baseline": (
             measured["qm9_b128_m32_n16"] if measured else None),
-        "packed": {
+        # the packed/secondary cases are skipped on the CPU fallback (each
+        # pays its own multi-minute CPU compile) — emit None, not a crash
+        "packed": None if packed is None else {
             "metric": "train_structures_per_sec_per_chip_qm9_packed",
             "value": round(packed, 1),
             "unit": "structures/s/chip",
@@ -287,7 +289,7 @@ def main():
             "occupancy": round(pslots.occupancy, 4),
             "slot_batch": slot_bs,  # ~128 structures per optimizer step
         },
-        "secondary": {
+        "secondary": None if mp is None else {
             "metric": "train_structures_per_sec_per_chip_mp2018_M96_scann_plus",
             "value": round(mp, 1),
             "unit": "structures/s/chip",

@@ -54,3 +54,26 @@ def test_scann_variant_step_parity():
     result = run_parity(model_cfg=cfg, n_structures=64, k_steps=4,
                         atol=1e-5, verbose=False)
     assert result["step_loss_max_diff"] <= 5e-4
+
+
+def test_ring_variant_step_parity():
+    """use_ring (the ptgp/fullerene workflow: extra_embed Dense(10) on
+    [ring, aromatic] flags, reference scann_model.py:367-371) gets the same
+    identical-weights forward/gradient/Adam-step guarantee."""
+    from compare_step_parity import run_parity
+
+    cfg = dict(SMALL_CFG, use_ring=True)
+    result = run_parity(model_cfg=cfg, n_structures=64, k_steps=4,
+                        atol=1e-5, verbose=False)
+    assert result["step_loss_max_diff"] <= 5e-4
+
+
+def test_cgcnn_variant_step_parity():
+    """feature='cgcnn' (92-dim descriptor embedding via a Dense 'embed_atom',
+    reference scann_model.py:363-365) gets the same guarantee."""
+    from compare_step_parity import run_parity
+
+    cfg = dict(SMALL_CFG, feature="cgcnn")
+    result = run_parity(model_cfg=cfg, n_structures=64, k_steps=4,
+                        atol=1e-5, verbose=False)
+    assert result["step_loss_max_diff"] <= 5e-4

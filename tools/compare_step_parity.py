@@ -72,13 +72,17 @@ def build_pair(model_cfg: dict, seed: int = 0):
     )
     trainer = Trainer(cfg)
     example = {
-        "atomic": np.zeros((1, 8), np.int32),
+        "atomic": (np.zeros((1, 8, 92), np.float32)
+                   if model_cfg.get("feature") == "cgcnn"
+                   else np.zeros((1, 8), np.int32)),
         "atom_mask": np.ones((1, 8, 1), np.float32),
         "neighbors": np.zeros((1, 8, 4), np.int32),
         "neighbor_mask": np.ones((1, 8, 4), np.float32),
         "neighbor_weight": np.ones((1, 8, 4), np.float32),
         "neighbor_distance": np.ones((1, 8, 4), np.float32),
     }
+    if model_cfg.get("use_ring"):
+        example["ring_aromatic"] = np.zeros((1, 8, 2), np.float32)
     trainer.init_state(example, seed)
 
     with tempfile.TemporaryDirectory() as td:
@@ -254,7 +258,9 @@ def run_parity(model_cfg=None, n_structures=128, k_steps=20, atol=1e-5,
 
     model_cfg = dict(model_cfg or dyn.MODEL_CFG)
     out_dir = tempfile.mkdtemp("stepparity")
-    buckets, tr, va = dyn.make_data(out_dir, n_structures)
+    buckets, tr, va = dyn.make_data(out_dir, n_structures,
+                                    use_ring=model_cfg.get("use_ring", False),
+                                    feature=model_cfg.get("feature", "atomic"))
     batches = dyn.bucket_to_tf_batches(buckets[0], tr, dyn.BATCH)
 
     tf_model, trainer = build_pair(model_cfg, seed=0)

@@ -48,7 +48,7 @@ LR, MIN_LR, BATCH = 1e-3, 1e-4, 32
 SGDR_T0, SGDR_TMULT, SGDR_COMPRESSION = 30, 2, 1.2
 
 
-def make_data(out_dir, n_structures):
+def make_data(out_dir, n_structures, use_ring=False, feature="atomic"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -56,8 +56,9 @@ def make_data(out_dir, n_structures):
     from scann_tpu.data.synthetic import make_synthetic_dataset
 
     e, n = make_synthetic_dataset(out_dir, n_structures=n_structures,
-                                  min_atoms=5, max_atoms=12, seed=11)
-    records, neighbors = load_dataset(e, n, target="homo")
+                                  min_atoms=5, max_atoms=12, seed=11,
+                                  with_ring=use_ring)
+    records, neighbors = load_dataset(e, n, target="homo", use_ring=use_ring)
     ys = np.array([r["target"] for r in records], np.float32)
     mean, std = float(ys.mean()), float(ys.std())
     for r in records:
@@ -65,7 +66,8 @@ def make_data(out_dir, n_structures):
     n_val = max(BATCH, n_structures // 8)
     tr, va, _ = split_data(n_structures, train_size=n_structures - n_val,
                            test_size=0, seed=0)
-    buckets = pack_dataset(records, neighbors, g_update=True, max_buckets=1)
+    buckets = pack_dataset(records, neighbors, g_update=True, max_buckets=1,
+                           use_ring=use_ring, feature=feature)
     return buckets, tr, va
 
 
