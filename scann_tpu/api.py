@@ -356,6 +356,22 @@ class Scann:
         self._require_state("predict_data")
         return self.trainer.predict(buckets, with_ga=with_ga)
 
+    def export_h5(self, path: str) -> str:
+        """Export the current parameters as a reference-layout Keras H5
+        (``model_weights`` groups, reference layer/variable naming —
+        ``compat.save_h5_weights``), so a model trained here can be handed
+        to reference-ecosystem tooling (notebooks, ``SCANN.load_model_infer``
+        pipelines keyed on the published H5 format,
+        reference scann_model.py:165-177)."""
+        import jax
+
+        self._require_state("export_h5")
+        from .compat import save_h5_weights
+
+        save_h5_weights(jax.device_get(self.trainer.state.params),
+                        self.config.model, path)
+        return path
+
     def _featurize_executor(self, n: int):
         """Persistent spawn-context featurization pool, created lazily.
         Spawn, not fork: forking a process that has initialized JAX's

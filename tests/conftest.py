@@ -11,6 +11,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-dominated on a
+# 1-core host (parity tests each jit a distinct kernel), and the CPU cache
+# works across processes (unlike the remote TPU Mosaic path, NEXT.md).
+# Measured: test_packed_gradients_match_unpacked 28.6s cold -> 9.6s warm.
+# Opt out with SCANN_TPU_TEST_JIT_CACHE=0; point elsewhere by exporting
+# JAX_COMPILATION_CACHE_DIR.
+if os.environ.get("SCANN_TPU_TEST_JIT_CACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "scann_tpu_pytest_xla"))
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -82,6 +82,30 @@ class TestScannLifecycle:
         got = np.asarray(scann2.trainer.state.params["after_Lc"]["kernel"])
         np.testing.assert_array_equal(got, ref)
 
+    def test_export_h5_round_trip(self, synth, tmp_path):
+        """Scann.export_h5 writes a reference-layout H5 that a second Scann
+        loads via the pretrained= path; predictions are identical — the
+        train-here / hand-to-reference-tooling round trip."""
+        e, n = synth
+        cfg = small_config(str(tmp_path / "exp"), e, n)
+        scann = Scann(cfg)
+        scann.prepare_dataset()
+        scann.train(epochs=1)
+        h5_path = scann.export_h5(str(tmp_path / "exported.h5"))
+
+        cfg2 = small_config(str(tmp_path / "exp2"), e, n)
+        reloaded = Scann(cfg2, pretrained=h5_path)
+        # carry the learned target scaler over (export_h5 stores weights
+        # only, like the reference's model_weights groups)
+        reloaded.config.hyper.target_mean = scann.config.hyper.target_mean
+        reloaded.config.hyper.target_std = scann.config.hyper.target_std
+        mol = Structure(["C", "O", "H"],
+                        [[0, 0, 0], [1.2, 0, 0], [-1.0, 0.4, 0]])
+        v1, ga1 = scann.predict_structure(mol)
+        v2, ga2 = reloaded.predict_structure(mol)
+        assert v1 == pytest.approx(v2, rel=1e-6)
+        np.testing.assert_allclose(ga1, ga2, rtol=1e-6)
+
     def test_finetune_continues_from_pretrained(self, synth, tmp_path):
         e, n = synth
         import json
