@@ -13,7 +13,11 @@ at two shapes:
 - secondary: MP2018 large-crystal bucket, batch 64, (M=96, N=32), reference
   configs/model_mp2018.yaml architecture (9 layers) — crystals of ~100 sites
   are the second accuracy target (BASELINE.md) and stress a completely
-  different padding/VMEM regime.
+  different padding/VMEM regime. Both shapes also report a "packed" variant
+  (data/packing.py structure packing, the production `tpu.structure_packing`
+  path): several structures share each padded slot, so the same per-slot
+  step trains more structures — credited throughput is STRUCTURES (valid
+  segments), not slots.
 
 Best of 3 epochs per shape (the shared TPU's load varies).
 
@@ -229,6 +233,37 @@ def main():
     mp_cfg.hyper.scheduler = "cosine"
     mp = None if on_cpu else run_case(mp_cfg, S=2048, M=96, N=32)
 
+    # packed crystals: the same MP2018 config trained with structure packing
+    # at an MP-like size spread (uniform 12-96 sites, mean ~54): ~1.7
+    # crystals share each 96-row slot. Same production path as the QM9
+    # packed case; slot batch sized so each step sees ~64 STRUCTURES like
+    # the reference's batch 64.
+    # OPT-IN (SCANN_BENCH_MP_PACKED=1): it pays a SECOND multi-minute
+    # crystal loop-kernel compile on top of the unpacked one, which under
+    # tenant load pushes the whole bench past a safe wall-clock budget
+    # (measured: the default three cases finish <10 min; with this case the
+    # run exceeded 15 min once). The measured number is recorded in
+    # benchmarks/ + NEXT.md instead of being re-paid every driver run.
+    mp_packed = mp_pslots = mp_slot_bs = None
+    if not on_cpu and os.environ.get("SCANN_BENCH_MP_PACKED") == "1":
+        mp_pslots = _synthetic_packed_slots(n_structs=3072, capacity=96,
+                                            N=32, max_segments=8, seed=0,
+                                            min_atoms=12, max_atoms=96)
+        mp_slot_bs = max(1, round(
+            64 * mp_pslots.num_slots / mp_pslots.num_structures))
+        if mp_slot_bs >= 16:
+            mp_slot_bs -= mp_slot_bs % 16
+        mpk_cfg = ScannConfig(model=mp_cfg.model,
+                              hyper=HyperConfig(
+                                  batch_size=mp_slot_bs, lr=1e-4, min_lr=5e-5,
+                                  target="e_f", scheduler="cosine",
+                                  save_path="/tmp/scann_tpu_bench_mp_packed"))
+        mp_packed = run_case(mpk_cfg, S=mp_pslots.num_slots, M=96, N=32,
+                             bucket=mp_pslots,
+                             count=mp_pslots.num_structures)
+        mp_packed_slot_rate = (mp_packed * mp_pslots.num_slots
+                               / mp_pslots.num_structures)
+
     # FLOP accounting -> TFLOP/s + MFU (round-2 VERDICT #2)
     from scann_tpu.utils.flops import peak_tflops, train_flops_per_structure
 
@@ -299,6 +334,21 @@ def main():
             "flops_per_structure": round(mp_fps),
             "measured_ref_baseline": (
                 measured["mp2018_b64_m96_n32"] if measured else None),
+            "packed": None if mp_packed is None else {
+                "metric": ("train_structures_per_sec_per_chip_"
+                           "mp2018_M96_packed"),
+                "value": round(mp_packed, 1),
+                "unit": "structures/s/chip",
+                "vs_baseline": round(mp_packed / mp_denom, 3),
+                "tflops_per_sec": round(
+                    mp_packed_slot_rate * mp_fps / 1e12, 2),
+                "mfu": (round(mp_packed_slot_rate * mp_fps / 1e12 / peak, 4)
+                        if peak else None),
+                "slots": mp_pslots.num_slots,
+                "structures": mp_pslots.num_structures,
+                "occupancy": round(mp_pslots.occupancy, 4),
+                "slot_batch": mp_slot_bs,
+            },
         },
     }
     if on_cpu:

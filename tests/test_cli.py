@@ -141,6 +141,22 @@ def test_predict_files_cli_same_basename_not_overwritten(workdir, tmp_path):
     assert os.path.exists("preds_dup/mol_2_ga.xyz")
 
 
+def test_export_cli(workdir, tmp_path):
+    """scann-export writes a reference-layout H5 from a run directory that
+    load_h5_params reads back identically."""
+    from scann_tpu.cli.export import main as export_main
+    from scann_tpu.compat import load_h5_params
+    from scann_tpu.config import load_config
+
+    if not os.path.exists("trained/model_homo"):  # standalone-run safety
+        train_main(["homo", "config.yaml", "--epochs", "2"])
+    out = str(tmp_path / "exported.h5")
+    export_main(["trained/model_homo", out])
+    cfg = load_config("trained/model_homo/config.yaml")
+    params = load_h5_params(out, cfg.model)
+    assert "after_Lc" in params and "global_attention" in params
+
+
 def test_predict_model_cli(workdir):
     """Full-dataset inference pickles (reference predict_model.py:50-92)."""
     if not os.path.exists("trained/model_homo"):  # standalone-run safety
