@@ -154,6 +154,7 @@ def test_export_cli(workdir, tmp_path):
     export_main(["trained/model_homo", out])
     cfg = load_config("trained/model_homo/config.yaml")
     params = load_h5_params(out, cfg.model)
+    params = params.get("params", params)
     assert "after_Lc" in params and "global_attention" in params
 
 
