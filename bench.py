@@ -202,15 +202,15 @@ def main():
     if not on_cpu:
         from __graft_entry__ import _synthetic_packed_slots
 
+        from scann_tpu.data.packing import packed_slot_batch
+
         pslots = _synthetic_packed_slots(n_structs=24576, capacity=32, N=16,
                                          max_segments=8, seed=0)
         # the production recipe (tpu.pack_preserve_batch): batch slots so
         # each optimizer step sees ~128 STRUCTURES, like the reference's
-        # batch 128; rounded down to a multiple of 16 so the fused batch
-        # tiles divide it (Trainer.fit applies the same rounding)
-        slot_bs = max(1, round(128 * pslots.num_slots / pslots.num_structures))
-        if slot_bs >= 16:
-            slot_bs -= slot_bs % 16
+        # batch 128 — the exact rounding Trainer.fit applies
+        slot_bs = packed_slot_batch(128, pslots.num_slots,
+                                    pslots.num_structures)
         pk_cfg = _flagship_config(batch_size=slot_bs)
         pk_cfg.hyper.save_path = "/tmp/scann_tpu_bench_packed"
         pk_cfg.hyper.scheduler = "cosine"
@@ -246,13 +246,13 @@ def main():
     # benchmarks/ + NEXT.md instead of being re-paid every driver run.
     mp_packed = mp_pslots = mp_slot_bs = None
     if not on_cpu and os.environ.get("SCANN_BENCH_MP_PACKED") == "1":
+        from scann_tpu.data.packing import packed_slot_batch
+
         mp_pslots = _synthetic_packed_slots(n_structs=3072, capacity=96,
                                             N=32, max_segments=8, seed=0,
                                             min_atoms=12, max_atoms=96)
-        mp_slot_bs = max(1, round(
-            64 * mp_pslots.num_slots / mp_pslots.num_structures))
-        if mp_slot_bs >= 16:
-            mp_slot_bs -= mp_slot_bs % 16
+        mp_slot_bs = packed_slot_batch(64, mp_pslots.num_slots,
+                                       mp_pslots.num_structures)
         mpk_cfg = ScannConfig(model=mp_cfg.model,
                               hyper=HyperConfig(
                                   batch_size=mp_slot_bs, lr=1e-4, min_lr=5e-5,
@@ -352,10 +352,16 @@ def main():
         },
     }
     if on_cpu:
-        out["note"] = ("CPU FALLBACK — axon TPU tunnel unreachable; "
-                       "vs_baseline is vs the MEASURED same-host TF-CPU "
-                       "reference (benchmarks/tf_reference_cpu.json), not "
-                       "the TF-GPU-equivalent denominator")
+        if measured:
+            out["note"] = ("CPU FALLBACK — axon TPU tunnel unreachable; "
+                           "vs_baseline is vs the MEASURED same-host TF-CPU "
+                           "reference (benchmarks/tf_reference_cpu.json), not "
+                           "the TF-GPU-equivalent denominator")
+        else:
+            out["note"] = ("CPU FALLBACK — axon TPU tunnel unreachable AND "
+                           "benchmarks/tf_reference_cpu.json is missing, so "
+                           "vs_baseline is CPU-rate / the TF-GPU-equivalent "
+                           "denominator and NOT meaningful")
         out["last_measured_on_tpu"] = LAST_ON_TPU
     print(json.dumps(out))
 

@@ -72,6 +72,29 @@ class PackedSlots:
         return float(am.sum() / (am.shape[0] * am.shape[1]))
 
 
+def packed_slot_batch(batch_size: int, n_slots: int, n_structs: int,
+                      n_devices: int = 1) -> int:
+    """Slots per optimizer step so each step sees ~``batch_size`` STRUCTURES.
+
+    The canonical ``tpu.pack_preserve_batch`` rounding, shared by
+    Trainer.fit, bench.py, and tools/capture_trace.py so every consumer
+    measures exactly the batch production training uses. The fused kernels'
+    batch tiles must DIVIDE the batch — an odd slot batch (e.g. 82 = 2*41)
+    silently forces batch_tile <= 2 (measured -20% on TPU) — so round down
+    to a multiple of 16 (the default fwd tile), falling back to 4, and the
+    multiple must also cover the mesh's data axis or shard_map rejects the
+    per-shard split at trace time."""
+    import math
+
+    slot_bs = max(1, round(batch_size * n_slots / max(1, n_structs)))
+    mult = n_devices
+    for cand in (16, 4):
+        if slot_bs >= math.lcm(cand, n_devices):
+            mult = math.lcm(cand, n_devices)
+            break
+    return max(mult, (slot_bs // mult) * mult)
+
+
 def plan_slots(
     atom_counts: np.ndarray,
     capacity: int,

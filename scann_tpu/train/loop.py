@@ -186,7 +186,8 @@ class Trainer:
     def load_params(self, params: Any):
         """Install externally-loaded params (e.g. from the H5 converter)."""
         params = params.get("params", params)
-        opt_state = self.tx.init(jax.device_put(params, self._repl))
+        params = jax.device_put(params, self._repl)
+        opt_state = self.tx.init(params)
         self.state = jax.device_put(
             TrainState(params=params, opt_state=opt_state,
                        step=jnp.zeros((), jnp.int32)), self._repl)
@@ -547,20 +548,10 @@ class Trainer:
         n_slots = sum(b.targets.shape[0] for b in train_buckets)
         if (n_structs > n_slots
                 and getattr(self.config.tpu, "pack_preserve_batch", True)):
-            slot_bs = max(1, round(hyper.batch_size * n_slots / n_structs))
-            # keep the fused kernels' batch tiles admissible: tiles must
-            # DIVIDE the batch, so an odd slot batch (e.g. 82 = 2*41)
-            # silently forces batch_tile <= 2 (measured -20% on TPU).
-            # Round down to a multiple of 16 (the default fwd tile) — and
-            # the multiple must also cover the mesh's data axis, or
-            # shard_map rejects the per-shard split at trace time.
-            n_dev = len(self.mesh.devices.flat)
-            mult = n_dev
-            for cand in (16, 4):
-                if slot_bs >= math.lcm(cand, n_dev):
-                    mult = math.lcm(cand, n_dev)
-                    break
-            slot_bs = max(mult, (slot_bs // mult) * mult)
+            from scann_tpu.data.packing import packed_slot_batch
+
+            slot_bs = packed_slot_batch(hyper.batch_size, n_slots, n_structs,
+                                        len(self.mesh.devices.flat))
         self._slot_batch = slot_bs
         steps_per_epoch = sum(
             -(-b.targets.shape[0] // slot_bs) for b in train_buckets

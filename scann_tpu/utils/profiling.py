@@ -32,10 +32,16 @@ def trace(logdir: str, python_tracer: bool = True) -> Iterator[None]:
     """
     import jax
 
-    opts = jax.profiler.ProfileOptions()
-    if not python_tracer:
-        opts.python_tracer_level = 0
-    jax.profiler.start_trace(logdir, profiler_options=opts)
+    # ProfileOptions / the profiler_options kwarg only exist in newer jax
+    # releases; on older versions fall back to a plain start_trace (the
+    # python tracer stays on — only long tunnel-bound windows need it off).
+    if hasattr(jax.profiler, "ProfileOptions"):
+        opts = jax.profiler.ProfileOptions()
+        if not python_tracer:
+            opts.python_tracer_level = 0
+        jax.profiler.start_trace(logdir, profiler_options=opts)
+    else:
+        jax.profiler.start_trace(logdir)
     try:
         yield
     finally:

@@ -70,6 +70,24 @@ def test_plan_slots_rejects_oversize():
         plan_slots(np.array([4, 40]), capacity=32)
 
 
+def test_packed_slot_batch_rounding():
+    from scann_tpu.data.packing import packed_slot_batch
+
+    # ~batch_size structures per step: 128 structures over 80 slots at
+    # packing factor 1.6 -> 80 slots/step, rounded to a multiple of 16
+    assert packed_slot_batch(128, 1000, 1600) == 80
+    # odd raw value rounds DOWN to the tile multiple (82 -> 80)
+    assert packed_slot_batch(131, 1000, 1600) == 80
+    # too small for the 16 tile: falls back to a multiple of 4
+    assert packed_slot_batch(8, 1000, 1600) == 4
+    # never below one slot / the device multiple
+    assert packed_slot_batch(1, 100, 800) == 1
+    # the multiple must cover the mesh data axis
+    assert packed_slot_batch(131, 1000, 1600, n_devices=8) % 8 == 0
+    assert packed_slot_batch(131, 1000, 1600, n_devices=8) == 80  # lcm(16,8)=16
+    assert packed_slot_batch(6, 1000, 1600, n_devices=8) == 8
+
+
 def test_pack_dataset_slots_layout(dataset):
     records, neighbors = dataset
     packed = pack_dataset_slots(records, neighbors, g_update=True,
@@ -268,15 +286,11 @@ def test_packed_training_end_to_end(tmp_path):
     rep = sc.train()
     assert rep["loss"][-1] < rep["loss"][0]
     # pack_preserve_batch (default): the slot batch shrank by the packing
-    # factor so each step still sees ~batch_size STRUCTURES (rounded down
-    # to a tile-admissible multiple, mirroring Trainer.fit)
-    import math
-    factor = packed.num_structures / packed.num_slots
-    expect = max(1, round(8 / factor))
-    n_dev = len(sc.trainer.mesh.devices.flat)
-    mult = next((math.lcm(c, n_dev) for c in (16, 4)
-                 if expect >= math.lcm(c, n_dev)), n_dev)
-    expect = max(mult, (expect // mult) * mult)
+    # factor so each step still sees ~batch_size STRUCTURES, via the one
+    # shared rounding helper (also used by bench.py / capture_trace.py)
+    from scann_tpu.data.packing import packed_slot_batch
+    expect = packed_slot_batch(8, packed.num_slots, packed.num_structures,
+                               len(sc.trainer.mesh.devices.flat))
     assert sc.trainer._slot_batch == expect
     # valid/test are packed too; evaluate rides the segment-aware eval path
     assert "segment_mask" in sc.test_buckets[0].inputs

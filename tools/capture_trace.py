@@ -108,11 +108,11 @@ def build_packed_case():
     from scann_tpu.train.schedules import make_cosine_lr
     from scann_tpu.utils.flops import train_flops_per_structure
 
+    from scann_tpu.data.packing import packed_slot_batch
+
     pslots = _synthetic_packed_slots(n_structs=8192, capacity=32, N=16,
                                      max_segments=8, seed=0)
-    slot_bs = max(1, round(128 * pslots.num_slots / pslots.num_structures))
-    if slot_bs >= 16:
-        slot_bs -= slot_bs % 16
+    slot_bs = packed_slot_batch(128, pslots.num_slots, pslots.num_structures)
     cfg = _flagship_config(batch_size=slot_bs)
     cfg.hyper.save_path = "/tmp/scann_tpu_trace_packed_run"
     cfg.hyper.scheduler = "cosine"
@@ -147,8 +147,13 @@ def main(case: str = "qm9", logdir: str = ""):
     from scann_tpu.utils.profiling import trace
     from tools.step_breakdown import PEAK_TFLOPS, build_case
 
-    logdir = logdir or f"/tmp/scann_tpu_trace_{case}"
-    shutil.rmtree(logdir, ignore_errors=True)
+    if logdir:
+        # a user-supplied logdir may hold previous captures — never wipe it
+        # (parse_device_trace picks the NEWEST trace, so stale ones are fine)
+        os.makedirs(logdir, exist_ok=True)
+    else:
+        logdir = f"/tmp/scann_tpu_trace_{case}"
+        shutil.rmtree(logdir, ignore_errors=True)
 
     c = build_packed_case() if case == "qm9_packed" else build_case(case)
     steps_per_epoch = c["scan_steps"]
@@ -201,14 +206,25 @@ def main(case: str = "qm9", logdir: str = ""):
         "steps_traced": n_steps,
         "warm_epoch_wall_s": warm_s,
         "traced_epoch_wall_s": epoch_walls,
-        "device_ms_per_step": round(dev_step_us / 1e3, 4),
-        "device_structures_per_sec": round(
-            structs_per_step / (dev_step_us / 1e6), 1),
         "train_flops_per_step": round(trn_f),
-        "measured_tflops_per_sec": round(trn_f / (dev_step_us / 1e6) / 1e12, 2),
-        "measured_mfu": round(
-            trn_f / (dev_step_us / 1e6) / 1e12 / PEAK_TFLOPS, 4),
     })
+    if dev_step_us > 0:
+        summary.update({
+            "device_ms_per_step": round(dev_step_us / 1e3, 4),
+            "device_structures_per_sec": round(
+                structs_per_step / (dev_step_us / 1e6), 1),
+            "measured_tflops_per_sec": round(
+                trn_f / (dev_step_us / 1e6) / 1e12, 2),
+            "measured_mfu": round(
+                trn_f / (dev_step_us / 1e6) / 1e12 / PEAK_TFLOPS, 4),
+        })
+    else:
+        # no /device:TPU module events captured (CPU fallback backend, or
+        # the tunnel dropped device events mid-capture) — still write the
+        # summary with what we have instead of crashing after the full run
+        summary["device_ms_per_step"] = None
+        summary["note"] = ("no device-lane module events in the trace; "
+                           "device-time metrics unavailable")
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     keep = os.path.join(repo, "benchmarks", "traces", case)
@@ -225,9 +241,14 @@ def main(case: str = "qm9", logdir: str = ""):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    kw = {}
-    for a in sys.argv[1:]:
-        if a.startswith("--logdir="):
-            kw["logdir"] = a.split("=", 1)[1]
-    main(args[0] if args else "qm9", **kw)
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Capture an on-device profiler trace of the train step")
+    p.add_argument("case", nargs="?", default="qm9",
+                   choices=["qm9", "mp2018", "qm9_packed"])
+    p.add_argument("--logdir", default="",
+                   help="trace output dir (default /tmp/scann_tpu_trace_<case>,"
+                        " which is cleared; a user-supplied dir is preserved)")
+    a = p.parse_args()
+    main(a.case, logdir=a.logdir)
