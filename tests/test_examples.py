@@ -89,3 +89,24 @@ def test_pretrained_h5_example(run_dir, tmp_path, capsys):
     assert "homo =" in got and "top GA:" in got
     val = float(got.split("homo =")[1].split()[0])
     assert np.isfinite(val)
+
+
+def test_packed_training_example_run_once(tmp_path):
+    """examples/packed_training.py run_once on a tiny packed config: the
+    demo's measurement dict carries occupancy/throughput/predictions and
+    the packed split really packs (occupancy above the bucketed ~0.7)."""
+    import packed_training
+
+    from scann_tpu.data.synthetic import make_synthetic_dataset
+
+    e, n = make_synthetic_dataset(str(tmp_path / "data"), n_structures=48,
+                                  min_atoms=4, max_atoms=16, seed=0)
+    tiny = {"n_atoms": 16, "embedding_dim": 8, "n_attention": 1,
+            "local_dim": 16, "num_head": 2, "global_dim": 16,
+            "dense_out": 8, "g_update": True}
+    res = packed_training.run_once(str(tmp_path / "run"), e, n, epochs=2,
+                                   packing=True, model=tiny)
+    assert res["occupancy"] > 0.85
+    assert res["structs_per_sec"] > 0
+    assert np.isfinite(res["val_mae"])
+    assert res["preds"].shape == (48,)
