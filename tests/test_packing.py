@@ -533,3 +533,46 @@ def test_packed_bulk_inference_split_false(tmp_path):
     sc2.trainer.state = sc.trainer.state  # same params
     preds2 = sc2.predict_data()
     np.testing.assert_allclose(preds, preds2, rtol=2e-5, atol=2e-6)
+
+
+def test_plan_slots_fuzz_invariants():
+    """Property test over random size distributions: every structure gets
+    exactly one non-overlapping row range, slots never exceed capacity or
+    max_segments, the plan is deterministic, and the slot count is sane
+    (between the volume lower bound and one slot per structure)."""
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        cap = int(rng.integers(8, 128))
+        max_seg = int(rng.integers(1, 12))
+        n = int(rng.integers(1, 200))
+        # mix of distributions: uniform, heavy-small, near-capacity
+        kind = trial % 3
+        if kind == 0:
+            counts = rng.integers(1, cap + 1, n)
+        elif kind == 1:
+            counts = np.minimum(cap, 1 + rng.poisson(max(1, cap // 6), n))
+        else:
+            counts = np.maximum(1, cap - rng.integers(0, 3, n))
+        slot_of, offset_of, segment_of, n_slots, max_used = plan_slots(
+            counts, cap, max_segments=max_seg)
+
+        assert max_used <= max_seg
+        assert n_slots <= len(counts)
+        assert n_slots >= -(-int(counts.sum()) // cap)  # volume lower bound
+        # per-slot invariants: within capacity, segment ids dense and
+        # ordered by offset, row ranges disjoint
+        for s in range(n_slots):
+            idx = np.where(slot_of == s)[0]
+            assert len(idx) >= 1
+            assert counts[idx].sum() <= cap
+            order = np.argsort(offset_of[idx])
+            idx = idx[order]
+            assert list(segment_of[idx]) == list(range(len(idx)))
+            end = 0
+            for i in idx:
+                assert offset_of[i] == end  # contiguous, no overlap/gap
+                end += counts[i]
+        # deterministic across calls
+        again = plan_slots(counts, cap, max_segments=max_seg)
+        for a, b in zip((slot_of, offset_of, segment_of), again[:3]):
+            np.testing.assert_array_equal(a, b)
