@@ -576,3 +576,42 @@ def test_plan_slots_fuzz_invariants():
         again = plan_slots(counts, cap, max_segments=max_seg)
         for a, b in zip((slot_of, offset_of, segment_of), again[:3]):
             np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_packed_sgdr_resume_matches_uninterrupted(tmp_path):
+    """Packing composes with checkpoint/resume: an SGDR training over
+    PACKED slots interrupted at epoch 3 and resumed reproduces the
+    uninterrupted run's lr AND loss trajectories exactly (the packed data
+    layout is deterministic, so the resumed epochs see identical batches)."""
+    from scann_tpu.api import Scann
+    from scann_tpu.config import ScannConfig
+    from scann_tpu.data.synthetic import make_synthetic_dataset
+
+    e, n = make_synthetic_dataset(str(tmp_path / "data"), n_structures=60,
+                                  min_atoms=4, max_atoms=14, seed=7)
+
+    def cfg(path):
+        return ScannConfig.from_dict({
+            "model": {"n_atoms": 16, "embedding_dim": 8, "n_attention": 1,
+                      "local_dim": 16, "num_head": 2, "global_dim": 16,
+                      "dense_out": 8},
+            "hyper": {"batch_size": 8, "scheduler": "sgdr", "target": "homo",
+                      "save_path": str(tmp_path / path),
+                      "data_energy_path": e, "data_nei_path": n},
+            "tpu": {"structure_packing": True, "pack_max_segments": 4},
+        })
+
+    full = Scann(cfg("full"))
+    full.prepare_dataset()
+    h_full = full.train(epochs=6)
+
+    part = Scann(cfg("resumed"))
+    part.prepare_dataset()
+    part.train(epochs=3)
+    res = Scann(cfg("resumed"))
+    res.prepare_dataset()
+    h_res = res.train(epochs=6, resume=True)
+
+    assert h_res["lr"] == pytest.approx(h_full["lr"][3:], rel=1e-6)
+    assert h_res["loss"] == pytest.approx(h_full["loss"][3:], rel=1e-4)
