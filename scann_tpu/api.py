@@ -146,6 +146,7 @@ class Scann:
         self.test_buckets = None
         self._serve_fwd = None  # cached jitted serving forward (+ its lock)
         self._serve_fwd_lock = threading.Lock()
+        self._exec_cache = None  # optional on-disk compiled-executable cache
         self._feat_pool = None  # persistent featurization pool (+ its lock)
         self._feat_pool_lock = threading.Lock()
 
@@ -456,6 +457,54 @@ class Scann:
                 self._serve_fwd = jax.jit(fwd)
         return self._serve_fwd
 
+    def enable_exec_cache(self, cache_dir: Optional[str] = None) -> str:
+        """Cache compiled serving executables on disk across processes.
+
+        Serving cold start pays one XLA/Pallas compile per ladder rung
+        (~45 s each remote; a full warmup measured 112-1192 s/process), and
+        JAX's persistent compilation cache does not cover the remote Mosaic
+        compile (verified round 3). With this enabled, a rung compiled by
+        ANY previous process on the same backend/model loads from
+        ``cache_dir`` in ~ms instead (``utils/exec_cache.py``; backends
+        without PjRt executable serialization silently fall back to plain
+        compiles). Default dir: ``{save_path}/exec_cache``."""
+        cache_dir = cache_dir or os.path.join(
+            self.config.hyper.save_path, "exec_cache")
+        from scann_tpu.utils.exec_cache import ExecutableCache
+
+        self._exec_cache = ExecutableCache(cache_dir)
+        return cache_dir
+
+    def _serve_call(self, params, batch):
+        """Run the serving forward: through the executable cache when
+        enabled, else the plain per-process cached jit."""
+        fwd = self._get_serve_fwd()
+        cache = self._exec_cache
+        if cache is None:
+            return fwd(params, batch)
+        from scann_tpu.utils.exec_cache import batch_signature
+
+        # key = model identity (architecture + parameter tree) + rung shape;
+        # the env fingerprint (backend/devices/jax version) is mixed in by
+        # the cache itself
+        psig = jax.tree_util.tree_map(
+            lambda x: (tuple(x.shape), str(x.dtype)), params)
+        key = "|".join(["serve_fwd", repr(self.config.model), repr(psig),
+                       batch_signature(batch)])
+        try:
+            out = cache.get_or_compile(key, fwd, params, batch)(params, batch)
+            # block HERE: a broken deserialized executable can fail lazily,
+            # when results are consumed — that must happen inside this try
+            return jax.block_until_ready(out)
+        except Exception:
+            # a loaded executable that fails at call time (stale entry for a
+            # changed model / an AOT reload this host can't execute) must
+            # degrade to the always-correct jit path, never take serving
+            # down; invalidating drops the bad entry so later calls and
+            # processes recompile instead of re-failing
+            cache.invalidate(key)
+            return fwd(params, batch)
+
     def warmup_serving(self, shapes: List[Tuple[int, int]],
                        batch_size: Optional[int] = None
                        ) -> List[Tuple[int, int]]:
@@ -475,14 +524,14 @@ class Scann:
         bs = batch_size or self.config.hyper.batch_size
         base_m = self.config.tpu.atoms_pad_multiple
         base_n = self.config.tpu.neighbors_pad_multiple
-        fwd = self._get_serve_fwd()
         done: List[Tuple[int, int]] = []
         for m, n in shapes:
             rung = (_ladder(int(m), base_m), _ladder(int(n), base_n))
             if rung in done:
                 continue
             batch = self._example_inputs(M=rung[0], N=rung[1], B=bs)
-            jax.block_until_ready(fwd(self.trainer.state.params, batch))
+            jax.block_until_ready(
+                self._serve_call(self.trainer.state.params, batch))
             done.append(rung)
         return done
 
@@ -559,8 +608,6 @@ class Scann:
         hyper = self.config.hyper
         S = len(structs)
 
-        fwd = self._get_serve_fwd()
-
         results: List[Optional[Tuple[float, np.ndarray]]] = [None] * S
         for (M, N), members in groups.items():
             padded = {i: repad(all_inputs[i], M, N) for i in members}
@@ -574,7 +621,8 @@ class Scann:
                 # a serving cycle pays one tunnel round-trip, not two
                 # (sequential np.asarray fetches measured ~30 ms each over
                 # the axon tunnel — they dominated the post-featurizer cycle)
-                pred, ga = jax.device_get(fwd(self.trainer.state.params, batch))
+                pred, ga = jax.device_get(
+                    self._serve_call(self.trainer.state.params, batch))
                 pred = pred * hyper.target_std + hyper.target_mean
                 for row, i in enumerate(idxs[: min(bs, G - s0)]):
                     na = len(structs[i])

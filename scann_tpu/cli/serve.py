@@ -33,6 +33,14 @@ def main(argv=None):
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip startup pre-compilation entirely (first "
                              "request per shape rung pays the XLA compile)")
+    parser.add_argument("--exec-cache", type=str, nargs="?", const="auto",
+                        default=None, metavar="DIR",
+                        help="persist compiled serving executables under DIR "
+                             "(default: {model_dir}/exec_cache) so restarts "
+                             "skip the per-shape XLA compile (~45 s/shape "
+                             "remote, 112-1192 s full warmup measured). "
+                             "Backends without executable serialization "
+                             "fall back to plain compiles")
     parser.add_argument("--canonical-frame", action="store_true",
                         help="rotate molecules into their principal-axes "
                              "frame before featurizing, so the same molecule "
@@ -61,7 +69,7 @@ def main(argv=None):
         args.model_dir, max_batch=args.max_batch, window_ms=args.window_ms,
         featurize_pool=args.featurize_pool,
         canonical_frame=args.canonical_frame,
-        warmup_shapes=warmup_shapes)
+        warmup_shapes=warmup_shapes, exec_cache=args.exec_cache)
     if predictor.warmed:
         print(f"warmed serving shapes: {predictor.warmed}")
     server = PredictionServer(predictor, host=args.host, port=args.port)

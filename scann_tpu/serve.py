@@ -63,7 +63,8 @@ class BatchedPredictor:
     def __init__(self, scann, max_batch: int = 64, window_ms: float = 5.0,
                  max_pending: int = 256, featurize_pool: int = 0,
                  owns_scann: bool = False, canonical_frame: bool = False,
-                 warmup_shapes: Optional[List[Tuple[int, int]]] = None):
+                 warmup_shapes: Optional[List[Tuple[int, int]]] = None,
+                 exec_cache: Optional[str] = None):
         self.scann = scann
         self.max_batch = max_batch
         self.window_ms = window_ms
@@ -94,6 +95,13 @@ class BatchedPredictor:
         # model was TRAINED on (Trainer.fit records them into the run
         # config), so a freshly loaded model serves its own data
         # distribution compile-free; pass [] to skip warmup entirely.
+        # exec_cache: persist compiled serving executables on disk so the
+        # warmup below loads rungs compiled by PREVIOUS processes in ~ms
+        # instead of ~45 s each ("auto" = {save_path}/exec_cache; see
+        # Scann.enable_exec_cache). Enabled BEFORE warmup on purpose.
+        if exec_cache is not None:
+            scann.enable_exec_cache(
+                None if exec_cache in ("", "auto") else exec_cache)
         if warmup_shapes is None:
             warmup_shapes = [tuple(s) for s in
                              (scann.config.tpu.observed_buckets or [])]

@@ -1,0 +1,216 @@
+"""Compiled-executable cache: cross-process serving warmup without
+recompiles (scann_tpu/utils/exec_cache.py).
+
+The cache serializes the compiled PjRt executable itself, so a fresh
+serving process loads each ladder rung in ~ms instead of paying the
+XLA/Pallas compile (~45 s/shape remote, 112-1192 s full warmup measured —
+NEXT.md). JAX's own persistent compilation cache does not cover the
+remote-TPU deployment (the remote Mosaic compile bypasses it), which is
+why this exists. The reference has no serving layer at all
+(scann_model.py stops at predict_data), so this subsystem is
+TPU-deployment-specific.
+"""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scann_tpu.utils.exec_cache import (
+    ExecutableCache,
+    batch_signature,
+    env_fingerprint,
+)
+
+
+def _f(x, y):
+    return jnp.tanh(x @ y) * 2.0
+
+
+JIT_F = jax.jit(_f)
+X = np.ones((16, 16), np.float32)
+
+
+class TestExecutableCache:
+    def test_compile_then_mem_hit(self, tmp_path):
+        cache = ExecutableCache(str(tmp_path))
+        fn = cache.get_or_compile("k", JIT_F, X, X)
+        out = np.asarray(fn(X, X))
+        np.testing.assert_allclose(out, np.asarray(JIT_F(X, X)), rtol=1e-6)
+        assert cache.stats["compiles"] == 1
+        fn2 = cache.get_or_compile("k", JIT_F, X, X)
+        assert fn2 is fn and cache.stats["mem_hits"] == 1
+
+    def test_fresh_instance_loads_from_disk(self, tmp_path):
+        """A new cache object on the same dir (= a new process) must load
+        the serialized executable instead of recompiling — unless this
+        backend cannot serialize, in which case it recompiles cleanly."""
+        a = ExecutableCache(str(tmp_path))
+        ref = np.asarray(a.get_or_compile("k", JIT_F, X, X)(X, X))
+        b = ExecutableCache(str(tmp_path))
+        fn = b.get_or_compile("k", JIT_F, X, X)
+        np.testing.assert_allclose(np.asarray(fn(X, X)), ref, rtol=1e-6)
+        if a.stats["save_errors"] == 0:  # backend supports serialization
+            assert b.stats["disk_hits"] == 1 and b.stats["compiles"] == 0
+        else:
+            assert b.stats["compiles"] == 1
+
+    def test_corrupt_entry_falls_back_and_is_dropped(self, tmp_path):
+        a = ExecutableCache(str(tmp_path))
+        a.get_or_compile("k", JIT_F, X, X)
+        files = [f for f in os.listdir(tmp_path) if f.endswith(".jexec")]
+        if not files:  # backend can't serialize: nothing to corrupt
+            pytest.skip("backend does not serialize executables")
+        path = os.path.join(tmp_path, files[0])
+        with open(path, "wb") as f:
+            f.write(b"not a pickle")
+        b = ExecutableCache(str(tmp_path))
+        out = np.asarray(b.get_or_compile("k", JIT_F, X, X)(X, X))
+        np.testing.assert_allclose(out, np.asarray(JIT_F(X, X)), rtol=1e-6)
+        assert b.stats["load_errors"] == 1 and b.stats["compiles"] == 1
+        # the recompile re-published a VALID entry over the corrupt one
+        c = ExecutableCache(str(tmp_path))
+        c.get_or_compile("k", JIT_F, X, X)
+        assert c.stats["disk_hits"] == 1 and c.stats["compiles"] == 0
+
+    def test_distinct_keys_distinct_entries(self, tmp_path):
+        cache = ExecutableCache(str(tmp_path))
+        cache.get_or_compile("k1", JIT_F, X, X)
+        y = np.ones((8, 8), np.float32)
+        cache.get_or_compile("k2", JIT_F, y, y)
+        assert cache.stats["compiles"] == 2
+
+    def test_env_fingerprint_covers_backend(self):
+        fp = env_fingerprint()
+        assert jax.__version__ in fp and jax.default_backend() in fp
+
+    def test_batch_signature_is_shape_stable(self):
+        b1 = {"a": np.zeros((2, 3)), "b": np.zeros((2,), np.int32)}
+        b2 = {"b": np.zeros((2,), np.int32), "a": np.ones((2, 3))}
+        assert batch_signature(b1) == batch_signature(b2)  # values ignored
+        b3 = {"a": np.zeros((2, 4)), "b": np.zeros((2,), np.int32)}
+        assert batch_signature(b1) != batch_signature(b3)
+
+    def test_stale_entry_for_changed_function_recompiles(self, tmp_path):
+        """Same key, same arg shapes, but a DIFFERENT function than the one
+        serialized: the loaded executable computes the old function — which
+        is exactly why the Scann key includes the model config and the
+        parameter tree. Here we pin the cache-layer contract: the loaded
+        executable runs (aval check passes), so key discipline is what
+        guarantees correctness."""
+        a = ExecutableCache(str(tmp_path))
+        a.get_or_compile("k", JIT_F, X, X)
+        if a.stats["save_errors"]:
+            pytest.skip("backend does not serialize executables")
+        g = jax.jit(lambda x, y: x + y)
+        b = ExecutableCache(str(tmp_path))
+        fn = b.get_or_compile("k", g, X, X)
+        assert b.stats["disk_hits"] == 1  # key collision -> old executable
+        np.testing.assert_allclose(np.asarray(fn(X, X)),
+                                   np.asarray(JIT_F(X, X)), rtol=1e-6)
+
+
+@pytest.mark.slow  # spins up a real (tiny) model
+class TestScannServingExecCache:
+    @pytest.fixture(scope="class")
+    def scann(self, tmp_path_factory):
+        from scann_tpu.api import Scann
+        from scann_tpu.config import (
+            HyperConfig, ModelConfig, ScannConfig, TpuConfig)
+
+        cfg = ScannConfig(
+            model=ModelConfig(n_atoms=95, embedding_dim=16, n_attention=2,
+                              local_dim=32, num_head=4, global_dim=32,
+                              dense_out=16, g_update=True),
+            hyper=HyperConfig(batch_size=4, target="homo",
+                              save_path=str(tmp_path_factory.mktemp("ec"))),
+            tpu=TpuConfig(use_pallas=False),
+        )
+        s = Scann(cfg)
+        s.trainer.init_state(s._example_inputs())
+        return s
+
+    def test_serving_with_cache_matches_plain_and_reloads(self, scann,
+                                                          tmp_path):
+        from scann_tpu.data.structure import Structure
+
+        water = Structure(["O", "H", "H"],
+                          [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+        co = Structure(["C", "O"], [[0, 0, 0], [1.13, 0, 0]])
+
+        plain = scann.predict_structures([water, co])
+
+        cache_dir = scann.enable_exec_cache(str(tmp_path / "ec"))
+        cached = scann.predict_structures([water, co])
+        first = scann._exec_cache.stats
+        assert first["compiles"] >= 1
+
+        # fresh cache object on the same dir simulates a NEW serving
+        # process: rungs come off disk (or recompile if the backend can't
+        # serialize, or fall back to the jit path if this host can't
+        # EXECUTE the reloaded AOT artifact — observed with XLA:CPU's
+        # machine-feature skew), and predictions are identical in any case
+        scann.enable_exec_cache(cache_dir)
+        reloaded = scann.predict_structures([water, co])
+        second = scann._exec_cache.stats
+        if first["save_errors"] == 0:
+            assert second["disk_hits"] >= 1
+            if second["invalidated"] == 0:  # reload actually executed
+                assert second["compiles"] == 0
+        for (a, _), (b, _), (c, _) in zip(plain, cached, reloaded):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+            np.testing.assert_allclose(a, c, rtol=1e-6)
+        for (_, ga), (_, gb), (_, gc) in zip(plain, cached, reloaded):
+            np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(ga, gc, rtol=1e-5, atol=1e-7)
+
+    def test_batched_predictor_wires_exec_cache(self, scann, tmp_path):
+        """serve.BatchedPredictor(exec_cache=...) enables the cache BEFORE
+        warmup, so the warmed rungs are what later processes load."""
+        from scann_tpu.data.structure import Structure
+        from scann_tpu.serve import BatchedPredictor
+
+        co = Structure(["C", "O"], [[0, 0, 0], [1.13, 0, 0]])
+        cache_dir = str(tmp_path / "pc")
+        p = BatchedPredictor(scann, max_batch=8, window_ms=1.0,
+                             warmup_shapes=[(8, 8)], exec_cache=cache_dir)
+        try:
+            assert scann._exec_cache is not None
+            assert scann._exec_cache.cache_dir == cache_dir
+            stats = scann._exec_cache.stats
+            assert stats["compiles"] + stats["disk_hits"] >= 1  # warmup ran
+            (v, ga), = p.predict([co])
+            assert np.isfinite(v) and ga.shape == (2,)
+        finally:
+            p.close()
+        # "auto" resolves to {save_path}/exec_cache
+        p2 = BatchedPredictor(scann, max_batch=8, window_ms=1.0,
+                              warmup_shapes=[], exec_cache="auto")
+        try:
+            assert scann._exec_cache.cache_dir == os.path.join(
+                scann.config.hyper.save_path, "exec_cache")
+        finally:
+            p2.close()
+
+    def test_stale_model_entry_degrades_to_jit(self, scann, tmp_path):
+        """A cache entry whose key matches but whose executable was built
+        for different avals (hand-planted) must not take serving down:
+        _serve_call falls back to the plain jit path."""
+        cache_dir = str(tmp_path / "stale")
+        scann.enable_exec_cache(cache_dir)
+        from scann_tpu.data.structure import Structure
+
+        co = Structure(["C", "O"], [[0, 0, 0], [1.13, 0, 0]])
+        good = scann.predict_structures([co])
+        cache = scann._exec_cache
+        # plant garbage under every key the next call will look up
+        for f in os.listdir(cache_dir):
+            with open(os.path.join(cache_dir, f), "wb") as fh:
+                pickle.dump(("bogus", None, None), fh)
+        scann.enable_exec_cache(cache_dir)  # fresh mem cache -> disk path
+        again = scann.predict_structures([co])
+        np.testing.assert_allclose(good[0][0], again[0][0], rtol=1e-6)
+        assert scann._exec_cache.stats["load_errors"] >= 1
