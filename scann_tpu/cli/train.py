@@ -48,6 +48,13 @@ def main(argv=None):
                              "training (~1.5x structures/s at QM9-like size "
                              "spreads; per-structure math exact, effective "
                              "batch preserved — data/packing.py)")
+    parser.add_argument("--exec-cache", type=str, nargs="?", const="auto",
+                        default=None, metavar="DIR",
+                        help="persist compiled train/eval executables under "
+                             "DIR (default {save_path}/exec_cache) so "
+                             "restarts/resumes of the same config skip the "
+                             "XLA/Pallas compiles (crystal kernels compile "
+                             "for minutes on shared TPUs)")
     args = parser.parse_args(argv)
 
     from scann_tpu.api import Scann
@@ -63,6 +70,10 @@ def main(argv=None):
     config.hyper.pretrained = args.pretrained
     if args.structure_packing:
         config.tpu.structure_packing = True
+    if args.exec_cache:
+        config.tpu.exec_cache_dir = (
+            os.path.join(config.hyper.save_path, "exec_cache")
+            if args.exec_cache == "auto" else args.exec_cache)
 
     scann = Scann(config, pretrained=args.pretrained, mode=args.mode)
     print(f"Loading dataset for target {args.target}")

@@ -120,6 +120,15 @@ class TpuConfig:
     # factor) slots per step (~batch_size structures each). Disable to
     # batch hyper.batch_size slots instead (bigger effective batches).
     pack_preserve_batch: bool = True
+    # Persist compiled train/eval/predict executables under this dir so
+    # re-runs of the same config+shapes (restarts, resumes, eval-only,
+    # fleet fan-out) skip XLA/Pallas compiles entirely — the crystal loop
+    # kernels compile for minutes, and the remote Mosaic compile bypasses
+    # JAX's own persistent cache. Keyed by config + schedule + argument
+    # avals + (jax version, backend, device kind/count); loads are
+    # validated on dummies and fall back to plain compiles on any
+    # failure (utils/exec_cache.py). None = off.
+    exec_cache_dir: Optional[str] = None
     # Padded (M, N) bucket shapes of the data this model was trained on,
     # recorded by Trainer.fit into the run dir's config.yaml. Serving warms
     # (pre-compiles) these rungs by default so first requests don't pay XLA

@@ -123,20 +123,29 @@ class ExecutableCache:
             return self._key_locks.setdefault(key, threading.Lock())
 
     def get_or_compile(self, key: str, jitfn, *args) -> Callable:
+        return self.get_or_compile_info(key, jitfn, *args)[0]
+
+    def get_or_compile_info(self, key: str, jitfn, *args):
+        """Like ``get_or_compile`` but also returns where the executable
+        came from: ``"mem"`` | ``"disk"`` | ``"compile"`` — callers that
+        donate buffers use this to validate disk loads on dummy inputs
+        before trusting them with real state."""
         with self._key_lock(key):
             with self._lock:
                 fn = self._mem.get(key)
             if fn is not None:
                 self.stats["mem_hits"] += 1
-                return fn
+                return fn, "mem"
+            src = "disk"
             fn = self._load(key)
             if fn is None:
+                src = "compile"
                 self.stats["compiles"] += 1
                 fn = jitfn.lower(*args).compile()
                 self._save(key, fn)
             with self._lock:
                 self._mem[key] = fn
-            return fn
+            return fn, src
 
     def invalidate(self, key: str) -> None:
         """Drop a key from memory and disk — called when a loaded
@@ -216,3 +225,25 @@ def batch_signature(batch: Dict[str, Any]) -> str:
     return json.dumps(
         {k: (tuple(v.shape), str(v.dtype)) for k, v in sorted(batch.items())},
         sort_keys=True)
+
+
+def args_signature(args) -> str:
+    """Stable signature of an arbitrary argument pytree: tree structure +
+    per-leaf (shape, dtype) — the call-shape part of an executable's cache
+    identity (e.g. the Trainer's (state, inputs, targets, rng, lr))."""
+    leaves, tree = jax.tree_util.tree_flatten(args)
+    sig = [(str(getattr(l, "shape", ())), str(getattr(l, "dtype", type(l))))
+           for l in leaves]
+    return json.dumps([str(tree), sig])
+
+
+def zeros_like_args(args):
+    """Dummy arguments with the same pytree/shapes/dtypes as ``args`` —
+    used to validate a disk-loaded executable BEFORE it is trusted with
+    (and donates) real state."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda a: (np.zeros(a.shape, a.dtype)
+                   if hasattr(a, "shape") and hasattr(a, "dtype") else a),
+        args)

@@ -113,6 +113,89 @@ class TestExecutableCache:
                                    np.asarray(JIT_F(X, X)), rtol=1e-6)
 
 
+@pytest.mark.slow  # full (tiny) training runs
+class TestTrainerExecCache:
+    """tpu.exec_cache_dir: train/eval executables persist across Trainer
+    instances (= processes) with EXACTLY the training trajectory of the
+    uncached path — the cache may only change compile time, never math."""
+
+    @pytest.fixture(scope="class")
+    def data(self, tmp_path_factory):
+        from scann_tpu.data.pipeline import (
+            load_dataset, pack_dataset, split_data, subset_buckets)
+        from scann_tpu.data.synthetic import make_synthetic_dataset
+
+        out = tmp_path_factory.mktemp("ec_train")
+        e, n = make_synthetic_dataset(str(out), n_structures=96, min_atoms=4,
+                                      max_atoms=10, seed=3)
+        records, neighbors = load_dataset(e, n, target="homo")
+        buckets = pack_dataset(records, neighbors, g_update=True,
+                               max_buckets=1)
+        tr, va, _ = split_data(96, train_size=64, test_size=16, seed=0)
+        return subset_buckets(buckets, tr), subset_buckets(buckets, va)
+
+    def _cfg(self, workdir, cache_dir=None):
+        from scann_tpu.config import (
+            HyperConfig, ModelConfig, ScannConfig, TpuConfig)
+
+        return ScannConfig(
+            model=ModelConfig(n_attention=2, local_dim=32, num_head=4,
+                              global_dim=32, dense_out=16, embedding_dim=16,
+                              g_update=True, n_atoms=12),
+            hyper=HyperConfig(batch_size=16, lr=1e-3, min_lr=1e-4,
+                              patience=50, save_path=workdir, target="homo"),
+            tpu=TpuConfig(use_pallas=False, exec_cache_dir=cache_dir),
+        )
+
+    def test_cached_training_is_exact_and_reloads(self, data, tmp_path):
+        from scann_tpu.train import Trainer
+
+        train_b, val_b = data
+        cache_dir = str(tmp_path / "cache")
+
+        base = Trainer(self._cfg(str(tmp_path / "r0")))
+        h0 = base.fit(train_b, val_b, epochs=3, log_fn=lambda s: None)
+
+        cold = Trainer(self._cfg(str(tmp_path / "r1"), cache_dir))
+        h1 = cold.fit(train_b, val_b, epochs=3, log_fn=lambda s: None)
+        s1 = cold._exec_cache.stats
+        assert s1["compiles"] >= 2  # train_epoch + eval_epoch
+
+        warm = Trainer(self._cfg(str(tmp_path / "r2"), cache_dir))
+        h2 = warm.fit(train_b, val_b, epochs=3, log_fn=lambda s: None)
+        s2 = warm._exec_cache.stats
+        if s1["save_errors"] == 0:
+            assert s2["disk_hits"] >= 1
+            if s2["invalidated"] == 0:  # reloads actually executed
+                assert s2["compiles"] == 0
+
+        # the trajectory is EXACTLY the uncached one, all three runs
+        for k in ("loss", "mae", "val_mae"):
+            np.testing.assert_array_equal(h0[k], h1[k], err_msg=k)
+            np.testing.assert_array_equal(h0[k], h2[k], err_msg=k)
+
+        # predict path reloads too, and matches
+        p0 = base.predict(train_b[:1])[0]
+        p2 = warm.predict(train_b[:1])[0]
+        assert p0.shape == p2.shape and np.all(np.isfinite(p2))
+
+    def test_schedule_change_rekeys_cache(self, data, tmp_path):
+        """A different lr schedule must NOT reuse the old executable (the
+        schedule constants are baked into the traced epoch fn)."""
+        from scann_tpu.train import Trainer
+
+        train_b, val_b = data
+        cache_dir = str(tmp_path / "cache")
+        a = Trainer(self._cfg(str(tmp_path / "a"), cache_dir))
+        a.fit(train_b, val_b, epochs=2, log_fn=lambda s: None)
+        cfg = self._cfg(str(tmp_path / "b"), cache_dir)
+        cfg.hyper.lr = 5e-4  # different schedule -> different steps_key
+        b = Trainer(cfg)
+        hb = b.fit(train_b, val_b, epochs=2, log_fn=lambda s: None)
+        assert b._exec_cache.stats["compiles"] >= 1  # not served stale
+        assert np.all(np.isfinite(hb["loss"]))
+
+
 @pytest.mark.slow  # spins up a real (tiny) model
 class TestScannServingExecCache:
     @pytest.fixture(scope="class")
