@@ -147,6 +147,7 @@ class Scann:
         self._serve_fwd = None  # cached jitted serving forward (+ its lock)
         self._serve_fwd_lock = threading.Lock()
         self._exec_cache = None  # optional on-disk compiled-executable cache
+        self._serve_key_prefix = None  # (params, key) memo for _serve_call
         self._feat_pool = None  # persistent featurization pool (+ its lock)
         self._feat_pool_lock = threading.Lock()
 
@@ -457,7 +458,7 @@ class Scann:
                 self._serve_fwd = jax.jit(fwd)
         return self._serve_fwd
 
-    def enable_exec_cache(self, cache_dir: Optional[str] = None) -> str:
+    def enable_exec_cache(self, cache_dir: Optional[str] = None) -> Optional[str]:
         """Cache compiled serving executables on disk across processes.
 
         Serving cold start pays one XLA/Pallas compile per ladder rung
@@ -467,13 +468,60 @@ class Scann:
         ANY previous process on the same backend/model loads from
         ``cache_dir`` in ~ms instead (``utils/exec_cache.py``; backends
         without PjRt executable serialization silently fall back to plain
-        compiles). Default dir: ``{save_path}/exec_cache``."""
-        cache_dir = cache_dir or os.path.join(
-            self.config.hyper.save_path, "exec_cache")
+        compiles). Default dir: ``{model_dir}/exec_cache`` — the trainer's
+        workdir, which for inference-loaded models (``load_model_infer``)
+        is the served model directory, NOT the original training
+        ``save_path`` (which may not even be creatable on a serving host).
+        An uncreatable cache dir warns and disables the cache (returns
+        ``None``) rather than taking the server down: the cache is a
+        speedup, never a correctness dependency."""
+        cache_dir = cache_dir or os.path.join(self.trainer.workdir,
+                                              "exec_cache")
         from scann_tpu.utils.exec_cache import ExecutableCache
 
-        self._exec_cache = ExecutableCache(cache_dir)
+        try:
+            self._exec_cache = ExecutableCache(cache_dir)
+        except OSError as e:
+            import warnings
+
+            warnings.warn(
+                f"exec cache disabled: cannot create {cache_dir!r} ({e}); "
+                "serving will recompile per process as without the cache")
+            self._exec_cache = None
+            return None
+        self._serve_key_prefix = None  # recompute for the new cache
         return cache_dir
+
+    def _serve_cache_prefix(self, params) -> str:
+        """The params-/config-invariant part of the serving-executable cache
+        key, computed once per (cache, params) rather than per request —
+        tree_map over the full param tree plus three config reprs on every
+        batch measurably taxes the serving hot path (p50 ~39 ms).
+
+        The key must cover EVERYTHING the traced ``forward_eval`` path
+        depends on, mirroring ``Trainer._cache_wrap``: the model config,
+        the TPU config (``use_pallas``/kernel knobs change the compiled
+        program for identical shapes — two deployments sharing a cache dir
+        must not swap executables), the mesh signature, and the parameter
+        tree signature. Run-specific fields (paths, cache dir, observed
+        buckets) are normalized out so re-runs of one recipe share entries."""
+        prefix = getattr(self, "_serve_key_prefix", None)
+        if prefix is not None and prefix[0] is params:
+            return prefix[1]
+        import copy
+
+        ct = copy.deepcopy(self.config.tpu)
+        ct.exec_cache_dir = None
+        ct.observed_buckets = None
+        mesh = self.trainer.mesh
+        mesh_sig = repr(None if mesh is None else
+                        (mesh.shape, mesh.axis_names))
+        psig = jax.tree_util.tree_map(
+            lambda x: (tuple(x.shape), str(x.dtype)), params)
+        key = "|".join(["serve_fwd", repr(self.config.model), repr(ct),
+                        mesh_sig, repr(psig)])
+        self._serve_key_prefix = (params, key)
+        return key
 
     def _serve_call(self, params, batch):
         """Run the serving forward: through the executable cache when
@@ -484,24 +532,34 @@ class Scann:
             return fwd(params, batch)
         from scann_tpu.utils.exec_cache import batch_signature
 
-        # key = model identity (architecture + parameter tree) + rung shape;
-        # the env fingerprint (backend/devices/jax version) is mixed in by
-        # the cache itself
-        psig = jax.tree_util.tree_map(
-            lambda x: (tuple(x.shape), str(x.dtype)), params)
-        key = "|".join(["serve_fwd", repr(self.config.model), repr(psig),
-                       batch_signature(batch)])
+        # env fingerprint (backend/devices/jax version) is mixed in by the
+        # cache itself; only the rung shape varies per call
+        key = "|".join([self._serve_cache_prefix(params),
+                        batch_signature(batch)])
         try:
-            out = cache.get_or_compile(key, fwd, params, batch)(params, batch)
+            got, src = cache.get_or_compile_info(key, fwd, params, batch)
+        except Exception:
+            # cache infrastructure failure (serialize/deserialize layer):
+            # fall back to the always-correct jit path
+            cache.invalidate(key)
+            return fwd(params, batch)
+        if src != "disk":
+            # freshly compiled (or already validated in-memory) executable:
+            # genuine runtime errors (e.g. OOM) must propagate like jit's
+            # would, not silently invalidate a good entry and pay a
+            # duplicate compile through the jit path
+            return got(params, batch)
+        try:
+            out = got(params, batch)
             # block HERE: a broken deserialized executable can fail lazily,
             # when results are consumed — that must happen inside this try
             return jax.block_until_ready(out)
         except Exception:
-            # a loaded executable that fails at call time (stale entry for a
-            # changed model / an AOT reload this host can't execute) must
-            # degrade to the always-correct jit path, never take serving
-            # down; invalidating drops the bad entry so later calls and
-            # processes recompile instead of re-failing
+            # a DISK-loaded executable that fails at call time (stale entry
+            # for a changed model / an AOT reload this host can't execute)
+            # must degrade to the always-correct jit path, never take
+            # serving down; invalidating drops the bad entry so later calls
+            # and processes recompile instead of re-failing
             cache.invalidate(key)
             return fwd(params, batch)
 

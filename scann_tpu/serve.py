@@ -97,7 +97,7 @@ class BatchedPredictor:
         # distribution compile-free; pass [] to skip warmup entirely.
         # exec_cache: persist compiled serving executables on disk so the
         # warmup below loads rungs compiled by PREVIOUS processes in ~ms
-        # instead of ~45 s each ("auto" = {save_path}/exec_cache; see
+        # instead of ~45 s each ("auto" = {model_dir}/exec_cache; see
         # Scann.enable_exec_cache). Enabled BEFORE warmup on purpose.
         if exec_cache is not None:
             scann.enable_exec_cache(

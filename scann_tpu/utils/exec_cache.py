@@ -106,7 +106,12 @@ class ExecutableCache:
 
     def __init__(self, cache_dir: str):
         self.cache_dir = cache_dir
-        os.makedirs(cache_dir, exist_ok=True)
+        # 0o700: entries are loaded with pickle, so any writer to this dir
+        # gains code execution in every process that shares it (inherent to
+        # jax serialize_executable). Restrict to the service user; the trust
+        # boundary is documented in docs/DEPLOYMENT.md. mode= only applies
+        # to dirs makedirs creates — a pre-existing dir keeps its perms.
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
         self._mem: Dict[str, Callable] = {}
         self._lock = threading.Lock()
         self._key_locks: Dict[str, threading.Lock] = {}

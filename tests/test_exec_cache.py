@@ -269,14 +269,61 @@ class TestScannServingExecCache:
             assert np.isfinite(v) and ga.shape == (2,)
         finally:
             p.close()
-        # "auto" resolves to {save_path}/exec_cache
+        # "auto" resolves to {model_dir}/exec_cache — the trainer workdir,
+        # which is the actual run/model directory (ADVICE r3: the original
+        # hyper.save_path may not exist on a serving host)
         p2 = BatchedPredictor(scann, max_batch=8, window_ms=1.0,
                               warmup_shapes=[], exec_cache="auto")
         try:
             assert scann._exec_cache.cache_dir == os.path.join(
-                scann.config.hyper.save_path, "exec_cache")
+                scann.trainer.workdir, "exec_cache")
         finally:
             p2.close()
+
+    def test_uncreatable_cache_dir_disables_with_warning(self, scann,
+                                                         tmp_path):
+        """An uncreatable cache dir must warn and disable the cache, not
+        crash server startup (ADVICE r3 medium #2)."""
+        blocker = tmp_path / "blocker"
+        blocker.write_text("")  # a FILE where a directory is needed
+        with pytest.warns(UserWarning, match="exec cache disabled"):
+            out = scann.enable_exec_cache(str(blocker / "sub"))
+        assert out is None and scann._exec_cache is None
+        from scann_tpu.data.structure import Structure
+
+        co = Structure(["C", "O"], [[0, 0, 0], [1.13, 0, 0]])
+        (v, ga), = scann.predict_structures([co])  # plain jit path works
+        assert np.isfinite(v)
+
+    def test_tpu_config_rekeys_serve_entries(self, scann):
+        """Two deployments sharing a cache dir with different tpu configs
+        (e.g. use_pallas) must NOT share executables: the serve key mixes
+        repr(config.tpu) + mesh signature, mirroring Trainer._cache_wrap
+        (ADVICE r3 medium #1). Run-specific fields (exec_cache_dir,
+        observed_buckets) are normalized OUT so they don't re-key."""
+        params = scann.trainer.state.params
+        tpu = scann.config.tpu
+        orig = (tpu.use_pallas, tpu.exec_cache_dir, tpu.observed_buckets)
+        try:
+            k1 = scann._serve_cache_prefix(params)
+            # memoized per (prefix, params): same object, no recompute
+            assert scann._serve_cache_prefix(params) is k1
+
+            tpu.use_pallas = not tpu.use_pallas
+            scann._serve_key_prefix = None
+            k2 = scann._serve_cache_prefix(params)
+            assert k1 != k2
+
+            tpu.use_pallas = orig[0]
+            tpu.exec_cache_dir = "/somewhere/else"
+            tpu.observed_buckets = [(8, 8)]
+            scann._serve_key_prefix = None
+            k3 = scann._serve_cache_prefix(params)
+            assert k1 == k3
+        finally:
+            (tpu.use_pallas, tpu.exec_cache_dir,
+             tpu.observed_buckets) = orig
+            scann._serve_key_prefix = None
 
     def test_stale_model_entry_degrades_to_jit(self, scann, tmp_path):
         """A cache entry whose key matches but whose executable was built
