@@ -29,11 +29,15 @@ from scann_tpu.data.builders.common import download, save_dataset
 FULLERENE_URL = "https://zenodo.org/record/8435481/files/fullerene.zip?download=1"
 # NOTE: the reference's Pt/graphene builder downloads *fullerene.zip*
 # (``/root/reference/scann/utils/dataset/pt_graphene.py:24`` — likely a bug,
-# or zenodo 8435481 ships a combined archive). We use the dataset-named file
-# instead; this cannot be verified in this environment (no egress). If
-# ``pt_graphene.zip`` 404s, point PTGP_URL at FULLERENE_URL and check whether
-# the archive contains the Pt/graphene trajectory directories.
-PTGP_URL = "https://zenodo.org/record/8435481/files/pt_graphene.zip?download=1"
+# or zenodo 8435481 ships a combined archive). Neither can be verified in
+# this environment (no egress), so the ptgp builder tries a FALLBACK CHAIN:
+# the dataset-named ``pt_graphene.zip`` first, then the reference's
+# ``fullerene.zip`` — whichever exists is parsed with the ptgp record
+# schema, so the first real egress run cannot 404 either way.
+PTGP_URLS = [
+    "https://zenodo.org/record/8435481/files/pt_graphene.zip?download=1",
+    FULLERENE_URL,
+]
 SMFE_URL = "https://zenodo.org/record/8435481/files/smfe12.zip?download=1"
 
 
@@ -95,12 +99,31 @@ def smfe_record(idx, comment, species, coords):
     return rec
 
 
-def _process_zip(url: str, dataset: str, glob_pat: str,
+def _download_first(urls: List[str], dest: str, what: str) -> str:
+    """Try each URL in order, returning the first successful download.
+
+    Exists for the ptgp pt_graphene.zip-vs-fullerene.zip naming divergence
+    (see PTGP_URLS): a missing file on the record must fall through to the
+    next candidate, not abort preprocessing."""
+    errors = []
+    for url in urls:
+        try:
+            return download(url, dest, what)
+        except RuntimeError as e:
+            errors.append(str(e))
+    raise RuntimeError(
+        f"all {len(urls)} candidate URLs for {what} failed:\n  "
+        + "\n  ".join(errors))
+
+
+def _process_zip(url, dataset: str, glob_pat: str,
                  make_record: Callable, save_path: str,
                  sort_by_size: bool = False):
+    urls = [url] if isinstance(url, str) else list(url)
     tmpdir = tempfile.mkdtemp(dataset)
     try:
-        zip_path = download(url, os.path.join(tmpdir, f"{dataset}.zip"), dataset)
+        zip_path = _download_first(urls, os.path.join(tmpdir, f"{dataset}.zip"),
+                                   dataset)
         zipfile.ZipFile(zip_path).extractall(tmpdir)
         files = sorted(glob.glob(os.path.join(tmpdir, glob_pat)))
         print(f"  {len(files)} xyz files")
@@ -121,7 +144,7 @@ def process_fullerene(save_path: str = ""):
 
 
 def process_ptgp(save_path: str = ""):
-    return _process_zip(PTGP_URL, "ptgp", "*/*.xyz", ptgp_record, save_path)
+    return _process_zip(PTGP_URLS, "ptgp", "*/*.xyz", ptgp_record, save_path)
 
 
 def process_smfe(save_path: str = ""):
