@@ -218,6 +218,21 @@ def main():
                           bucket=pslots, count=pslots.num_structures)
         packed_slot_rate = packed * pslots.num_slots / pslots.num_structures
 
+    # bf16: the SAME QM9 flagship shape with model.dtype="bfloat16" (kernel
+    # dots cast operands to bf16, f32 accumulation — kernels/dots.py).
+    # MEASURED round 4: bf16 tracks f32 within noise (~±3%) at this shape
+    # because the fused kernel is VPU/small-matmul bound, NOT HBM-bound —
+    # v5e runs f32 matmuls as single-pass bf16 MXU ops already, and VPU
+    # elementwise rate is identical for f32/bf16 (DESIGN.md "Precision").
+    # Reported so the driver records the honest number each round.
+    bf16 = None
+    if not on_cpu:
+        bf_cfg = _flagship_config(batch_size=128)
+        bf_cfg.hyper.save_path = "/tmp/scann_tpu_bench_bf16"
+        bf_cfg.hyper.scheduler = "cosine"
+        bf_cfg.model.dtype = "bfloat16"
+        bf16 = run_case(bf_cfg, S=16384, M=32, N=16)
+
     # secondary: MP2018 large-crystal bucket (reference model_mp2018.yaml:
     # 9 layers, batch 64, gaussian_d 6.0; crystals ~100 sites)
     from scann_tpu.config import HyperConfig, ModelConfig, ScannConfig
@@ -308,6 +323,15 @@ def main():
             measured["qm9_b128_m32_n16"] if measured else None),
         # the packed/secondary cases are skipped on the CPU fallback (each
         # pays its own multi-minute CPU compile) — emit None, not a crash
+        "bf16": None if bf16 is None else {
+            "metric": "train_structures_per_sec_per_chip_qm9_bf16",
+            "value": round(bf16, 1),
+            "unit": "structures/s/chip",
+            "vs_baseline": round(bf16 / qm9_denom, 3),
+            "tflops_per_sec": round(bf16 * qm9_fps / 1e12, 2),
+            "mfu": round(bf16 * qm9_fps / 1e12 / peak, 4) if peak else None,
+            "vs_f32": round(bf16 / qm9, 3),
+        },
         "packed": None if packed is None else {
             "metric": "train_structures_per_sec_per_chip_qm9_packed",
             "value": round(packed, 1),

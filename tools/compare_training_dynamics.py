@@ -66,7 +66,8 @@ def make_data(out_dir, n_structures, use_ring=False, feature="atomic"):
     n_val = max(BATCH, n_structures // 8)
     tr, va, _ = split_data(n_structures, train_size=n_structures - n_val,
                            test_size=0, seed=0)
-    buckets = pack_dataset(records, neighbors, g_update=True, max_buckets=1,
+    buckets = pack_dataset(records, neighbors,
+                           g_update=MODEL_CFG["g_update"], max_buckets=1,
                            use_ring=use_ring, feature=feature)
     return buckets, tr, va
 
@@ -196,12 +197,17 @@ def main(argv=None):
     p.add_argument("--scheduler", choices=["cosine", "sgdr"], default="cosine")
     p.add_argument("--use-drop", action="store_true",
                    help="attention dropout 0.05 (reference use_drop)")
+    p.add_argument("--no-g-update", action="store_true",
+                   help="SCANN variant (geometry = filtered RBF x weight) "
+                        "instead of SCANN+ (self-consistent g_update)")
     p.add_argument("--out", type=str, default=None,
                    help="output JSON (default training_dynamics_comparison.json)")
     args = p.parse_args(argv)
 
     if args.use_drop:
         MODEL_CFG["use_drop"] = True
+    if args.no_g_update:
+        MODEL_CFG["g_update"] = False
     epochs = args.epochs
 
     out_dir = tempfile.mkdtemp("dyncmp")
