@@ -258,10 +258,32 @@ def main(argv=None):
           f"(ratio {ratio:.3f}); post-burn-in loss-curve corr {corr:.4f}")
     ok = 0.8 <= ratio <= 1.2 and corr > 0.85
     if ref.get("lr") and ours.get("lr"):
+        # SGDR exactness: the schedule is STATEFUL in each run's own
+        # val_mae (lr_max compression at restarts, custom_layers.py:147-159)
+        # so two runs with different stochastic val histories legitimately
+        # diverge at a restart. The exact-parity check therefore drives the
+        # REFERENCE SGDRC callback with OUR observed val_mae sequence and
+        # demands OUR lr sequence verbatim — isolating schedule logic from
+        # stochastic inputs. (Raw ref-vs-ours equality is also reported:
+        # it holds whenever the two runs' compression decisions coincide.)
+        from scann.layers.custom_layers import SGDRC
+
+        replay = SGDRC(lr_min=MIN_LR, lr_max=LR, t0=SGDR_T0,
+                       tmult=SGDR_TMULT,
+                       lr_max_compression=SGDR_COMPRESSION,
+                       trigger_val_mae=300, show_lr=False)
+        replay.on_train_begin({})
+        replay_lr = []
+        for ep, vm in enumerate(ours["val_mae"][:len(ours["lr"])]):
+            replay_lr.append(float(replay.lr_scheduler(ep)))
+            replay.on_epoch_end(ep, {"val_mae": vm})
+        lr_exact = bool(np.allclose(replay_lr, ours["lr"], rtol=1e-5))
         n = min(len(ref["lr"]), len(ours["lr"]))
-        lr_equal = bool(np.allclose(ref["lr"][:n], ours["lr"][:n], rtol=1e-5))
-        print(f"lr trajectories equal over {n} epochs: {lr_equal}")
-        ok = ok and lr_equal
+        lr_raw_equal = bool(np.allclose(ref["lr"][:n], ours["lr"][:n],
+                                        rtol=1e-5))
+        print(f"lr exact vs reference-SGDRC replay on our val_mae: {lr_exact}"
+              f" (raw ref-vs-ours equality over {n} epochs: {lr_raw_equal})")
+        ok = ok and lr_exact
     print("AGREEMENT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
