@@ -426,10 +426,22 @@ class Scann:
         return struct
 
     def predict_structure(self, struct: "StructureLike", d_t: float = 4.0,
-                          w_t: float = 0.4, canonical_frame: bool = False
+                          w_t: float = 0.4, canonical_frame: bool = True
                           ) -> Tuple[float, np.ndarray]:
         """Predict (value, per-atom GA scores) for one structure (or a
-        structure-file path)."""
+        structure-file path).
+
+        ``canonical_frame`` defaults ON (round-4 study,
+        ``benchmarks/canonical_frame_study.json``): molecules are rotated
+        into their principal-axes frame before featurizing, which makes
+        predictions EXACTLY invariant to the client's coordinate frame and
+        measured slightly more accurate than serving raw frames (rotation
+        spread 0.032±/0.097 p95 target-units eliminated; rotation-averaged
+        MAE 0.341 vs 0.351) — even for models trained on as-is frames.
+        Periodic structures are unaffected by construction. Pass ``False``
+        for bit-compatibility with the reference pipeline's
+        frame-dependent featurization (``prepare_input_pmt``,
+        general.py:206-246)."""
         self._require_state("predict_structure")
         struct = self._as_structure(struct)
         inputs = prepare_input(struct, d_t=d_t, w_t=w_t,
@@ -598,7 +610,7 @@ class Scann:
                            w_t: float = 0.4,
                            featurize_pool: int = 0,
                            batch_size: Optional[int] = None,
-                           canonical_frame: bool = False
+                           canonical_frame: bool = True
                            ) -> List[Tuple[float, np.ndarray]]:
         """Batched inference over many structures (the serving path).
 
@@ -611,6 +623,8 @@ class Scann:
         per-group padding keeps one large crystal in a stream of molecules
         from inflating every molecule's padded shape (VERDICT r2 weak #6).
         Returns [(value, ga_scores)] in input order.
+
+        ``canonical_frame`` defaults ON — see ``predict_structure``.
         """
         self._require_state("predict_structures")
         structs = [self._as_structure(s) for s in structs]

@@ -42,11 +42,19 @@ def main(argv=None):
                              "Backends without executable serialization "
                              "fall back to plain compiles")
     parser.add_argument("--canonical-frame", action="store_true",
+                        default=True,
                         help="rotate molecules into their principal-axes "
                              "frame before featurizing, so the same molecule "
                              "in any client orientation gets the same "
                              "prediction (the boxed-molecule featurization "
-                             "is weakly frame-dependent otherwise)")
+                             "is weakly frame-dependent otherwise). Default "
+                             "ON (measured: exact rotation invariance at no "
+                             "accuracy cost, benchmarks/"
+                             "canonical_frame_study.json)")
+    parser.add_argument("--no-canonical-frame", dest="canonical_frame",
+                        action="store_false",
+                        help="serve raw client frames (bit-compatible with "
+                             "the reference's frame-dependent featurization)")
     args = parser.parse_args(argv)
 
     from scann_tpu.serve import BatchedPredictor, PredictionServer

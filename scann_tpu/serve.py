@@ -62,7 +62,7 @@ class BatchedPredictor:
 
     def __init__(self, scann, max_batch: int = 64, window_ms: float = 5.0,
                  max_pending: int = 256, featurize_pool: int = 0,
-                 owns_scann: bool = False, canonical_frame: bool = False,
+                 owns_scann: bool = False, canonical_frame: bool = True,
                  warmup_shapes: Optional[List[Tuple[int, int]]] = None,
                  exec_cache: Optional[str] = None):
         self.scann = scann
@@ -70,7 +70,10 @@ class BatchedPredictor:
         self.window_ms = window_ms
         # canonicalize molecular frames before featurizing, so clients get
         # the same prediction for the same molecule in any orientation
-        # (Structure.canonicalized; opt-in, see data/voronoi.py)
+        # (Structure.canonicalized). Default ON since round 4: the study
+        # (benchmarks/canonical_frame_study.json) measured exact rotation
+        # invariance at no accuracy cost — slightly better, even for
+        # models trained on as-is frames. Periodic structures unaffected.
         self.canonical_frame = canonical_frame
         # owns_scann: close() also releases the Scann handle's resources
         # (the persistent featurization pool's worker processes) — set by

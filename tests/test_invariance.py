@@ -187,16 +187,25 @@ def test_end_to_end_box_congruent_invariance():
     s = Scann(cfg)
     s.trainer.init_state(s._example_inputs())
     mol = Structure.from_file(THYMINE, mol=True)
+    # canonical_frame=False: the reference-compatible raw-frame path is
+    # still invariant under BOX-CONGRUENT motions (its guaranteed class)
     moved = Structure(list(mol.species), mol.coords @ SIGNED_PERM.T - 2.5)
-    (v0, ga0), (v1, ga1) = s.predict_structures([mol, moved])
+    (v0, ga0), (v1, ga1) = s.predict_structures([mol, moved],
+                                                canonical_frame=False)
     assert abs(v1 - v0) < 1e-5, (v0, v1)
     np.testing.assert_allclose(ga1, ga0, rtol=0, atol=1e-5)
 
-    # with canonical_frame, a GENERIC rotation also predicts identically
+    # the DEFAULT serving path (canonical_frame on since round 4 — measured
+    # exact rotation invariance at no accuracy cost,
+    # benchmarks/canonical_frame_study.json): a GENERIC rotation +
+    # translation predicts identically with no opt-in
     rng = np.random.default_rng(5)
     spun = Structure(list(mol.species),
                      mol.coords @ _random_rotation(rng).T + 1.75)
-    (c0, cg0), (c1, cg1) = s.predict_structures([mol, spun],
-                                                canonical_frame=True)
+    (c0, cg0), (c1, cg1) = s.predict_structures([mol, spun])
     assert abs(c1 - c0) < 1e-5, (c0, c1)
     np.testing.assert_allclose(cg1, cg0, rtol=0, atol=1e-5)
+    # single-structure API: same default
+    d0, _ = s.predict_structure(mol)
+    d1, _ = s.predict_structure(spun)
+    assert abs(d1 - d0) < 1e-5, (d0, d1)
