@@ -188,3 +188,41 @@ def test_predict_model_cli_packed(workdir):
     with open("full_preds_packed/ga_scores_lumo.pickle", "rb") as f:
         gas = pickle.load(f)
     assert len(gas) == 48
+
+
+def test_serve_cli_canonical_frame_flags():
+    """scann-serve defaults canonical_frame ON (round-4 study) with
+    --no-canonical-frame as the reference-bit-compatible escape hatch;
+    --canonical-frame stays accepted for older deploy scripts."""
+    import argparse
+
+    from scann_tpu.cli import serve as serve_cli
+
+    captured = {}
+
+    class Stop(Exception):
+        pass
+
+    class FakeBP:
+        @staticmethod
+        def from_model_dir(*a, **kw):
+            captured.update(kw)
+            raise Stop
+
+    import scann_tpu.serve as serve_mod
+    orig = serve_mod.BatchedPredictor
+    serve_mod.BatchedPredictor = FakeBP
+    try:
+        for argv, expect in [
+            (["run_dir"], True),
+            (["run_dir", "--canonical-frame"], True),
+            (["run_dir", "--no-canonical-frame"], False),
+        ]:
+            captured.clear()
+            try:
+                serve_cli.main(argv)
+            except Stop:
+                pass
+            assert captured["canonical_frame"] is expect, (argv, captured)
+    finally:
+        serve_mod.BatchedPredictor = orig
