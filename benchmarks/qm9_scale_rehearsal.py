@@ -9,21 +9,23 @@ is blocked: it exercises the CSR cache, slot packing, device-resident
 epoch scan, per-epoch packed validation, best-val checkpointing, SGDR,
 evaluation, and bulk inference at the REAL dataset scale.
 
-Measured on the shared v5e, 2026-08-19 (this file's last run):
-  featurize+write   130,831 structures  3517 s (1 host core, one-time)
-  prepare_dataset   (CSR + packing)     78.9 s — 110k train -> 70,633
-                                        32-row slots, occupancy 0.924
-  train 25 epochs   110k structs/epoch  831.7 s total (epoch 0 carries the
-                    kernel compiles); steady state **37,826 structs/s
+Measured on the shared v5e, 2026-08-20 (round 4; round-3 numbers in
+parens):
+  featurize+write   130,831 structures  547 s on 1 host core (was 3517 s —
+                                        the native C++ cell clipper now
+                                        carries the full-scale run)
+  prepare_dataset   (CSR + packing)     55.9 s — 110k train -> 70,786
+                                        32-row slots, occupancy 0.923
+  train 25 epochs   110k structs/epoch  737.6 s total (epoch 0 carries the
+                    kernel compiles); steady state **37,828 structs/s
                     INCLUDING per-epoch 10k-structure packed validation**
-                    (epochs 20-24: 37.5-37.9k) — the full-scale run matches
-                    the synthetic-bucket bench's packed rate
-  evaluate          10,831 test        219.2 s (dominated by the one fresh
-                                        eval-scan compile for the test
-                                        bucket's slot count)
-  predict w/ GA     20,831 structures  225.1 s (same: one predict compile)
-  convergence       val R2 0.9988, val MAE 0.027 std-units by epoch 25;
-                    test MAE 0.091 target-units (R2 0.9990)
+                    (was 37,826 — identical steady state, faster compiles)
+  evaluate          10,831 test        3.4 s (was 219.2 s: the test split
+                                        now shares the training shapes'
+                                        compiled executables)
+  predict w/ GA     20,831 structures  216.5 s (one predict compile)
+  convergence       val R2 0.9982, val MAE 0.032 std-units by epoch 25;
+                    test MAE 0.0997 target-units (R2 0.9988)
 Artifacts: /tmp/qm9_scale_out_homo/{report.txt,metrics.jsonl},
 results JSON printed at the end.
 """
