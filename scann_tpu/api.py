@@ -221,6 +221,15 @@ class Scann:
             hyper.data_energy_path, hyper.data_nei_path, hyper.target,
             use_ref=hyper.use_ref, use_ring=cfm.use_ring,
         )
+        if cfm.feature == "atomic":
+            # out-of-vocab Z would train on NaN embeddings (see _check_vocab)
+            zmax = max(int(max(r["atomic"])) for r in records)
+            if zmax >= cfm.n_atoms:
+                raise ValueError(
+                    f"dataset contains atomic number {zmax} but the model's "
+                    f"embedding vocab is n_atoms={cfm.n_atoms}; raise "
+                    "model.n_atoms (reference configs use 95) or use "
+                    "feature='cgcnn'")
 
         if hyper.scaler:
             ys = np.array([r["target"] for r in records], np.float64)
@@ -407,6 +416,28 @@ class Scann:
                 self._feat_pool.shutdown(wait=True)
                 self._feat_pool = None
 
+    def _check_vocab(self, structs: List[Structure]):
+        """Actionable error for atomic numbers outside the embedding vocab.
+
+        ``feature="atomic"`` embeds Z through an ``n_atoms``-row table;
+        an out-of-range Z silently becomes NaN (jnp.take's default fill
+        mode) and poisons the whole prediction — found serving a Cl
+        (Z=17) structure to an n_atoms=12 model. The reference has the
+        same latent failure (Keras Embedding OOB is undefined); we raise
+        instead."""
+        if self.config.model.feature != "atomic":
+            return
+        vocab = self.config.model.n_atoms
+        for s in structs:
+            bad = [sp for sp, z in zip(s.species, s.atomic_numbers)
+                   if int(z) >= vocab]
+            if bad:
+                raise ValueError(
+                    f"structure contains element(s) {sorted(set(bad))} with "
+                    f"atomic number >= the model's embedding vocab "
+                    f"(model.n_atoms={vocab}); retrain with a larger "
+                    "n_atoms or use feature='cgcnn'")
+
     def _require_state(self, what: str):
         """Misuse guard: raise an actionable error instead of an
         AttributeError on ``trainer.state.params`` (VERDICT r2 weak #7)."""
@@ -444,6 +475,7 @@ class Scann:
         general.py:206-246)."""
         self._require_state("predict_structure")
         struct = self._as_structure(struct)
+        self._check_vocab([struct])
         inputs = prepare_input(struct, d_t=d_t, w_t=w_t,
                                angle=self.config.model.g_update,
                                use_ring=self.config.model.use_ring,
@@ -628,6 +660,7 @@ class Scann:
         """
         self._require_state("predict_structures")
         structs = [self._as_structure(s) for s in structs]
+        self._check_vocab(structs)
         cfm = self.config.model
         kw = dict(d_t=d_t, w_t=w_t, angle=cfm.g_update, use_ring=cfm.use_ring,
                   feature=cfm.feature, canonical_frame=canonical_frame)

@@ -22,10 +22,11 @@ def synth(tmp_path_factory):
 
 
 def small_config(workdir, e, n, **model_kw):
+    model_kw = {"n_atoms": 12, "embedding_dim": 8, "n_attention": 1,
+                "local_dim": 16, "num_head": 2, "global_dim": 16,
+                "dense_out": 8, "g_update": True, **model_kw}
     return ScannConfig(
-        model=ModelConfig(n_atoms=12, embedding_dim=8, n_attention=1,
-                          local_dim=16, num_head=2, global_dim=16, dense_out=8,
-                          g_update=True, **model_kw),
+        model=ModelConfig(**model_kw),
         hyper=HyperConfig(batch_size=16, lr=1e-3, min_lr=1e-4, epochs=2,
                           patience=10, target="homo", save_path=workdir,
                           data_energy_path=e, data_nei_path=n,
@@ -168,6 +169,33 @@ class TestBatchedInference:
             v_s, ga_s = scann.predict_structure(mol)
             assert v_b == pytest.approx(v_s, rel=1e-4)
             np.testing.assert_allclose(ga_b, ga_s, rtol=1e-4, atol=1e-6)
+
+    def test_mixed_molecule_crystal_batch_default_canonical(self, synth,
+                                                            tmp_path):
+        """The round-4 canonical_frame=True serving default must be safe
+        for MIXED batches: crystals pass through untouched (canonicalized()
+        is the identity for periodic structures — their lattice IS the
+        frame) while molecules get the principal-axes rotation."""
+        e, n = synth
+        scann = Scann(small_config(str(tmp_path / "mx"), e, n, n_atoms=20))
+        scann.prepare_dataset()
+        scann.train(epochs=1)
+        mol = Structure(["O", "H", "H"],
+                        [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+        # NaCl at 5.7 A: nearest neighbor 4.94 A > d_t=4.0, so EVERY Voronoi
+        # neighbor is distance-filtered — also covers the zero-neighbor
+        # degenerate input staying finite
+        crystal = Structure(["Na", "Cl"], [[0, 0, 0], [2.85, 2.85, 2.85]],
+                            lattice=np.eye(3) * 5.7)
+        out = scann.predict_structures([mol, crystal, mol])
+        assert all(np.isfinite(v) for v, _ in out)
+        # crystal prediction identical to the explicit raw-frame path
+        v_raw, ga_raw = scann.predict_structure(crystal,
+                                                canonical_frame=False)
+        assert out[1][0] == pytest.approx(v_raw, rel=1e-6)
+        np.testing.assert_allclose(out[1][1], ga_raw, rtol=1e-6)
+        # the two molecule copies agree with each other
+        assert out[0][0] == pytest.approx(out[2][0], rel=1e-6)
 
 
 def test_predict_data_after_split_prepare(synth, tmp_path):

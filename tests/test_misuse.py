@@ -93,3 +93,44 @@ def test_predict_structure_accepts_file_path():
     np.testing.assert_array_equal(ga1, ga2)
     (v3, ga3), = s.predict_structures([path])
     assert np.isfinite(v3)
+
+
+def test_out_of_vocab_atomic_number_raises_actionable():
+    """Serving a structure whose atomic number exceeds model.n_atoms must
+    raise, not predict NaN: jnp.take's fill mode turns an out-of-range
+    embedding lookup into silent NaNs (found with Cl Z=17 vs n_atoms=12)."""
+    s = _bare_scann()  # n_atoms=12
+    s.trainer.init_state(s._example_inputs())
+    nacl = Structure(["Na", "Cl"], [[0, 0, 0], [2.85, 2.85, 2.85]],
+                     lattice=np.eye(3) * 5.7)
+    with pytest.raises(ValueError, match="Cl.*n_atoms=12|n_atoms=12.*Cl"):
+        s.predict_structure(nacl)
+    with pytest.raises(ValueError, match="n_atoms=12"):
+        s.predict_structures([WATER, nacl])
+    # in-vocab structures still serve
+    v, ga = s.predict_structure(WATER)
+    assert np.isfinite(v) and ga.shape == (3,)
+
+
+def test_out_of_vocab_dataset_raises_at_prepare(tmp_path):
+    """Training data with out-of-vocab Z fails at prepare_dataset with an
+    actionable message instead of training on NaN embeddings."""
+    from scann_tpu.config import TpuConfig
+    from scann_tpu.data.synthetic import make_synthetic_dataset
+
+    # synthetic crystals use Si/O/Al/Fe/Mg -> Z up to 26
+    e, n = make_synthetic_dataset(str(tmp_path), n_structures=8,
+                                  min_atoms=4, max_atoms=8, periodic=True)
+    cfg = ScannConfig(
+        model=ModelConfig(n_atoms=12, embedding_dim=8, n_attention=1,
+                          local_dim=16, num_head=2, global_dim=16,
+                          dense_out=8, g_update=True),
+        hyper=HyperConfig(batch_size=4, target="homo",
+                          save_path=str(tmp_path / "run"),
+                          data_energy_path=e, data_nei_path=n,
+                          train_size=4, test_size=2),
+        tpu=TpuConfig(use_pallas=False),
+    )
+    s = Scann(cfg)
+    with pytest.raises(ValueError, match="n_atoms=12"):
+        s.prepare_dataset()
