@@ -623,3 +623,35 @@ def test_loop_packed_dropout_gradient_matches_finite_difference():
     analytic = float(sum(np.sum(np.asarray(gg) * d)
                          for gg, d in zip(flat_g, dirs)))
     assert fd == pytest.approx(analytic, rel=2e-2, abs=1e-4)
+
+
+def test_stash_acts_grads_match_full_recompute(rng, monkeypatch):
+    """The selective-activation-stash reverse walk (round 4) must produce
+    the gradients of the classic full-recompute schedule — same math,
+    different memoization. Pinned by running the same case with the
+    kill-switch on and off. Tolerance is ulp-level, not exact: interpret
+    mode jits two different graphs, and XLA's fusion/FMA choices differ
+    between them (measured drift ~3e-7 relative — f32 ulp)."""
+    from scann_tpu.kernels.scann_loop import fits_loop_stash
+
+    cfg, inputs, model, params = _case(rng, g_update=True, ga_norm=True,
+                                       B=2, M=16, N=6, L=2)
+    assert fits_loop_stash(cfg, 16, 6)  # small case must take the new path
+    ct_pred = jnp.asarray(np.linspace(-1, 1, 2, dtype=np.float32))[:, None]
+    ct_ga = jnp.zeros((2, 16, 1), jnp.float32)
+
+    monkeypatch.setenv("SCANN_TPU_LOOP_STASH", "1")
+    g_stash = loop_scann_grad(params, inputs, cfg, ct_pred, ct_ga,
+                              interpret=True)
+    monkeypatch.setenv("SCANN_TPU_LOOP_STASH", "0")
+    g_full = loop_scann_grad(params, inputs, cfg, ct_pred, ct_ga,
+                             interpret=True)
+    flat_s = jax.tree_util.tree_flatten_with_path(g_stash)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_full)[0]
+    assert len(flat_s) == len(flat_f)
+    for (p1, v1), (p2, v2) in zip(flat_s, flat_f):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        scale = np.abs(np.asarray(v2)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=0, atol=1e-5 * scale,
+            err_msg=f"stash-vs-recompute drift at {jax.tree_util.keystr(p1)}")
