@@ -245,8 +245,22 @@ def _kernel(
                     c_xhat=c_xhat, c_inv=c_inv)
         return c_out, g_out, acts
 
+    # Keep each layer's acts alive from the forward pass instead of
+    # re-running layer_fwd in the reverse walk (round 4). In this
+    # straight-line kernel both versions are one dataflow graph, so this
+    # only changes VALUE LIFETIMES (VMEM pressure), not the math — but
+    # Mosaic does NOT CSE the recompute on its own: measured on v5e at the
+    # QM9 flagship shape, keep-acts trains at 34,411 structs/s vs 26,896
+    # with the recompute schedule (+27.9%). Default ON; kill-switch
+    # SCANN_TPU_UNROLL_STASH=0 restores the recompute schedule (also used
+    # by the A/B parity test).
+    import os as _os
+    _keep_acts = _os.environ.get("SCANN_TPU_UNROLL_STASH", "1") != "0"
+    acts_stash = [None] * L
     for l in range(L):
-        c_out, g_out, _ = layer_fwd(l, c_stash[l], g_stash[l])
+        c_out, g_out, _a = layer_fwd(l, c_stash[l], g_stash[l])
+        if _keep_acts:
+            acts_stash[l] = _a
         c_stash[l + 1] = c_out
         g_stash[l + 1] = g_out
 
@@ -382,7 +396,8 @@ def _kernel(
     dg = jnp.zeros((R, N, D), jnp.float32) if g_update else None
 
     for l in range(L - 1, -1, -1):
-        _, _, a = layer_fwd(l, c_stash[l], g_stash[l])
+        a = (acts_stash[l] if _keep_acts
+             else layer_fwd(l, c_stash[l], g_stash[l])[2])
         c_in = c_stash[l]
         g_in = g_stash[l]
         ns, key, query, attn = a["ns"], a["key"], a["query"], a["attn"]

@@ -558,7 +558,13 @@ def resolve_tile(cfm: ModelConfig, B: int, M: int, N: int, which: str,
     (B, M, N): analytic estimate; picks close to the VMEM budget are
     additionally validated once on a real TPU (result cached in memory and
     on disk)."""
-    key = (_config_key(cfm), B, M, N, which, dropout_rate > 0)
+    # the backward's VMEM pressure differs between the keep-acts schedule
+    # (default, round 4) and the recompute schedule, so probe results are
+    # keyed by mode — a tile probed OK under one must not be trusted by
+    # the other
+    keep_acts = os.environ.get("SCANN_TPU_UNROLL_STASH", "1") != "0"
+    key = (_config_key(cfm), B, M, N, which, dropout_rate > 0,
+           keep_acts if which == "bwd" else True)
     if key in _RESOLVED_TILES:
         return _RESOLVED_TILES[key]
     if which == "fwd":

@@ -519,3 +519,39 @@ def test_dropout_gradient_matches_finite_difference(rng):
     analytic = float(sum(np.sum(np.asarray(gg) * d)
                          for gg, d in zip(flat_g, dirs)))
     assert fd == pytest.approx(analytic, rel=2e-2, abs=1e-4)
+
+
+def test_unrolled_keep_acts_matches_recompute(rng, monkeypatch):
+    """The keep-acts backward schedule (round 4 default: +27.9% measured on
+    v5e) must produce the recompute schedule's gradients — identical
+    dataflow, different value lifetimes. Ulp-level tolerance: the two
+    traced graphs fuse differently."""
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import fused_scann_grad
+    from scann_tpu.models import ScannModel
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2,
+                      local_dim=32, num_head=4, global_dim=32, dense_out=16,
+                      g_update=True, use_ga_norm=True)
+    inputs = make_synthetic_batch(rng, B=2, M=12, N=6)
+    model = ScannModel(config=cfg)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
+    ct_pred = jnp.asarray(np.linspace(-1, 1, 2, dtype=np.float32))[:, None]
+    ct_ga = jnp.zeros((2, 12, 1), jnp.float32)
+
+    monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "1")
+    g_keep = fused_scann_grad(params, inputs, cfg, ct_pred, ct_ga,
+                              interpret=True, batch_tile=1)
+    monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "0")
+    g_rec = fused_scann_grad(params, inputs, cfg, ct_pred, ct_ga,
+                             interpret=True, batch_tile=1)
+    flat_k = jax.tree_util.tree_flatten_with_path(g_keep)[0]
+    flat_r = jax.tree_util.tree_flatten_with_path(g_rec)[0]
+    assert len(flat_k) == len(flat_r)
+    for (p1, v1), (p2, v2) in zip(flat_k, flat_r):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        scale = np.abs(np.asarray(v2)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=0, atol=1e-5 * scale,
+            err_msg=f"keep-acts drift at {jax.tree_util.keystr(p1)}")
