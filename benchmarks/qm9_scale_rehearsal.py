@@ -16,14 +16,16 @@ parens):
                                         carries the full-scale run)
   prepare_dataset   (CSR + packing)     55.9 s — 110k train -> 70,786
                                         32-row slots, occupancy 0.923
-  train 25 epochs   110k structs/epoch  737.6 s total (epoch 0 carries the
-                    kernel compiles); steady state **37,828 structs/s
+  train 25 epochs   110k structs/epoch  413.8 s total (epoch 0 carries the
+                    kernel compiles); steady state **45,351 structs/s
                     INCLUDING per-epoch 10k-structure packed validation**
-                    (was 37,826 — identical steady state, faster compiles)
-  evaluate          10,831 test        3.4 s (was 219.2 s: the test split
+                    (was 37,826 — the keep-acts backward schedule's +20%
+                    shows up at full production scale, same convergence)
+  evaluate          10,831 test        7.3 s (was 219.2 s: the test split
                                         now shares the training shapes'
                                         compiled executables)
-  predict w/ GA     20,831 structures  216.5 s (one predict compile)
+  predict w/ GA     20,831 structures  366.2 s (one predict compile; the
+                                        compile varies with tenant load)
   convergence       val R2 0.9982, val MAE 0.032 std-units by epoch 25;
                     test MAE 0.0997 target-units (R2 0.9988)
 Artifacts: /tmp/qm9_scale_out_homo/{report.txt,metrics.jsonl},
