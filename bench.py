@@ -61,9 +61,10 @@ CPU_FALLBACK = os.environ.get("SCANN_BENCH_CPU") == "1"
 # Most recent on-hardware numbers from earlier in the round (NEXT.md) —
 # reported for context whenever this run could NOT measure on TPU.
 LAST_ON_TPU = {
-    "qm9_structures_per_sec": 27174.0,
-    "mp2018_structures_per_sec": 3771.0,
-    "source": "round-3 on-chip runs before the outage",
+    "qm9_structures_per_sec": 33701.0,
+    "qm9_packed_structures_per_sec": 50313.0,
+    "mp2018_structures_per_sec": 4302.0,
+    "source": "round-4 on-chip runs (keep-acts + loop-stash backward schedules)",
 }
 
 
