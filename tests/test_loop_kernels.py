@@ -655,3 +655,21 @@ def test_stash_acts_grads_match_full_recompute(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(v1), np.asarray(v2), rtol=0, atol=1e-5 * scale,
             err_msg=f"stash-vs-recompute drift at {jax.tree_util.keystr(p1)}")
+
+
+def test_fits_loop_stash_boundaries():
+    """The stash gate must admit the flagship crystal shape (where the win
+    was measured) and refuse shapes whose extra scratch would overflow
+    VMEM (deep ring crystals), which fall back to full recompute."""
+    from scann_tpu.kernels.scann_loop import fits_loop_stash
+
+    mp = ModelConfig(n_atoms=95, embedding_dim=128, n_attention=9,
+                     local_dim=128, num_head=8, global_dim=128,
+                     dense_out=128, g_update=True, use_ga_norm=True)
+    assert fits_loop_stash(mp, 96, 32)          # the measured +15.7% case
+    ptgp_like = ModelConfig(n_atoms=95, embedding_dim=128, n_attention=11,
+                            local_dim=128, num_head=8, global_dim=128,
+                            dense_out=128, g_update=True, use_ring=True)
+    assert not fits_loop_stash(ptgp_like, 128, 32)  # overflows -> fallback
+    # the gate is monotone in M at fixed config
+    assert fits_loop_stash(mp, 64, 32)
