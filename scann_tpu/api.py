@@ -55,6 +55,31 @@ def _ladder(x: int, base: int) -> int:
     return _round_up(x, base * steps[-1])
 
 
+# one-time notice when canonical-frame serving engages on molecule inputs:
+# the default flipped to True in round 4 (a deliberate, measured output
+# change vs the reference's frame-dependent featurization — CHANGELOG.md),
+# and operators upgrading an existing deployment should see that stated
+# once in their logs rather than discover silently different predictions.
+_CANONICAL_NOTICE_EMITTED = [False]
+
+
+def _canonical_frame_notice(structs) -> None:
+    if _CANONICAL_NOTICE_EMITTED[0]:
+        return
+    if not any(not s.is_periodic for s in structs):
+        return  # periodic inputs are unaffected by construction
+    _CANONICAL_NOTICE_EMITTED[0] = True
+    import logging
+
+    logging.getLogger(__name__).info(
+        "canonical_frame=True (default since v0.4): molecule inputs are "
+        "rotated to their principal-axes frame before featurization — "
+        "predictions are frame-invariant but not bit-identical to the "
+        "reference's raw-frame featurization. Pass canonical_frame=False "
+        "(CLI: --no-canonical-frame) for reference-bit-compatible output. "
+        "See CHANGELOG.md and benchmarks/canonical_frame_study.json.")
+
+
 def prepare_input(
     struct: Structure,
     d_t: float = 4.0,
@@ -476,6 +501,8 @@ class Scann:
         self._require_state("predict_structure")
         struct = self._as_structure(struct)
         self._check_vocab([struct])
+        if canonical_frame:
+            _canonical_frame_notice([struct])
         inputs = prepare_input(struct, d_t=d_t, w_t=w_t,
                                angle=self.config.model.g_update,
                                use_ring=self.config.model.use_ring,
@@ -548,23 +575,33 @@ class Scann:
         program for identical shapes — two deployments sharing a cache dir
         must not swap executables), the mesh signature, and the parameter
         tree signature. Run-specific fields (paths, cache dir, observed
-        buckets) are normalized out so re-runs of one recipe share entries."""
+        buckets) are normalized out so re-runs of one recipe share entries.
+
+        The memo guard is (params identity, cheap config fingerprint): the
+        fingerprint is two raw dataclass reprs + the mesh signature (µs —
+        the per-request costs worth memoizing away are the deepcopy and the
+        full-param-tree tree_map), so an in-place config mutation (e.g.
+        flipping ``tpu.use_pallas``) recomputes the key instead of silently
+        reusing a stale one. A raw-repr mismatch can only cause a spurious
+        recompute, never a stale hit — normalization still happens in the
+        key itself."""
+        mesh = self.trainer.mesh
+        mesh_sig = repr(None if mesh is None else
+                        (mesh.shape, mesh.axis_names))
+        fp = (repr(self.config.model), repr(self.config.tpu), mesh_sig)
         prefix = getattr(self, "_serve_key_prefix", None)
-        if prefix is not None and prefix[0] is params:
-            return prefix[1]
+        if prefix is not None and prefix[0] is params and prefix[1] == fp:
+            return prefix[2]
         import copy
 
         ct = copy.deepcopy(self.config.tpu)
         ct.exec_cache_dir = None
         ct.observed_buckets = None
-        mesh = self.trainer.mesh
-        mesh_sig = repr(None if mesh is None else
-                        (mesh.shape, mesh.axis_names))
         psig = jax.tree_util.tree_map(
             lambda x: (tuple(x.shape), str(x.dtype)), params)
         key = "|".join(["serve_fwd", repr(self.config.model), repr(ct),
                         mesh_sig, repr(psig)])
-        self._serve_key_prefix = (params, key)
+        self._serve_key_prefix = (params, fp, key)
         return key
 
     def _serve_call(self, params, batch):
@@ -597,7 +634,12 @@ class Scann:
             out = got(params, batch)
             # block HERE: a broken deserialized executable can fail lazily,
             # when results are consumed — that must happen inside this try
-            return jax.block_until_ready(out)
+            out = jax.block_until_ready(out)
+            # only now is the disk-loaded entry trusted: concurrent callers
+            # who raced us through get_or_compile_info kept seeing "disk"
+            # (guarded) until this promotion
+            cache.mark_validated(key)
+            return out
         except Exception:
             # a DISK-loaded executable that fails at call time (stale entry
             # for a changed model / an AOT reload this host can't execute)
@@ -661,6 +703,8 @@ class Scann:
         self._require_state("predict_structures")
         structs = [self._as_structure(s) for s in structs]
         self._check_vocab(structs)
+        if canonical_frame:
+            _canonical_frame_notice(structs)
         cfm = self.config.model
         kw = dict(d_t=d_t, w_t=w_t, angle=cfm.g_update, use_ring=cfm.use_ring,
                   feature=cfm.feature, canonical_frame=canonical_frame)

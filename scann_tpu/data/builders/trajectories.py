@@ -32,8 +32,10 @@ FULLERENE_URL = "https://zenodo.org/record/8435481/files/fullerene.zip?download=
 # or zenodo 8435481 ships a combined archive). Neither can be verified in
 # this environment (no egress), so the ptgp builder tries a FALLBACK CHAIN:
 # the dataset-named ``pt_graphene.zip`` first, then the reference's
-# ``fullerene.zip`` — whichever exists is parsed with the ptgp record
-# schema, so the first real egress run cannot 404 either way.
+# ``fullerene.zip`` — so the first real egress run cannot 404 either way.
+# Whichever downloads is then VALIDATED before being accepted as ptgp data
+# (exactly-2-token comments per frame + Pt present in the archive); a
+# fullerene-content archive raises loudly instead of fabricating targets.
 PTGP_URLS = [
     "https://zenodo.org/record/8435481/files/pt_graphene.zip?download=1",
     FULLERENE_URL,
@@ -85,9 +87,31 @@ def fullerene_record(idx, comment, species, coords):
 
 def ptgp_record(idx, comment, species, coords):
     vals = comment.split()
+    if len(vals) != 2:
+        # A fullerene-format frame (3 tokens: homo lumo total_energy) must
+        # NOT silently parse with the ptgp schema — a 2-token prefix read
+        # would record homo as total_energy and lumo as Ref_energy,
+        # fabricating wrong training targets. See PTGP_URLS: the fallback
+        # chain can legitimately hand this parser a fullerene.zip.
+        raise ValueError(
+            f"ptgp frame {idx}: expected exactly 2 comment tokens "
+            f"(total_energy Ref_energy), got {len(vals)}: {comment!r}. "
+            "The downloaded archive does not contain Pt/graphene-format "
+            "frames — refusing to fabricate mislabeled targets.")
     return _base_record(idx, species, coords, {
         "total_energy": float(vals[0]), "Ref_energy": float(vals[1]),
     })
+
+
+def _validate_ptgp_records(records: List[dict]) -> None:
+    """Archive-level sanity check for the ptgp fallback chain: a
+    Pt/graphene trajectory must actually contain platinum somewhere."""
+    PT = atomic_numbers["Pt"]
+    if records and not any(PT in r["Atomic"] for r in records):
+        raise RuntimeError(
+            f"ptgp archive parsed {len(records)} frames but none contain "
+            "Pt — the fallback archive is not the Pt/graphene dataset; "
+            "refusing to save mislabeled records.")
 
 
 def smfe_record(idx, comment, species, coords):
@@ -118,7 +142,8 @@ def _download_first(urls: List[str], dest: str, what: str) -> str:
 
 def _process_zip(url, dataset: str, glob_pat: str,
                  make_record: Callable, save_path: str,
-                 sort_by_size: bool = False):
+                 sort_by_size: bool = False,
+                 validate_records: Callable = None):
     urls = [url] if isinstance(url, str) else list(url)
     tmpdir = tempfile.mkdtemp(dataset)
     try:
@@ -133,6 +158,8 @@ def _process_zip(url, dataset: str, glob_pat: str,
             for comment, species, coords in iter_xyz_frames(f):
                 records.append(make_record(idx, comment, species, coords))
                 idx += 1
+        if validate_records is not None:
+            validate_records(records)
         return save_dataset(records, save_path, dataset, sort_by_size=sort_by_size)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
@@ -144,7 +171,8 @@ def process_fullerene(save_path: str = ""):
 
 
 def process_ptgp(save_path: str = ""):
-    return _process_zip(PTGP_URLS, "ptgp", "*/*.xyz", ptgp_record, save_path)
+    return _process_zip(PTGP_URLS, "ptgp", "*/*.xyz", ptgp_record, save_path,
+                        validate_records=_validate_ptgp_records)
 
 
 def process_smfe(save_path: str = ""):

@@ -91,14 +91,34 @@ def _onehot_bytes(cfm: ModelConfig, M: int, N: int) -> int:
     return M * _pad8(N) * _pad128(M) * 4
 
 
-def _bwd_mol_bytes(cfm: ModelConfig, M: int, N: int) -> int:
+def _keep_acts_enabled() -> bool:
+    return os.environ.get("SCANN_TPU_UNROLL_STASH", "1") != "0"
+
+
+def _bwd_mol_bytes(cfm: ModelConfig, M: int, N: int,
+                   keep_acts: bool = None) -> int:
     """Per-molecule VMEM working set of the fused BACKWARD: layer-input
     stashes + recomputed activations + reverse-mode temporaries. The
     ``6L + 12`` coefficient is calibrated against on-device compiles (the
     Mosaic stack allocator only partially reuses across the unrolled layer
-    walk); it intentionally admits the largest probed-OK tiles."""
+    walk); it intentionally admits the largest probed-OK tiles.
+
+    ``keep_acts`` (default: the SCANN_TPU_UNROLL_STASH env setting) adds
+    the keep-acts schedule's extra value lifetimes: the per-layer acts
+    dict keeps ~8 [M,N,*]-class tensors alive across the whole reverse
+    walk (ns, u_pre, geo_term, g_xhat, g_inv, key, attn, attn_used —
+    ``scann_backward.py`` layer_fwd) that the recompute schedule frees
+    (round-4 advisor finding: the stale recompute-only estimate could
+    pass a keep-acts shape straight past the probe gate into a Mosaic
+    compile failure with no fallback). Tile *picks* intentionally stay on
+    the calibrated recompute coefficient (see ``pick_backward_tile``) so
+    probed-OK tiles keep their measured performance; this term widens the
+    feasibility gate (``fits_vmem``) and the probe net (``resolve_tile``)."""
+    if keep_acts is None:
+        keep_acts = _keep_acts_enabled()
     L = cfm.n_attention
-    return (6 * L + 12) * _rnd_bytes(cfm, M, N) + _onehot_bytes(cfm, M, N)
+    coeff = (14 if keep_acts else 6) * L + 12
+    return coeff * _rnd_bytes(cfm, M, N) + _onehot_bytes(cfm, M, N)
 
 
 def _fwd_mol_bytes(cfm: ModelConfig, M: int, N: int) -> int:
@@ -127,7 +147,10 @@ def fits_vmem(cfm: ModelConfig, M: int, N: int,
     """
     if M > MAX_FUSED_ATOMS:
         return False
-    # grads double the param cost (accumulator blocks live in VMEM)
+    # grads double the param cost (accumulator blocks live in VMEM).
+    # keep-acts aware: a shape whose keep-acts working set overflows VMEM
+    # even at batch_tile=1 falls back to the XLA path here instead of
+    # failing at Mosaic compile time with no fallback
     return _bwd_mol_bytes(cfm, M, N) + 2 * _param_bytes(cfm) < budget_bytes
 
 
@@ -572,6 +595,10 @@ def resolve_tile(cfm: ModelConfig, B: int, M: int, N: int, which: str,
         est = bt * _fwd_mol_bytes(cfm, M, N) + _param_bytes(cfm)
     else:
         bt = pick_backward_tile(cfm, B, M, N)
+        # probe gate uses the SCHEDULE-AWARE estimate: under keep-acts the
+        # true working set is much larger than the calibrated pick model,
+        # and a shape skating past the probe on the stale estimate fails
+        # at Mosaic compile time with no fallback (round-4 advisor)
         est = bt * _bwd_mol_bytes(cfm, M, N) + 2 * _param_bytes(cfm)
     needs_probe = (bt > 1 and jax.default_backend() == "tpu"
                    and est >= PROBE_ABOVE_FRACTION * VMEM_BUDGET_BYTES)
@@ -626,8 +653,15 @@ def pick_backward_tile(cfm: ModelConfig, B: int, M: int, N: int,
                        budget_bytes: int = VMEM_BUDGET_BYTES) -> int:
     """Molecules per backward Pallas program (the stash working set is much
     bigger than the forward's, so the backward tiles smaller; see
-    pick_batch_tile on the compile-cost caps)."""
-    per_mol = _bwd_mol_bytes(cfm, M, N)
+    pick_batch_tile on the compile-cost caps).
+
+    Picks stay on the calibrated RECOMPUTE-schedule model (keep_acts=False)
+    regardless of the active schedule: the round-4 keep-acts tiles were
+    probed OK at exactly these picks, and inflating the pick model would
+    silently shrink known-good tiles. The schedule-aware estimate instead
+    gates feasibility (fits_vmem) and the on-device probe (resolve_tile),
+    which halves the tile on a real failure."""
+    per_mol = _bwd_mol_bytes(cfm, M, N, keep_acts=False)
     static = 2 * _param_bytes(cfm)  # params + grad accumulators
     for bt in (4, 2, 1):
         if B % bt:

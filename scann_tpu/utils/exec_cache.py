@@ -62,6 +62,9 @@ def env_fingerprint() -> str:
         "backend": jax.default_backend(),
         "device_kind": devs[0].device_kind,
         "n_devices": len(devs),
+        # same device count under a different process layout compiles to a
+        # different cross-host program — never swap those executables
+        "n_processes": jax.process_count(),
     }, sort_keys=True)
 
 
@@ -113,6 +116,11 @@ class ExecutableCache:
         # to dirs makedirs creates — a pre-existing dir keeps its perms.
         os.makedirs(cache_dir, mode=0o700, exist_ok=True)
         self._mem: Dict[str, Callable] = {}
+        # keys whose executable has survived one successful call. Freshly
+        # compiled entries are trusted by construction; DISK-loaded ones are
+        # not until the caller reports a good call via mark_validated() —
+        # see get_or_compile_info's src contract.
+        self._validated: set = set()
         self._lock = threading.Lock()
         self._key_locks: Dict[str, threading.Lock] = {}
         self.stats = {"mem_hits": 0, "disk_hits": 0, "compiles": 0,
@@ -134,13 +142,23 @@ class ExecutableCache:
         """Like ``get_or_compile`` but also returns where the executable
         came from: ``"mem"`` | ``"disk"`` | ``"compile"`` — callers that
         donate buffers use this to validate disk loads on dummy inputs
-        before trusting them with real state."""
+        before trusting them with real state.
+
+        ``"mem"`` means *validated in this process*: freshly compiled, or a
+        disk load whose first call the caller reported good via
+        ``mark_validated``. A disk-loaded executable that has been inserted
+        into the in-memory map but NOT yet validated is returned as
+        ``"disk"`` again — so a concurrent second caller also takes the
+        guarded path instead of trusting an entry whose first call hasn't
+        succeeded yet (round-4 advisor finding)."""
         with self._key_lock(key):
             with self._lock:
                 fn = self._mem.get(key)
+                if fn is not None:
+                    validated = key in self._validated
             if fn is not None:
                 self.stats["mem_hits"] += 1
-                return fn, "mem"
+                return fn, ("mem" if validated else "disk")
             src = "disk"
             fn = self._load(key)
             if fn is None:
@@ -150,7 +168,16 @@ class ExecutableCache:
                 self._save(key, fn)
             with self._lock:
                 self._mem[key] = fn
+                if src == "compile":
+                    self._validated.add(key)
             return fn, src
+
+    def mark_validated(self, key: str) -> None:
+        """Record that a disk-loaded executable's call succeeded, promoting
+        it to the trusted (``"mem"``) state for later callers."""
+        with self._lock:
+            if key in self._mem:
+                self._validated.add(key)
 
     def invalidate(self, key: str) -> None:
         """Drop a key from memory and disk — called when a loaded
@@ -159,6 +186,7 @@ class ExecutableCache:
         re-failing."""
         with self._lock:
             self._mem.pop(key, None)
+            self._validated.discard(key)
         self.stats["invalidated"] += 1
         try:
             os.remove(self._path(key))

@@ -208,19 +208,57 @@ def test_ptgp_chain_direct(fixture_server, tmp_path, monkeypatch):
     assert recs[0]["Properties"]["Ref_energy"] == -199.0
 
 
-def test_ptgp_chain_falls_back_to_fullerene_zip(fixture_server, tmp_path,
-                                                monkeypatch, capsys):
+def test_ptgp_chain_falls_back_and_accepts_ptgp_content(
+        fixture_server, tmp_path, monkeypatch):
     """pt_graphene.zip 404s -> the builder falls back to fullerene.zip
     (the URL the reference's ptgp builder actually uses,
-    pt_graphene.py:24) and parses its frames with the ptgp schema — a
-    2-value prefix read works on the fullerene 3-value comments."""
+    pt_graphene.py:24). When that archive actually contains
+    Pt/graphene-format frames (2-token comments, Pt species), the
+    fallback succeeds."""
+    base, root = fixture_server
+    (root / "fullerene_ptgp_content.zip").write_bytes(
+        _zip_bytes({"ptgp/pt.xyz": TRAJ_XYZ_PTGP}))
+    monkeypatch.setattr(trajectories, "PTGP_URLS",
+                        [f"{base}/pt_graphene.zip",          # 404s
+                         f"{base}/fullerene_ptgp_content.zip"])
+    recs = _load(trajectories.process_ptgp(str(tmp_path)))
+    assert len(recs) == 2
+    assert recs[0]["Properties"]["Ref_energy"] == -199.0
+
+
+def test_ptgp_chain_rejects_fullerene_content(fixture_server, tmp_path,
+                                              monkeypatch):
+    """If the fallback archive contains fullerene-format frames (3-token
+    comments: homo lumo total_energy), the builder must raise loudly —
+    a silent 2-token prefix read would record homo as total_energy and
+    lumo as Ref_energy, fabricating wrong training targets (round-4
+    advisor finding)."""
     base, _ = fixture_server
     monkeypatch.setattr(trajectories, "PTGP_URLS",
                         [f"{base}/pt_graphene.zip",   # 404s
-                         f"{base}/fullerene.zip"])    # fallback target
-    recs = _load(trajectories.process_ptgp(str(tmp_path)))
-    assert len(recs) == 1
-    assert recs[0]["Properties"] == {"total_energy": -5.5, "Ref_energy": -3.2}
+                         f"{base}/fullerene.zip"])    # fullerene content
+    with pytest.raises(ValueError, match="expected exactly 2 comment tokens"):
+        trajectories.process_ptgp(str(tmp_path))
+
+
+def test_ptgp_record_rejects_3_token_comment():
+    with pytest.raises(ValueError, match="exactly 2 comment tokens"):
+        trajectories.ptgp_record(
+            0, "-5.5 -3.2 -100.0", ["C"], np.zeros((1, 3), np.float32))
+
+
+def test_ptgp_validate_requires_pt():
+    """An archive of 2-token frames with no Pt anywhere is still not the
+    Pt/graphene dataset — the archive-level check rejects it."""
+    rec = trajectories.ptgp_record(
+        0, "-5.5 -3.2", ["C", "C"],
+        np.zeros((2, 3), np.float32))
+    with pytest.raises(RuntimeError, match="none contain Pt"):
+        trajectories._validate_ptgp_records([rec])
+    # and passes when Pt is present
+    ok = trajectories.ptgp_record(
+        1, "-200.5 -199.0", ["Pt"], np.zeros((1, 3), np.float32))
+    trajectories._validate_ptgp_records([rec, ok])
 
 
 def test_ptgp_chain_all_urls_fail(fixture_server, tmp_path, monkeypatch):

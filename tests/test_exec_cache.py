@@ -94,6 +94,36 @@ class TestExecutableCache:
         b3 = {"a": np.zeros((2, 4)), "b": np.zeros((2,), np.int32)}
         assert batch_signature(b1) != batch_signature(b3)
 
+    def test_disk_loaded_entry_stays_guarded_until_validated(self, tmp_path):
+        """A disk-loaded executable inserted into the in-memory map must
+        keep reporting src="disk" (the guarded path) to later callers until
+        its first call is confirmed good via mark_validated — a concurrent
+        second thread must not get it as a trusted "mem" hit before any
+        call has succeeded (ADVICE r4). Freshly compiled entries are
+        trusted immediately."""
+        a = ExecutableCache(str(tmp_path))
+        _, src = a.get_or_compile_info("k", JIT_F, X, X)
+        assert src == "compile"
+        _, src = a.get_or_compile_info("k", JIT_F, X, X)
+        assert src == "mem"  # fresh compiles are validated by construction
+        if a.stats["save_errors"]:
+            pytest.skip("backend does not serialize executables")
+        b = ExecutableCache(str(tmp_path))
+        fn, src = b.get_or_compile_info("k", JIT_F, X, X)
+        assert src == "disk"
+        # a second caller BEFORE validation: still the guarded path
+        _, src2 = b.get_or_compile_info("k", JIT_F, X, X)
+        assert src2 == "disk"
+        np.testing.assert_allclose(np.asarray(fn(X, X)),
+                                   np.asarray(JIT_F(X, X)), rtol=1e-6)
+        b.mark_validated("k")
+        _, src3 = b.get_or_compile_info("k", JIT_F, X, X)
+        assert src3 == "mem"
+        # invalidation demotes: a later re-load is guarded again
+        b.invalidate("k")
+        _, src4 = b.get_or_compile_info("k", JIT_F, X, X)
+        assert src4 in ("disk", "compile")
+
     def test_stale_entry_for_changed_function_recompiles(self, tmp_path):
         """Same key, same arg shapes, but a DIFFERENT function than the one
         serialized: the loaded executable computes the old function — which
@@ -300,24 +330,26 @@ class TestScannServingExecCache:
         (e.g. use_pallas) must NOT share executables: the serve key mixes
         repr(config.tpu) + mesh signature, mirroring Trainer._cache_wrap
         (ADVICE r3 medium #1). Run-specific fields (exec_cache_dir,
-        observed_buckets) are normalized OUT so they don't re-key."""
+        observed_buckets) are normalized OUT so they don't re-key.
+
+        The memo guard itself carries a cheap config fingerprint (ADVICE
+        r4): in-place config mutations re-key WITHOUT any manual
+        ``_serve_key_prefix = None`` reset by the caller."""
         params = scann.trainer.state.params
         tpu = scann.config.tpu
         orig = (tpu.use_pallas, tpu.exec_cache_dir, tpu.observed_buckets)
         try:
             k1 = scann._serve_cache_prefix(params)
-            # memoized per (prefix, params): same object, no recompute
+            # memoized per (params, config-fingerprint): same object
             assert scann._serve_cache_prefix(params) is k1
 
             tpu.use_pallas = not tpu.use_pallas
-            scann._serve_key_prefix = None
             k2 = scann._serve_cache_prefix(params)
             assert k1 != k2
 
             tpu.use_pallas = orig[0]
             tpu.exec_cache_dir = "/somewhere/else"
             tpu.observed_buckets = [(8, 8)]
-            scann._serve_key_prefix = None
             k3 = scann._serve_cache_prefix(params)
             assert k1 == k3
         finally:

@@ -423,6 +423,44 @@ def test_vmem_guards():
     assert pick_backward_tile(qm9, B=7, M=32, N=16) == 1
 
 
+def test_bwd_vmem_model_is_keep_acts_aware(monkeypatch):
+    """ADVICE r4: the backward VMEM estimate must reflect the keep-acts
+    schedule's larger working set (~8 extra [M,N,*]-class activations per
+    layer kept alive across the reverse walk) so near-the-edge shapes hit
+    the probe gate / XLA fallback instead of an unguarded Mosaic compile
+    failure. Tile PICKS stay on the calibrated recompute model."""
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_forward import (
+        _bwd_mol_bytes,
+        _rnd_bytes,
+        fits_vmem,
+        pick_backward_tile,
+    )
+
+    qm9 = ModelConfig(n_attention=7, local_dim=128, g_update=True)
+    lo = _bwd_mol_bytes(qm9, 32, 16, keep_acts=False)
+    hi = _bwd_mol_bytes(qm9, 32, 16, keep_acts=True)
+    assert hi - lo == 8 * qm9.n_attention * _rnd_bytes(qm9, 32, 16)
+    # default tracks the env kill-switch
+    monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "0")
+    assert _bwd_mol_bytes(qm9, 32, 16) == lo
+    monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "1")
+    assert _bwd_mol_bytes(qm9, 32, 16) == hi
+    # picks are schedule-independent: probed-OK tiles must not shrink
+    monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "0")
+    bt0 = pick_backward_tile(qm9, B=128, M=32, N=16)
+    monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "1")
+    assert pick_backward_tile(qm9, B=128, M=32, N=16) == bt0
+    # a shape that fits the recompute schedule at bt=1 but overflows under
+    # keep-acts routes to the XLA path rather than a doomed fused compile
+    mp = ModelConfig(n_attention=9, local_dim=128, g_update=True)
+    edge = (64, 32)
+    if (not fits_vmem(mp, *edge)) and _bwd_mol_bytes(
+            mp, *edge, keep_acts=False) < 120 * 1024 * 1024:
+        monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "0")
+        assert fits_vmem(mp, *edge)
+
+
 @pytest.mark.slow
 def test_dropout_masks_are_tiling_invariant(rng):
     """Dropout masks are keyed to GLOBAL molecule indices: the fused forward
