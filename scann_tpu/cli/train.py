@@ -55,7 +55,23 @@ def main(argv=None):
                              "restarts/resumes of the same config skip the "
                              "XLA/Pallas compiles (crystal kernels compile "
                              "for minutes on shared TPUs)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host data parallelism: initialize "
+                             "jax.distributed before any device use (run "
+                             "this CLI once per host; coordinator/topology "
+                             "from SCANN_TPU_COORDINATOR / "
+                             "SCANN_TPU_NUM_PROCESSES / SCANN_TPU_PROCESS_ID "
+                             "or JAX's TPU-pod autodetection). Also engages "
+                             "automatically when SCANN_TPU_DISTRIBUTED=1 or "
+                             "the SCANN_TPU_COORDINATOR env is set")
     args = parser.parse_args(argv)
+
+    # distributed init must precede EVERY jax device use (backends bake in
+    # the process topology at creation) — hence before importing the api
+    if args.distributed:
+        os.environ.setdefault("SCANN_TPU_DISTRIBUTED", "1")
+    from scann_tpu.parallel import initialize as distributed_initialize
+    distributed_initialize()
 
     from scann_tpu.api import Scann
     from scann_tpu.config import load_config

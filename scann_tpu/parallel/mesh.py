@@ -37,12 +37,16 @@ def hierarchical_order(devices: Sequence) -> list:
 
     Single-slice (or CPU/simulated) devices carry no ``slice_index``; the
     order is then untouched. Deterministic: stable sort on
-    (slice_index, device id).
+    (slice_index, process_index, device id) — the process key keeps each
+    HOST's devices contiguous on multi-host slices, so host-local traffic
+    (e.g. XLA's hierarchical all-reduce decomposition) stays on the
+    shortest links even within one slice.
     """
     keyed = []
     for i, d in enumerate(devices):
         s = getattr(d, "slice_index", None)
-        keyed.append(((s if s is not None else 0, getattr(d, "id", i)), d))
+        p = getattr(d, "process_index", 0)
+        keyed.append(((s if s is not None else 0, p, getattr(d, "id", i)), d))
     keyed.sort(key=lambda kv: kv[0])
     return [d for _, d in keyed]
 

@@ -13,6 +13,13 @@ TPU-native counterpart of the reference orchestrator
   ``data`` mesh axis; XLA inserts the gradient all-reduce over ICI.
 - checkpoint/resume via orbax (the reference has no optimizer-state resume;
   we checkpoint the full train state).
+- multi-process (multi-host) transparency: every device placement routes
+  through ``parallel.put_replicated`` and exactly-once side effects
+  (metrics/report/config/checkpoints) through ``parallel.is_primary`` —
+  one process per host runs this SAME code on a pod, with per-host data
+  loading and digest-checked replica consistency
+  (``parallel/distributed.py``; trajectory-parity-tested on a 2-process
+  CPU mesh in tests/test_distributed.py).
 """
 
 from __future__ import annotations
@@ -34,7 +41,15 @@ from scann_tpu.config import ScannConfig
 from scann_tpu.data.pipeline import PackedBucket
 from scann_tpu.models import ScannModel
 from scann_tpu.models.scann import l2_penalty
-from scann_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from scann_tpu.parallel import (
+    batch_sharding,
+    fetch,
+    is_multiprocess,
+    is_primary,
+    make_mesh,
+    put_replicated,
+    replicated_sharding,
+)
 from scann_tpu.train.schedules import SGDRSchedule, make_cosine_lr
 
 
@@ -172,14 +187,14 @@ class Trainer:
                 key, jax.jit(lambda rng, x: model.init(rng, x,
                                                        deterministic=True)))
         params = init_fn(jax.random.PRNGKey(seed), example_inputs)["params"]
-        params = jax.device_put(params, self._repl)
+        params = put_replicated(params, self._repl)
         opt_state = self.tx.init(params)
         # commit the WHOLE state to the replicated mesh sharding: an
         # uncommitted scalar (opt count / step) comes back mesh-committed
         # from the first jitted epoch, which changes the jit signature and
         # silently re-compiles the whole-epoch executable on epoch 2
         # (measured: a second 526 s Mosaic compile at the packed QM9 shape)
-        self.state = jax.device_put(
+        self.state = put_replicated(
             TrainState(params=params, opt_state=opt_state,
                        step=jnp.zeros((), jnp.int32)), self._repl)
         return self.state
@@ -187,9 +202,9 @@ class Trainer:
     def load_params(self, params: Any):
         """Install externally-loaded params (e.g. from the H5 converter)."""
         params = params.get("params", params)
-        params = jax.device_put(params, self._repl)
+        params = put_replicated(params, self._repl)
         opt_state = self.tx.init(params)
-        self.state = jax.device_put(
+        self.state = put_replicated(
             TrainState(params=params, opt_state=opt_state,
                        step=jnp.zeros((), jnp.int32)), self._repl)
         return self.state
@@ -220,7 +235,7 @@ class Trainer:
                                   mu=new_mu, nu=new_nu)
         # device_put the whole state: see init_state — uncommitted scalars
         # would re-compile the epoch executable on their second use
-        self.state = jax.device_put(
+        self.state = put_replicated(
             TrainState(params=self.state.params, opt_state=opt_state,
                        step=jnp.asarray(count, jnp.int32)), self._repl)
         return self.state
@@ -440,8 +455,14 @@ class Trainer:
                 return None, (pred if packed else pred[:, 0])
 
             _, preds = jax.lax.scan(body, None, idx_plan)
-            return (preds.reshape(n_batches * B, -1) if packed
-                    else preds.reshape(-1))
+            out = (preds.reshape(n_batches * B, -1) if packed
+                   else preds.reshape(-1))
+            if is_multiprocess():
+                # every process fetches the full prediction vector on the
+                # host (_evaluate_buckets): replicate the output so the
+                # fetch is an addressable local read, not a cross-host one
+                out = jax.lax.with_sharding_constraint(out, self._repl)
+            return out
 
         self._train_epoch = self._cache_wrap("train_epoch", train_epoch)
         self._eval_epoch = self._cache_wrap("eval_epoch", eval_epoch)
@@ -542,7 +563,12 @@ class Trainer:
         on the same rung and share ONE compiled shape. Row order is
         preserved (pad rows wrap from the start), so callers' ``[:S]``
         trims stay correct. Never used for training buckets — pad rows
-        would be trained on."""
+        would be trained on.
+
+        Multi-process: every process loaded its own identical copy of the
+        bucket (per-host data loading); ``put_replicated(check=True)``
+        assembles the global replicated arrays and digest-checks that the
+        host copies actually agree before training on them."""
         live = {(tag, id(b)) for b in buckets}
         for key in [k for k in self._device_buckets
                     if k[0] == tag and k not in live]:
@@ -563,8 +589,10 @@ class Trainer:
                         targets = targets[idx]
                 self._device_buckets[key] = (
                     b,
-                    jax.device_put(inputs, self._repl),
-                    jax.device_put(targets, self._repl),
+                    put_replicated(inputs, self._repl, check=True,
+                                   what=f"{tag} bucket inputs"),
+                    put_replicated(targets, self._repl, check=True,
+                                   what=f"{tag} bucket targets"),
                 )
             out.append(self._device_buckets[key][1:])
         return out
@@ -672,7 +700,8 @@ class Trainer:
                  int(b.inputs["neighbors"].shape[2]))
                 for b in list(train_buckets) + list(valid_buckets)})]
         from scann_tpu.config import save_config
-        save_config(self.config, os.path.join(self.workdir, "config.yaml"))
+        if is_primary():  # exactly-once artifact on multi-process runs
+            save_config(self.config, os.path.join(self.workdir, "config.yaml"))
 
         history = {"loss": [], "mae": [], "val_mae": [], "val_r2": [], "lr": [],
                    "epoch_time": []}
@@ -746,8 +775,9 @@ class Trainer:
                    "val_mae": val_mae, "val_r2": val_r2, "lr": lr_now,
                    "time_s": round(dt, 3),
                    "structures_per_sec": round(n_train / dt, 1)}
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            if is_primary():
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
             log_fn(f"epoch {epoch}: loss {train_loss:.5f} mae {train_mae:.5f} "
                    f"val_mae {val_mae:.5f} val_r2 {val_r2:.4f} lr {lr_now:.2e} "
                    f"({rec['structures_per_sec']:.0f} structs/s)")
@@ -806,7 +836,7 @@ class Trainer:
             "test_r2": r2,
             "target": self.config.hyper.target,
         }
-        if report:
+        if report and is_primary():
             os.makedirs(self.workdir, exist_ok=True)
             with open(os.path.join(self.workdir, "report.txt"), "w") as f:
                 if hasattr(self, "history"):
@@ -909,13 +939,22 @@ class Trainer:
     def save_checkpoint(self, name: str = "best", meta: Optional[dict] = None):
         import orbax.checkpoint as ocp
 
-        path = os.path.abspath(os.path.join(self.workdir, "checkpoints", name))
-        ckptr = ocp.StandardCheckpointer()
         payload = {"params": self.state.params,
                    "opt_state": self.state.opt_state,
                    "step": self.state.step}
-        if meta:
+        if is_multiprocess():
+            # orbax's Checkpointer runs multi-host barriers whenever
+            # jax.process_count() > 1, so EVERY process must call save()
+            # (a primary-only call deadlocks on the barrier). The train
+            # state is fully replicated -> materialize identical host-numpy
+            # copies everywhere; orbax's primary-host logic writes once.
+            payload = fetch(payload)
+            if meta:
+                payload["meta"] = {k: np.asarray(v) for k, v in meta.items()}
+        elif meta:
             payload["meta"] = {k: jnp.asarray(v) for k, v in meta.items()}
+        path = os.path.abspath(os.path.join(self.workdir, "checkpoints", name))
+        ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
@@ -931,10 +970,19 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         target = {"params": self.state.params, "opt_state": self.state.opt_state,
                   "step": self.state.step}
-        base_meta = {"epoch": jnp.zeros((), jnp.int32),
-                     "best_val": jnp.zeros((), jnp.float32),
-                     "best_epoch": jnp.zeros((), jnp.int32)}
-        sgdr_meta = {f"sgdr_{f}": jnp.zeros((), jnp.float32)
+        zeros = jnp.zeros
+        if is_multiprocess():
+            # multi-host checkpoints are saved as host-numpy from every
+            # process (save_checkpoint); restore symmetrically: every
+            # process restores into a host-numpy target (all participate
+            # in orbax's barriers), then re-replicates below. Requires the
+            # workdir on a filesystem all hosts can read (DEPLOYMENT.md).
+            target = fetch(target)
+            zeros = np.zeros
+        base_meta = {"epoch": zeros((), jnp.int32),
+                     "best_val": zeros((), jnp.float32),
+                     "best_epoch": zeros((), jnp.int32)}
+        sgdr_meta = {f"sgdr_{f}": zeros((), jnp.float32)
                      for f in ("triggered", "lr", "lr_warmup_current",
                                "lr_warmup_next", "ti", "tcur", "best_val_mae")}
         restored = None
@@ -949,9 +997,10 @@ class Trainer:
                 continue
         if restored is None:
             restored = ckptr.restore(path, target)
-        self.state = TrainState(params=jax.device_put(restored["params"], self._repl),
-                                opt_state=jax.device_put(restored["opt_state"], self._repl),
-                                step=jax.device_put(restored["step"], self._repl))
+        self.state = TrainState(
+            params=put_replicated(restored["params"], self._repl),
+            opt_state=put_replicated(restored["opt_state"], self._repl),
+            step=put_replicated(restored["step"], self._repl))
         return restored.get("meta", {})
 
 
