@@ -173,6 +173,53 @@ def run_case(cfg, S, M, N, bucket=None, count=None):
     return best / len(jax.devices())
 
 
+def _roofline_rates(roofline):
+    """Device rates for the ceiling model: this host's cache if present,
+    else the committed v5e measurement (rates are device-kind properties;
+    re-measuring costs ~4 tunnel compiles), else measure now."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    try:
+        with open(roofline._CACHE_PATH) as f:
+            cached = json.load(f)
+        if kind in cached:
+            return cached[kind], "cached"
+    except Exception:
+        pass
+    committed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "roofline_rates.json")
+    try:
+        with open(committed) as f:
+            rates = json.load(f)
+        if rates.get("device_kind") == kind:
+            return rates, "committed"
+    except Exception:
+        pass
+    return roofline.measure_device_rates(), "measured_now"
+
+
+def _ceiling_summary(ceiling, measured_structs_per_s):
+    """Compact roofline block for the output JSON."""
+    if ceiling is None:
+        return None
+    return {
+        "structs_per_s": round(ceiling["structs_per_s"], 1),
+        "structs_per_s_serial": round(ceiling["structs_per_s_serial"], 1),
+        "mfu_ceiling": round(ceiling["mfu_ceiling"], 4),
+        "mfu_serial": round(ceiling["mfu_serial"], 4),
+        "binding_engine": ceiling["binding_engine"],
+        "t_mxu_us": round(ceiling["t_mxu_us"], 2),
+        "t_vpu_us": round(ceiling["t_vpu_us"], 2),
+        "t_hbm_us": round(ceiling["t_hbm_us"], 2),
+        # measured / bound: 1.0 = at that bound
+        "measured_vs_ceiling": round(
+            measured_structs_per_s / ceiling["structs_per_s"], 3),
+        "measured_vs_serial": round(
+            measured_structs_per_s / ceiling["structs_per_s_serial"], 3),
+    }
+
+
 def main():
     _ensure_backend()
 
@@ -289,6 +336,26 @@ def main():
     qm9_tflops = qm9 * qm9_fps / 1e12
     mp_tflops = None if mp is None else mp * mp_fps / 1e12
 
+    # Roofline ceiling (round-4 VERDICT #2): measured device rates (cached
+    # in ~/.cache/scann_tpu/roofline.json after the first run; falls back
+    # to the committed v5e measurement so driver runs in fresh containers
+    # don't re-pay the 4 micro-bench compiles) + the analytic op-count
+    # model -> per-shape throughput/MFU ceilings. "structs_per_s" assumes
+    # perfect MXU/VPU/HBM overlap (a true upper bound); "_serial" assumes
+    # none — real kernels land between (utils/roofline.py).
+    qm9_ceiling = mp_ceiling = rates = rates_src = None
+    if not on_cpu:
+        from scann_tpu.utils import roofline
+
+        try:
+            rates, rates_src = _roofline_rates(roofline)
+            qm9_ceiling = roofline.step_ceiling(cfg.model, 32, 16, 128,
+                                                rates=rates)
+            mp_ceiling = roofline.step_ceiling(mp_cfg.model, 96, 32, 64,
+                                               rates=rates)
+        except Exception as e:
+            rates_src = f"unavailable ({type(e).__name__}: {e})"
+
     # the MP2018 baseline = QM9 baseline scaled by the per-structure FLOP
     # ratio of the two shapes (same FLOP model)
     mp_baseline = BASELINE_STRUCTURES_PER_SEC * qm9_fps / mp_fps
@@ -319,6 +386,10 @@ def main():
         "vs_baseline": round(qm9 / qm9_denom, 3),
         "tflops_per_sec": round(qm9_tflops, 2),
         "mfu": round(qm9_tflops / peak, 4) if peak else None,
+        "mfu_ceiling": (round(qm9_ceiling["mfu_ceiling"], 4)
+                        if qm9_ceiling else None),
+        "roofline": _ceiling_summary(qm9_ceiling, qm9),
+        "roofline_rates_source": rates_src,
         "flops_per_structure": round(qm9_fps),
         "measured_ref_baseline": (
             measured["qm9_b128_m32_n16"] if measured else None),
@@ -356,6 +427,9 @@ def main():
             "vs_baseline": round(mp / mp_denom, 3),
             "tflops_per_sec": round(mp_tflops, 2),
             "mfu": round(mp_tflops / peak, 4) if peak else None,
+            "mfu_ceiling": (round(mp_ceiling["mfu_ceiling"], 4)
+                            if mp_ceiling else None),
+            "roofline": _ceiling_summary(mp_ceiling, mp),
             "flops_per_structure": round(mp_fps),
             "measured_ref_baseline": (
                 measured["mp2018_b64_m96_n32"] if measured else None),
