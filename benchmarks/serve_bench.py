@@ -108,34 +108,56 @@ def main():
         scann.predict_structures([mols[i % len(mols)]])
         lat.append(time.perf_counter() - t0)
 
-    # --- phase 2: concurrent clients through the coalescer ---------------
-    pred = BatchedPredictor(scann, max_batch=64, window_ms=5.0)
-    lat_c, errs = [], []
-    lock = threading.Lock()
+    # --- phase 2: concurrent clients through the coalescer, A/B over the
+    # overlap pipeline (round-4 VERDICT #5: featurize batch k+1 while
+    # batch k executes — the two stages used to serialize per cycle) -----
+    def run_concurrent(overlap):
+        pred = BatchedPredictor(scann, max_batch=64, window_ms=5.0,
+                                overlap=overlap)
+        lat_c, errs = [], []
+        lock = threading.Lock()
 
-    def client(cid):
-        crng = np.random.default_rng(cid)
-        for _ in range(args.requests):
-            m = mols[int(crng.integers(0, len(mols)))]
-            t0 = time.perf_counter()
-            try:
-                pred.predict([m], timeout=120)
-                dt = time.perf_counter() - t0
-                with lock:
-                    lat_c.append(dt)
-            except Exception as e:  # Overloaded/timeout counts against us
-                with lock:
-                    errs.append(repr(e))
+        def client(cid):
+            crng = np.random.default_rng(cid)
+            for _ in range(args.requests):
+                m = mols[int(crng.integers(0, len(mols)))]
+                t0 = time.perf_counter()
+                try:
+                    pred.predict([m], timeout=120)
+                    dt = time.perf_counter() - t0
+                    with lock:
+                        lat_c.append(dt)
+                except Exception as e:  # Overloaded/timeout counts against us
+                    with lock:
+                        errs.append(repr(e))
 
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(args.clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        pred.close()
+        return lat_c, errs, wall
+
+    lat_seq_mode, errs_seq_mode, wall_seq_mode = run_concurrent(False)
+    lat_c, errs, wall = run_concurrent(True)
+
+    # --- in-process stage split (no HTTP; device calls still ride this
+    # host's tunnel RTT — a real deployment's chip is local): one big
+    # batched call, then its two stages separately, so the deployment docs
+    # can attribute serving capability to host vs device vs coalescing ---
     t0 = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(c,))
-               for c in range(args.clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    pred.close()
+    scann.predict_structures(mols)
+    t_batched = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    structs_f, inputs_f = scann.featurize_structures(mols)
+    t_feat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    scann.predict_featurized(structs_f, inputs_f)
+    t_dev = time.perf_counter() - t0
 
     # --- phase 3: featurization-only on the same structures --------------
     t0 = time.perf_counter()
@@ -144,6 +166,7 @@ def main():
     feat_ms = (time.perf_counter() - t0) / 16 * 1e3
 
     n_ok = len(lat_c)
+    n_ok_seq = len(lat_seq_mode)
     out = {
         "sequential": {"p50_ms": round(pctl(lat, 50) * 1e3, 1),
                        "p95_ms": round(pctl(lat, 95) * 1e3, 1),
@@ -153,7 +176,20 @@ def main():
                        "throughput_structs_per_s": round(n_ok / wall, 1),
                        "p50_ms": round(pctl(lat_c, 50) * 1e3, 1) if n_ok else None,
                        "p95_ms": round(pctl(lat_c, 95) * 1e3, 1) if n_ok else None,
-                       "errors": len(errs)},
+                       "errors": len(errs),
+                       "overlap": True},
+        "concurrent_no_overlap": {
+            "throughput_structs_per_s": round(n_ok_seq / wall_seq_mode, 1),
+            "p50_ms": (round(pctl(lat_seq_mode, 50) * 1e3, 1)
+                       if n_ok_seq else None),
+            "errors": len(errs_seq_mode)},
+        # one fused call over the whole 64-structure set, then its stages:
+        # host featurization vs device execution (device numbers on this
+        # host include the axon tunnel RTT; a deployment's chip is local)
+        "in_process": {
+            "batched_structs_per_s": round(len(mols) / t_batched, 1),
+            "featurize_structs_per_s": round(len(mols) / t_feat, 1),
+            "device_structs_per_s": round(len(mols) / t_dev, 1)},
         "featurize_only_ms_per_structure": round(feat_ms, 1),
         "warmup_s": round(warmup_s, 1),  # cold-start: all rung compiles
         "host": {"cores": os.cpu_count()},

@@ -700,7 +700,23 @@ class Scann:
 
         ``canonical_frame`` defaults ON — see ``predict_structure``.
         """
-        self._require_state("predict_structures")
+        structs, all_inputs = self.featurize_structures(
+            structs, d_t=d_t, w_t=w_t, featurize_pool=featurize_pool,
+            canonical_frame=canonical_frame)
+        return self.predict_featurized(structs, all_inputs,
+                                       batch_size=batch_size)
+
+    def featurize_structures(self, structs: List["StructureLike"],
+                             d_t: float = 4.0, w_t: float = 0.4,
+                             featurize_pool: int = 0,
+                             canonical_frame: bool = True):
+        """Stage 1 of the serving path: host-side featurization only.
+
+        Returns ``(structs, all_inputs)`` ready for ``predict_featurized``.
+        Split out so serving can OVERLAP the host featurization of batch
+        k+1 with the device execution of batch k (``BatchedPredictor``
+        pipelining — the two stages used to serialize per cycle)."""
+        self._require_state("featurize_structures")
         structs = [self._as_structure(s) for s in structs]
         self._check_vocab(structs)
         if canonical_frame:
@@ -731,7 +747,14 @@ class Scann:
                                          structs, chunksize=4))
         else:
             all_inputs = [prepare_input(s, **kw) for s in structs]
+        return structs, all_inputs
 
+    def predict_featurized(self, structs: List[Structure], all_inputs,
+                           batch_size: Optional[int] = None
+                           ) -> List[Tuple[float, np.ndarray]]:
+        """Stage 2 of the serving path: grouped/padded device execution of
+        pre-featurized inputs (see ``featurize_structures``)."""
+        self._require_state("predict_featurized")
         # group by ladder-quantized (M, N): bounded compile count AND no
         # cross-contamination of padded shapes between small and large inputs
         base_m = self.config.tpu.atoms_pad_multiple
