@@ -256,11 +256,25 @@ def _kernel(
     # by the A/B parity test).
     import os as _os
     _keep_acts = _os.environ.get("SCANN_TPU_UNROLL_STASH", "1") != "0"
+    # EXPERIMENT knob (benchmarks/packing_capacity_sweep.py): stash the five
+    # big [R,N,D]-class activations in bf16, halving the keep-acts VMEM
+    # extra so larger batch tiles fit at higher slot capacities. Changes
+    # backward NUMERICS slightly (grads rebuilt from rounded activations) —
+    # default OFF; the A/B parity test bounds the deviation.
+    _stash_bf16 = _os.environ.get("SCANN_TPU_STASH_BF16", "0") == "1"
+    _BF16_KEYS = ("ns", "u_pre", "geo_term", "g_xhat", "key")
+
+    def _stash_cast(a, to):
+        if not _stash_bf16:
+            return a
+        return {k: (v.astype(to) if k in _BF16_KEYS and v is not None else v)
+                for k, v in a.items()}
+
     acts_stash = [None] * L
     for l in range(L):
         c_out, g_out, _a = layer_fwd(l, c_stash[l], g_stash[l])
         if _keep_acts:
-            acts_stash[l] = _a
+            acts_stash[l] = _stash_cast(_a, jnp.bfloat16)
         c_stash[l + 1] = c_out
         g_stash[l + 1] = g_out
 
@@ -396,7 +410,7 @@ def _kernel(
     dg = jnp.zeros((R, N, D), jnp.float32) if g_update else None
 
     for l in range(L - 1, -1, -1):
-        a = (acts_stash[l] if _keep_acts
+        a = (_stash_cast(acts_stash[l], jnp.float32) if _keep_acts
              else layer_fwd(l, c_stash[l], g_stash[l])[2])
         c_in = c_stash[l]
         g_in = g_stash[l]

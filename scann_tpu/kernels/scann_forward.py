@@ -95,6 +95,11 @@ def _keep_acts_enabled() -> bool:
     return os.environ.get("SCANN_TPU_UNROLL_STASH", "1") != "0"
 
 
+def _stash_bf16_enabled() -> bool:
+    """Experiment knob: bf16 keep-acts stash (scann_backward.py)."""
+    return os.environ.get("SCANN_TPU_STASH_BF16", "0") == "1"
+
+
 def _bwd_mol_bytes(cfm: ModelConfig, M: int, N: int,
                    keep_acts: bool = None) -> int:
     """Per-molecule VMEM working set of the fused BACKWARD: layer-input
@@ -117,8 +122,11 @@ def _bwd_mol_bytes(cfm: ModelConfig, M: int, N: int,
     if keep_acts is None:
         keep_acts = _keep_acts_enabled()
     L = cfm.n_attention
-    coeff = (14 if keep_acts else 6) * L + 12
-    return coeff * _rnd_bytes(cfm, M, N) + _onehot_bytes(cfm, M, N)
+    # keep-acts extra: ~8 [M,N,*]-class acts per layer; the bf16-stash
+    # experiment halves the 5 big [R,N,D] ones -> 3 + 5/2 = 5.5
+    extra = (5.5 if _stash_bf16_enabled() else 8.0) if keep_acts else 0.0
+    coeff = (6 + extra) * L + 12
+    return int(coeff * _rnd_bytes(cfm, M, N)) + _onehot_bytes(cfm, M, N)
 
 
 def _fwd_mol_bytes(cfm: ModelConfig, M: int, N: int) -> int:
@@ -586,10 +594,23 @@ def resolve_tile(cfm: ModelConfig, B: int, M: int, N: int, which: str,
     # keyed by mode — a tile probed OK under one must not be trusted by
     # the other
     keep_acts = os.environ.get("SCANN_TPU_UNROLL_STASH", "1") != "0"
-    key = (_config_key(cfm), B, M, N, which, dropout_rate > 0,
-           keep_acts if which == "bwd" else True)
+    # the bf16-stash experiment changes the bwd VMEM footprint too
+    mode = ((keep_acts, _stash_bf16_enabled()) if which == "bwd"
+            else (True, False))
+    key = (_config_key(cfm), B, M, N, which, dropout_rate > 0, mode)
     if key in _RESOLVED_TILES:
         return _RESOLVED_TILES[key]
+    # experiment override (benchmarks/packing_capacity_sweep.py): force the
+    # tile, bypassing the analytic pick AND the probe — the caller owns the
+    # VMEM risk. B must stay divisible.
+    force = os.environ.get(f"SCANN_TPU_FORCE_TILE_{which.upper()}")
+    if force:
+        bt = int(force)
+        if B % bt:
+            raise ValueError(f"forced {which} tile {bt} does not divide "
+                             f"batch {B}")
+        _RESOLVED_TILES[key] = bt
+        return bt
     if which == "fwd":
         bt = pick_batch_tile(cfm, B, M, N)
         est = bt * _fwd_mol_bytes(cfm, M, N) + _param_bytes(cfm)

@@ -593,3 +593,39 @@ def test_unrolled_keep_acts_matches_recompute(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(v1), np.asarray(v2), rtol=0, atol=1e-5 * scale,
             err_msg=f"keep-acts drift at {jax.tree_util.keystr(p1)}")
+
+
+def test_bf16_stash_grads_close_to_f32(rng, monkeypatch):
+    """The bf16 keep-acts stash EXPERIMENT (SCANN_TPU_STASH_BF16=1) rebuilds
+    gradients from rounded activations: it must track the f32-stash
+    gradients within bf16 tolerance (~1e-2 relative per tensor), not
+    bit-exactly — and the default-off path must stay bit-identical."""
+    from scann_tpu.config import ModelConfig
+    from scann_tpu.kernels.scann_backward import fused_scann_grad
+    from scann_tpu.models import ScannModel
+    from conftest import make_synthetic_batch
+
+    cfg = ModelConfig(n_atoms=10, embedding_dim=16, n_attention=2,
+                      local_dim=32, num_head=4, global_dim=32, dense_out=16,
+                      g_update=True, use_ga_norm=True)
+    inputs = make_synthetic_batch(rng, B=2, M=12, N=6)
+    model = ScannModel(config=cfg)
+    params = jit_init_vars(model, jax.random.PRNGKey(0), inputs)
+    ct_pred = jnp.asarray(np.linspace(-1, 1, 2, dtype=np.float32))[:, None]
+    ct_ga = jnp.zeros((2, 12, 1), jnp.float32)
+
+    monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "1")
+    monkeypatch.delenv("SCANN_TPU_STASH_BF16", raising=False)
+    g_f32 = fused_scann_grad(params, inputs, cfg, ct_pred, ct_ga,
+                             interpret=True, batch_tile=1)
+    monkeypatch.setenv("SCANN_TPU_STASH_BF16", "1")
+    g_bf16 = fused_scann_grad(params, inputs, cfg, ct_pred, ct_ga,
+                              interpret=True, batch_tile=1)
+    flat_a = jax.tree_util.tree_flatten_with_path(g_f32)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(g_bf16)[0]
+    assert len(flat_a) == len(flat_b)
+    for (p1, v1), (p2, v2) in zip(flat_a, flat_b):
+        scale = np.abs(np.asarray(v1)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), rtol=0, atol=2e-2 * scale,
+            err_msg=f"bf16-stash drift at {jax.tree_util.keystr(p1)}")
