@@ -246,10 +246,12 @@ def main():
 
     # packed: the SAME QM9 flagship config trained with structure packing
     # (data/packing.py) at a QM9-like size spread (uniform 9-29 atoms, mean
-    # ~19): several molecules share each 32-row slot, so the same per-slot
-    # step trains ~1.6x the structures. This is the production path a real
-    # QM9 run uses with tpu.structure_packing=True; credited throughput is
-    # STRUCTURES (valid segments), not slots.
+    # ~19). Capacity 48 (configs/model_qm9.yaml tpu.packing_capacity since
+    # round 5): 98.6% occupancy and the 3-rung backward tile — measured
+    # 54,008 structs/s vs 50,271 at the old capacity 32 (+7.4%,
+    # benchmarks/packing_capacity_sweep.py). This is the production path a
+    # real QM9 run uses with tpu.structure_packing=True; credited
+    # throughput is STRUCTURES (valid segments), not slots.
     # The CPU fallback measures ONLY the headline case: the packed and
     # 9-layer crystal cases each pay their own multi-minute CPU compile
     # (measured >15 min total), and the fallback must stay bounded.
@@ -259,7 +261,7 @@ def main():
 
         from scann_tpu.data.packing import packed_slot_batch
 
-        pslots = _synthetic_packed_slots(n_structs=24576, capacity=32, N=16,
+        pslots = _synthetic_packed_slots(n_structs=24576, capacity=48, N=16,
                                          max_segments=8, seed=0)
         # the production recipe (tpu.pack_preserve_batch): batch slots so
         # each optimizer step sees ~128 STRUCTURES, like the reference's
@@ -434,6 +436,7 @@ def main():
             "slots": pslots.num_slots,
             "structures": pslots.num_structures,
             "occupancy": round(pslots.occupancy, 4),
+            "capacity": int(pslots.inputs["atomic"].shape[1]),
             "slot_batch": slot_bs,  # ~128 structures per optimizer step
         },
         "secondary": None if mp is None else {

@@ -39,6 +39,11 @@ CASES = {
     "cap40_bt3":  (40, False, 3),
     "cap40_bf16": (40, True, None),
     "cap48_bf16": (48, True, None),
+    "cap40_bf16_bt3": (40, True, 3),
+    "cap48_bt3":  (48, False, 3),
+    # production resolution path (no force): the (4,3,2,1) ladder + probe
+    # must land on bt=3 by itself at capacity 48
+    "cap48":      (48, False, None),
 }
 
 N_STRUCTS = 24576

@@ -296,6 +296,16 @@ class Scann:
                             source_path=hyper.data_nei_path)
             capacity = _round_up(int(np.diff(csr.atom_offsets).max()),
                                  self.config.tpu.atoms_pad_multiple)
+            if self.config.tpu.packing_capacity is not None:
+                # operator override (tpu.packing_capacity): denser packing
+                # at larger capacities — see the config field's notes
+                if self.config.tpu.packing_capacity < capacity:
+                    raise ValueError(
+                        f"tpu.packing_capacity={self.config.tpu.packing_capacity}"
+                        f" is below the dataset's largest structure "
+                        f"({capacity} rows after padding)")
+                capacity = _round_up(int(self.config.tpu.packing_capacity),
+                                     self.config.tpu.atoms_pad_multiple)
             n_cap = _round_up(max(int(np.diff(csr.nbr_offsets).max()), 1),
                               self.config.tpu.neighbors_pad_multiple)
 

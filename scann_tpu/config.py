@@ -115,6 +115,15 @@ class TpuConfig:
     # splits pack; eval/predict are segment-aware end to end.
     structure_packing: bool = False
     pack_max_segments: int = 8     # max structures per packed slot
+    # Slot capacity (rows) override for structure packing. None (default)
+    # derives it from the dataset's max structure size rounded to
+    # atoms_pad_multiple (QM9: 29 -> 32). Larger capacities pack denser
+    # (QM9 at 40: 99.6% occupancy vs 92.4% at 32) but shrink the backward
+    # batch tile; with the 3-rung in the tile ladder, capacity 40 measured
+    # +2.2% over 32 at the flagship shape
+    # (benchmarks/packing_capacity_sweep.py). Must be >= the derived
+    # minimum; values below it raise at prepare_dataset.
+    packing_capacity: Optional[int] = None
     # Preserve the reference recipe's EFFECTIVE batch: hyper.batch_size
     # counts STRUCTURES, so the Trainer batches round(batch_size / packing
     # factor) slots per step (~batch_size structures each). Disable to

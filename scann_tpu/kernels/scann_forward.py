@@ -640,11 +640,12 @@ def resolve_tile(cfm: ModelConfig, B: int, M: int, N: int, which: str,
 # Compile-cost bounds: Mosaic compile time AND the compile helper's host
 # memory scale with the kernel's tile count (~ BT * M * N rows of work).
 # The caps below are the largest configurations compiled successfully on
-# this toolchain (fwd 16*32*16, bwd 4*32*16 at the QM9 flagship shape);
-# larger-N buckets take smaller tiles instead of risking a helper OOM
-# (observed: SIGKILLed compile helper at BT=16 with N=32 buckets).
+# this toolchain (fwd 16*32*16; bwd 3*48*16 — the round-5 capacity-48
+# packed case, 95 s compile); larger-N buckets take smaller tiles instead
+# of risking a helper OOM (observed: SIGKILLed compile helper at BT=16
+# with N=32 buckets).
 MAX_FWD_TILE_ROWS = 16 * 32 * 16
-MAX_BWD_TILE_ROWS = 4 * 32 * 16
+MAX_BWD_TILE_ROWS = 3 * 48 * 16
 
 
 def pick_batch_tile(cfm: ModelConfig, B: int, M: int, N: int,
@@ -684,7 +685,12 @@ def pick_backward_tile(cfm: ModelConfig, B: int, M: int, N: int,
     which halves the tile on a real failure."""
     per_mol = _bwd_mol_bytes(cfm, M, N, keep_acts=False)
     static = 2 * _param_bytes(cfm)  # params + grad accumulators
-    for bt in (4, 2, 1):
+    # 3 sits between the power-of-two rungs for shapes where 4 exceeds the
+    # row cap or VMEM but 2 wastes parallelism: at the capacity-40 packed
+    # QM9 shape (M=40, N=16, B=48) bt=3 measured 51,363 structs/s vs
+    # 46,449 at bt=2 — the tile drop, not the one-hot gather, was the
+    # round-4 capacity-40 regression (benchmarks/packing_capacity_sweep.py)
+    for bt in (4, 3, 2, 1):
         if B % bt:
             continue
         if bt * M * _pad8(N) > MAX_BWD_TILE_ROWS:

@@ -535,6 +535,47 @@ def test_packed_bulk_inference_split_false(tmp_path):
     np.testing.assert_allclose(preds, preds2, rtol=2e-5, atol=2e-6)
 
 
+def test_packing_capacity_override(tmp_path):
+    """tpu.packing_capacity raises the slot capacity above the derived
+    minimum (denser packing, round-5 sweep: capacity 40 at the flagship
+    shape measured +2.2% over 32); sub-minimum values raise; predictions
+    stay equal to the default-capacity packing."""
+    from scann_tpu.api import Scann
+    from scann_tpu.config import ScannConfig
+
+    e, n = make_synthetic_dataset(str(tmp_path), n_structures=30,
+                                  min_atoms=4, max_atoms=14, seed=13)
+    base = {
+        "model": {"n_atoms": 16, "embedding_dim": 16, "n_attention": 1,
+                  "local_dim": 16, "num_head": 4, "global_dim": 16,
+                  "dense_out": 16},
+        "hyper": {"batch_size": 8, "target": "homo", "scaler": False,
+                  "data_energy_path": e, "data_nei_path": n,
+                  "save_path": str(tmp_path / "out")},
+    }
+    sc = Scann(ScannConfig.from_dict(
+        {**base, "tpu": {"structure_packing": True, "packing_capacity": 24}}))
+    sc.prepare_dataset(split=False)
+    p = sc._buckets[0]
+    assert p.inputs["atomic"].shape[1] == 24
+    sc.trainer.init_state({k: v[:1] for k, v in p.inputs.items()}, seed=0)
+    preds = sc.predict_data()
+
+    sc2 = Scann(ScannConfig.from_dict(
+        {**base, "tpu": {"structure_packing": True}}))
+    sc2.prepare_dataset(split=False)
+    assert sc2._buckets[0].inputs["atomic"].shape[1] == 16  # derived (14->16)
+    # denser slots: fewer of them
+    assert p.inputs["atomic"].shape[0] < sc2._buckets[0].inputs["atomic"].shape[0]
+    sc2.trainer.state = sc.trainer.state
+    np.testing.assert_allclose(preds, sc2.predict_data(), rtol=2e-5, atol=2e-6)
+
+    bad = Scann(ScannConfig.from_dict(
+        {**base, "tpu": {"structure_packing": True, "packing_capacity": 8}}))
+    with pytest.raises(ValueError, match="below the dataset's largest"):
+        bad.prepare_dataset(split=False)
+
+
 def test_plan_slots_fuzz_invariants():
     """Property test over random size distributions: every structure gets
     exactly one non-overlapping row range, slots never exceed capacity or
