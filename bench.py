@@ -350,6 +350,10 @@ def main():
 
     qm9_fps = train_flops_per_structure(cfg.model, 32, 16)
     mp_fps = train_flops_per_structure(mp_cfg.model, 96, 32)
+    # packed slots run at the slot's own padded shape (capacity x N)
+    pk_fps = (train_flops_per_structure(
+        cfg.model, int(pslots.inputs["atomic"].shape[1]), 16)
+        if pslots is not None else None)
     peak = peak_tflops(jax.devices()[0].device_kind)
     qm9_tflops = qm9 * qm9_fps / 1e12
     mp_tflops = None if mp is None else mp * mp_fps / 1e12
@@ -427,11 +431,12 @@ def main():
             "value": round(packed, 1),
             "unit": "structures/s/chip",
             "vs_baseline": round(packed / qm9_denom, 3),
-            # per-slot compute ~= the headline (M=32, N=16) shape, so TFLOPs
-            # follow the slot rate; structures/s exceeds it by the packing
-            # factor (occupancy-driven)
-            "tflops_per_sec": round(packed_slot_rate * qm9_fps / 1e12, 2),
-            "mfu": (round(packed_slot_rate * qm9_fps / 1e12 / peak, 4)
+            # per-SLOT compute at the slot's actual padded shape
+            # (capacity rows x N=16 — capacity 48 since round 5, NOT the
+            # headline's M=32); structures/s exceeds the slot rate by the
+            # packing factor (occupancy-driven)
+            "tflops_per_sec": round(packed_slot_rate * pk_fps / 1e12, 2),
+            "mfu": (round(packed_slot_rate * pk_fps / 1e12 / peak, 4)
                     if peak else None),
             "slots": pslots.num_slots,
             "structures": pslots.num_structures,
