@@ -210,3 +210,31 @@ def test_predict_data_after_split_prepare(synth, tmp_path):
     preds = s.predict_data()
     assert preds.shape == (cfg.hyper.data_size,)
     assert np.all(np.isfinite(preds))
+
+
+def test_canonical_frame_notice_once_on_molecules(caplog):
+    """The one-time INFO log when canonical-frame serving engages on
+    molecule inputs (ADVICE r4: the v0.4 default flip must be visible in
+    operator logs, not silent). Periodic inputs never trigger it."""
+    import logging
+
+    from scann_tpu import api as api_mod
+    from scann_tpu.api import _canonical_frame_notice
+
+    crystal = Structure(["Fe"], [[0.0, 0.0, 0.0]],
+                        lattice=np.eye(3) * 3.0)
+    mol = Structure(["C", "O"], [[0, 0, 0], [1.13, 0, 0]])
+
+    api_mod._CANONICAL_NOTICE_EMITTED[0] = False
+    try:
+        with caplog.at_level(logging.INFO, logger="scann_tpu.api"):
+            _canonical_frame_notice([crystal])
+            assert not caplog.records  # periodic-only: no notice
+            _canonical_frame_notice([crystal, mol])
+            assert len(caplog.records) == 1
+            assert "canonical_frame" in caplog.records[0].message
+            assert "CHANGELOG" in caplog.records[0].message
+            _canonical_frame_notice([mol])  # one-time: no repeat
+            assert len(caplog.records) == 1
+    finally:
+        api_mod._CANONICAL_NOTICE_EMITTED[0] = True  # leave quiet for others

@@ -189,3 +189,21 @@ class TestRoofline:
         # second call hits the cache file
         again = roofline.measure_device_rates(use_cache=True)
         assert again == rates
+
+
+def test_param_count_matches_real_model(rng):
+    """_param_count feeds the roofline's HBM term: it must track the real
+    parameter count within ~10% (exactness not required — it skips a few
+    small vectors)."""
+    from scann_tpu.utils.flops import _param_count
+
+    cfm = ModelConfig(n_atoms=10, embedding_dim=48, n_attention=7,
+                      local_dim=128, num_head=8, global_dim=128,
+                      dense_out=128, g_update=True, use_ga_norm=True)
+    model = ScannModel(config=cfm)
+    batch = make_synthetic_batch(rng, B=2, M=16, N=8, n_atoms=cfm.n_atoms)
+    params = model.init(jax.random.PRNGKey(0), batch,
+                        deterministic=True)["params"]
+    real = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    est = _param_count(cfm)
+    assert 0.9 < est / real < 1.1, (est, real)
