@@ -11,8 +11,15 @@ One factory for all three kernel families (unrolled forward/backward and the
 crystal loop kernels) so the casting policy can never desync between them.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# EXPERIMENT (round 5, roofline-gap hunt): lower the rank-3 dot3s as flat
+# [M*N, X] @ [X, C] 2-D matmuls (leading-dim reshape, free in Mosaic)
+# instead of rank-3 dot_general — A/B'd via tools/step_breakdown.py.
+_DOT3_FLAT = os.environ.get("SCANN_TPU_DOT3_FLAT", "0") == "1"
 
 
 def mm(a, b):  # [R, X] @ [X, C]
@@ -30,11 +37,17 @@ def mm_tB(a, b):  # a @ b^T : [R, X],[C, X] -> [R, C]
 
 
 def dot3(x, w):  # [M, N, X] @ [X, C]
+    if _DOT3_FLAT:
+        M, N, X = x.shape
+        return mm(x.reshape(M * N, X), w).reshape(M, N, w.shape[-1])
     return jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
 def dot3_tB(x, w):  # [M, N, X] @ w^T with w [C, X]
+    if _DOT3_FLAT:
+        M, N, X = x.shape
+        return mm_tB(x.reshape(M * N, X), w).reshape(M, N, w.shape[0])
     return jax.lax.dot_general(x, w, (((2,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
