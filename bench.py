@@ -211,11 +211,12 @@ def _ceiling_summary(ceiling, measured_structs_per_s):
     """Compact roofline block for the output JSON."""
     if ceiling is None:
         return None
+    rnd = lambda v: None if v is None else round(v, 4)  # unknown peak -> None
     return {
         "structs_per_s": round(ceiling["structs_per_s"], 1),
         "structs_per_s_serial": round(ceiling["structs_per_s_serial"], 1),
-        "mfu_ceiling": round(ceiling["mfu_ceiling"], 4),
-        "mfu_serial": round(ceiling["mfu_serial"], 4),
+        "mfu_ceiling": rnd(ceiling["mfu_ceiling"]),
+        "mfu_serial": rnd(ceiling["mfu_serial"]),
         "binding_engine": ceiling["binding_engine"],
         "t_mxu_us": round(ceiling["t_mxu_us"], 2),
         "t_vpu_us": round(ceiling["t_vpu_us"], 2),
@@ -410,7 +411,8 @@ def main():
         "tflops_per_sec": round(qm9_tflops, 2),
         "mfu": round(qm9_tflops / peak, 4) if peak else None,
         "mfu_ceiling": (round(qm9_ceiling["mfu_ceiling"], 4)
-                        if qm9_ceiling else None),
+                        if qm9_ceiling and qm9_ceiling["mfu_ceiling"]
+                        is not None else None),
         "roofline": _ceiling_summary(qm9_ceiling, qm9),
         "roofline_rates_source": rates_src,
         "flops_per_structure": round(qm9_fps),
@@ -453,7 +455,8 @@ def main():
             "tflops_per_sec": round(mp_tflops, 2),
             "mfu": round(mp_tflops / peak, 4) if peak else None,
             "mfu_ceiling": (round(mp_ceiling["mfu_ceiling"], 4)
-                            if mp_ceiling else None),
+                            if mp_ceiling and mp_ceiling["mfu_ceiling"]
+                            is not None else None),
             "roofline": _ceiling_summary(mp_ceiling, mp),
             "flops_per_structure": round(mp_fps),
             "measured_ref_baseline": (

@@ -294,16 +294,20 @@ class Scann:
             csr = build_csr(records, neighbors,
                             hyper.data_nei_path + ".csr.npz",
                             source_path=hyper.data_nei_path)
-            capacity = _round_up(int(np.diff(csr.atom_offsets).max()),
+            max_atoms = int(np.diff(csr.atom_offsets).max())
+            capacity = _round_up(max_atoms,
                                  self.config.tpu.atoms_pad_multiple)
             if self.config.tpu.packing_capacity is not None:
                 # operator override (tpu.packing_capacity): denser packing
-                # at larger capacities — see the config field's notes
-                if self.config.tpu.packing_capacity < capacity:
+                # at larger capacities — see the config field's notes.
+                # Validated against the ACTUAL largest structure (29 for
+                # QM9), not the padded minimum (32): any override every
+                # structure fits is legal and rounds up to the multiple
+                if self.config.tpu.packing_capacity < max_atoms:
                     raise ValueError(
                         f"tpu.packing_capacity={self.config.tpu.packing_capacity}"
                         f" is below the dataset's largest structure "
-                        f"({capacity} rows after padding)")
+                        f"({max_atoms} atoms)")
                 capacity = _round_up(int(self.config.tpu.packing_capacity),
                                      self.config.tpu.atoms_pad_multiple)
             n_cap = _round_up(max(int(np.diff(csr.nbr_offsets).max()), 1),

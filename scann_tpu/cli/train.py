@@ -67,9 +67,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     # distributed init must precede EVERY jax device use (backends bake in
-    # the process topology at creation) — hence before importing the api
+    # the process topology at creation) — hence before importing the api.
+    # Explicit flag OVERRIDES any pre-set env (a launcher's
+    # SCANN_TPU_DISTRIBUTED=0 must not silently defeat --distributed)
     if args.distributed:
-        os.environ.setdefault("SCANN_TPU_DISTRIBUTED", "1")
+        os.environ["SCANN_TPU_DISTRIBUTED"] = "1"
     from scann_tpu.parallel import initialize as distributed_initialize
     distributed_initialize()
 

@@ -140,10 +140,14 @@ MAX_FUSED_ATOMS = 64
 
 
 def fits_vmem(cfm: ModelConfig, M: int, N: int,
-              budget_bytes: int = VMEM_BUDGET_BYTES) -> bool:
+              budget_bytes: int = VMEM_BUDGET_BYTES,
+              training: bool = True) -> bool:
     """Feasibility of the fused kernels at bucket (M, N): per-program VMEM
-    (batch_tile=1, gated on the backward — its stash working set dominates
-    the forward's) AND compile cost.
+    (batch_tile=1; training gates on the backward — its stash working set
+    dominates the forward's; ``training=False`` gates on the forward only,
+    so eval/serving shapes whose backward would overflow still get the
+    fused forward instead of the much slower XLA fallback) AND compile
+    cost.
 
     The compile-cost gate (``M <= MAX_FUSED_ATOMS``): the kernels unroll all
     layers over [M*N, D]-sized straight-line code, and Mosaic compile time
@@ -155,6 +159,8 @@ def fits_vmem(cfm: ModelConfig, M: int, N: int,
     """
     if M > MAX_FUSED_ATOMS:
         return False
+    if not training:
+        return _fwd_mol_bytes(cfm, M, N) + _param_bytes(cfm) < budget_bytes
     # grads double the param cost (accumulator blocks live in VMEM).
     # keep-acts aware: a shape whose keep-acts working set overflows VMEM
     # even at batch_tile=1 falls back to the XLA path here instead of
@@ -593,9 +599,8 @@ def resolve_tile(cfm: ModelConfig, B: int, M: int, N: int, which: str,
     # (default, round 4) and the recompute schedule, so probe results are
     # keyed by mode — a tile probed OK under one must not be trusted by
     # the other
-    keep_acts = os.environ.get("SCANN_TPU_UNROLL_STASH", "1") != "0"
     # the bf16-stash experiment changes the bwd VMEM footprint too
-    mode = ((keep_acts, _stash_bf16_enabled()) if which == "bwd"
+    mode = ((_keep_acts_enabled(), _stash_bf16_enabled()) if which == "bwd"
             else (True, False))
     key = (_config_key(cfm), B, M, N, which, dropout_rate > 0, mode)
     if key in _RESOLVED_TILES:

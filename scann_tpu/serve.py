@@ -164,6 +164,27 @@ class BatchedPredictor:
         self._stop.set()
         for w in self._workers:
             w.join(timeout=5)
+        # fail fast anything still in flight: requests sitting in the
+        # coalescing queue, and (overlap mode) a featurized batch parked in
+        # the double buffer whose device pass never ran — otherwise their
+        # clients block for the full predict() timeout
+        stranded: List[_Request] = []
+        if self.overlap:
+            try:
+                while True:
+                    reqs, _, _ = self._feat_queue.get_nowait()
+                    stranded.extend(reqs)
+            except queue.Empty:
+                pass
+        try:
+            while True:
+                stranded.append(self._queue.get_nowait())
+        except queue.Empty:
+            pass
+        for r in stranded:
+            if not r.event.is_set():
+                r.error = RuntimeError("predictor closed")
+                r.event.set()
         if self.owns_scann:
             # release the persistent featurization pool on the Scann handle
             # — its spawned worker processes would outlive the predictor
@@ -255,12 +276,21 @@ class BatchedPredictor:
             except Exception:
                 self._fallback_per_request(reqs)
                 continue
+            handed_off = False
             while not self._stop.is_set():
                 try:
                     self._feat_queue.put((reqs, structs, inputs), timeout=0.2)
+                    handed_off = True
                     break
                 except queue.Full:
                     continue
+            if not handed_off:
+                # shutdown raced the hand-off: fail the batch's requests
+                # rather than stranding them (close() drains the queues,
+                # but a batch held HERE is in neither queue)
+                for r in reqs:
+                    r.error = RuntimeError("predictor closed")
+                    r.event.set()
 
     def _run_device(self):
         """Stage 2: device execution of pre-featurized batches."""
@@ -272,7 +302,19 @@ class BatchedPredictor:
             try:
                 results = self.scann.predict_featurized(structs, inputs)
             except Exception:
-                self._fallback_per_request(reqs)
+                # per-request retry over the ALREADY-featurized inputs:
+                # featurization succeeded (and is the dominant serving
+                # cost) — only the device pass needs isolating
+                pos = 0
+                for r in reqs:
+                    n = len(r.structs)
+                    try:
+                        r.result = self.scann.predict_featurized(
+                            structs[pos:pos + n], inputs[pos:pos + n])
+                    except Exception as e:
+                        r.error = e
+                    pos += n
+                    r.event.set()
                 continue
             self._distribute(reqs, results)
 

@@ -242,12 +242,12 @@ class Trainer:
 
     # --- jitted steps --------------------------------------------------------
 
-    def _batch_fits_fused(self, batch) -> bool:
+    def _batch_fits_fused(self, batch, training: bool = False) -> bool:
         from scann_tpu.kernels.scann_forward import fits_vmem
 
         M = batch["atomic"].shape[1]
         N = batch["neighbors"].shape[2]
-        return fits_vmem(self.config.model, M, N)
+        return fits_vmem(self.config.model, M, N, training=training)
 
     def _batch_fits_loop(self, batch, training: bool = False) -> bool:
         """Crystal-scale buckets (too big for the unrolled kernels) that the
@@ -280,11 +280,11 @@ class Trainer:
         for b in buckets:
             M = b.inputs["atomic"].shape[1]
             N = b.inputs["neighbors"].shape[2]
-            if not fits_vmem(self.config.model, M, N):
-                continue
-            resolve_tile(self.config.model, B, M, N, "fwd",
-                         0.1 if training else 0.0)
-            if training:
+            if fits_vmem(self.config.model, M, N, training=False):
+                resolve_tile(self.config.model, B, M, N, "fwd",
+                             0.1 if training else 0.0)
+            if training and fits_vmem(self.config.model, M, N,
+                                      training=True):
                 resolve_tile(self.config.model, B, M, N, "bwd", 0.1)
 
     def forward_eval(self, params, batch):
@@ -382,7 +382,8 @@ class Trainer:
                 # 1/(n*rmse) scale + the l2 term (measured +31% at the
                 # MP2018 crystal shape over the fwd+bwd launch pair).
                 use_fused_oneshot = (self._use_fused_train
-                                     and self._batch_fits_fused(batch))
+                                     and self._batch_fits_fused(
+                                         batch, training=True))
                 use_loop_oneshot = (
                     self._use_fused_train
                     and not use_fused_oneshot

@@ -157,7 +157,9 @@ class ExecutableCache:
                 if fn is not None:
                     validated = key in self._validated
             if fn is not None:
-                self.stats["mem_hits"] += 1
+                # stats follow the src contract: an unvalidated disk load
+                # served from memory still IS the guarded disk path
+                self.stats["mem_hits" if validated else "disk_hits"] += 1
                 return fn, ("mem" if validated else "disk")
             src = "disk"
             fn = self._load(key)

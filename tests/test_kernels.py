@@ -459,6 +459,13 @@ def test_bwd_vmem_model_is_keep_acts_aware(monkeypatch):
             mp, *edge, keep_acts=False) < 120 * 1024 * 1024:
         monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "0")
         assert fits_vmem(mp, *edge)
+    # ... but eval/serving gate on the FORWARD working set only: the same
+    # shape keeps the fused forward even when the backward overflows
+    monkeypatch.setenv("SCANN_TPU_UNROLL_STASH", "1")
+    assert not fits_vmem(mp, *edge, training=True)
+    assert fits_vmem(mp, *edge, training=False)
+    # the atom-count compile gate applies to both modes
+    assert not fits_vmem(mp, 96, 32, training=False)
 
 
 @pytest.mark.slow

@@ -102,6 +102,58 @@ def test_overlap_pipeline_matches_sequential(scann):
             np.testing.assert_allclose(ga_ovl, ga_seq, rtol=1e-6)
 
 
+def test_close_fails_inflight_requests_fast(scann):
+    """close() must fail-fast requests still queued (or parked in the
+    overlap double buffer) instead of stranding their clients until the
+    full predict timeout (round-5 review finding)."""
+    import time
+
+    release = threading.Event()
+    real = scann.featurize_structures
+
+    def blocking_featurize(structs, **kw):
+        release.wait(30)
+        return real(structs, **kw)
+
+    scann.featurize_structures = blocking_featurize
+    p = BatchedPredictor(scann, max_batch=2, window_ms=0.0, max_pending=8)
+    outcomes = {}
+
+    def call(i):
+        t0 = time.monotonic()
+        try:
+            p.predict([WATER], timeout=60)
+            outcomes[i] = ("ok", time.monotonic() - t0)
+        except Exception as e:
+            outcomes[i] = (e, time.monotonic() - t0)
+
+    try:
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        deadline = 200
+        while p._queue.qsize() < 2 and deadline:  # workers busy + queue filled
+            deadline -= 1
+            threading.Event().wait(0.01)
+    finally:
+        scann.featurize_structures = real
+        t0 = time.monotonic()
+        p.close()
+        release.set()
+        close_s = time.monotonic() - t0
+    for t in threads:
+        t.join(30)
+    assert close_s < 10, close_s
+    assert len(outcomes) == 4
+    # every request resolved promptly: either real work (the batch the
+    # worker was already featurizing completes) or a fast "closed" error —
+    # never a 60 s client timeout
+    for i, (res, dt) in outcomes.items():
+        assert dt < 45, (i, res, dt)
+        if res != "ok" and not isinstance(res, RuntimeError):
+            raise AssertionError(f"req {i}: unexpected {res!r}")
+
+
 def test_backpressure_overloaded(scann):
     """A full pending queue rejects immediately with Overloaded (503)."""
     from scann_tpu.serve import Overloaded
