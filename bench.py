@@ -59,7 +59,12 @@ BENCH_T0 = time.perf_counter()
 # has NOT yet been spent — keeps the whole bench inside a safe budget
 # under co-tenant compile load while measuring the flagship crystal
 # path by default (round-4 VERDICT #3)
-MP_PACKED_GATE_S = float(os.environ.get("SCANN_BENCH_MP_PACKED_GATE", "720"))
+# 1500 s: a clean run reaches this point in ~8-12 min and the case adds
+# ~4-8 min, so the whole bench stays under ~35 min even when co-tenant
+# compile load doubles everything (observed elapsed at this point:
+# 660-1312 s across round-5 runs); a pathologically loaded run still
+# skips honestly instead of running unbounded
+MP_PACKED_GATE_S = float(os.environ.get("SCANN_BENCH_MP_PACKED_GATE", "1500"))
 
 # Set by the watchdog re-exec when the axon tunnel is unreachable: measure
 # on the host CPU instead of emitting nothing (see _ensure_backend).
