@@ -73,9 +73,9 @@ CPU_FALLBACK = os.environ.get("SCANN_BENCH_CPU") == "1"
 # Most recent on-hardware numbers from earlier in the round (NEXT.md) —
 # reported for context whenever this run could NOT measure on TPU.
 LAST_ON_TPU = {
-    "qm9_structures_per_sec": 33538.0,
-    "qm9_packed_structures_per_sec": 54504.0,
-    "mp2018_structures_per_sec": 4373.0,
+    "qm9_structures_per_sec": 34199.0,
+    "qm9_packed_structures_per_sec": 54755.0,
+    "mp2018_structures_per_sec": 4395.0,
     "mp2018_packed_structures_per_sec": 6961.0,
     "source": "round-5 on-chip runs (capacity-48 packing + 3-rung bwd tile)",
 }
