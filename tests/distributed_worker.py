@@ -93,6 +93,13 @@ def main():
     trainer = Trainer(cfg, mesh=mesh, workdir=args.workdir)
     hist = trainer.fit([bucket], [bucket], epochs=2, log_fn=lambda s: None)
     res = trainer.evaluate([bucket], report=True)
+    if jax.process_count() > 1:
+        # primary-only artifacts (report.txt) have no implicit barrier: sync
+        # before the existence checks below so the non-primary process
+        # doesn't race process 0's file write
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("worker-artifacts-written")
     params_sum = float(sum(
         np.abs(np.asarray(x)).sum()
         for x in jax.tree_util.tree_leaves(trainer.state.params)))
