@@ -121,12 +121,16 @@ def fits_loop_vmem(cfm: ModelConfig, M: int, N: int,
 
 
 
-def _stash_extra_bytes(cfm: ModelConfig, M: int, N: int) -> int:
+def _stash_extra_bytes(cfm: ModelConfig, M: int, N: int,
+                       big_bytes: int = 4) -> int:
     """VMEM cost of the selective activation stash (ns, u_pre, key per
-    layer [M, N, D]; attn [M, N, H] — H pads to 128 lanes; o1 [M, D])."""
+    layer [M, N, D]; attn [M, N, H] — H pads to 128 lanes; o1 [M, D]).
+    ``big_bytes=2`` models the bf16 stash variant (ns/u_pre/key AND attn
+    halve — the lane-padded attn stash alone is ~22 MB at the ptgp shape;
+    o1 stays f32, it feeds LN-stat recomputes and is [M, D]-small)."""
     D, L = cfm.local_dim, cfm.n_attention
-    rnd = M * _pad8(N) * _pad128(D) * 4
-    attn = M * _pad8(N) * _pad128(cfm.num_head) * 4
+    rnd = M * _pad8(N) * _pad128(D) * big_bytes
+    attn = M * _pad8(N) * _pad128(cfm.num_head) * big_bytes
     return L * (3 * rnd + attn + M * _pad128(D) * 4)
 
 
@@ -139,6 +143,12 @@ def fits_loop_stash(cfm: ModelConfig, M: int, N: int,
     train throughput at the MP2018 shape. Falls back to the classic
     full-recompute schedule when the extra scratch would overflow VMEM
     (larger (M, N) shapes or deep ring configs)."""
+    return (_loop_bwd_base_bytes(cfm, M, N) + _stash_extra_bytes(cfm, M, N)
+            < budget_bytes)
+
+
+def _loop_bwd_base_bytes(cfm: ModelConfig, M: int, N: int) -> int:
+    """Loop-backward VMEM excluding the selective stash."""
     D, L = cfm.local_dim, cfm.n_attention
     rnd = M * _pad8(N) * _pad128(D) * 4
     base = ((L + 1) * M * _pad128(D) * 4                 # c_stash
@@ -149,7 +159,28 @@ def fits_loop_stash(cfm: ModelConfig, M: int, N: int,
             + 2 * _param_bytes(cfm))
     if cfm.use_drop:
         base += 3 * M * _pad8(N) * _pad128(cfm.num_head) * 4
-    return base + _stash_extra_bytes(cfm, M, N) < budget_bytes
+    return base
+
+
+def loop_stash_mode(cfm: ModelConfig, M: int, N: int,
+                    budget_bytes: int = VMEM_BUDGET_BYTES):
+    """Selective-stash schedule for shape (M, N): ``"f32"`` (exact, when
+    the full stash fits), ``"bf16"`` (OPT-IN via
+    SCANN_TPU_LOOP_STASH_BF16=1: the three big [L, M, N, D] buffers
+    stashed in bf16 — halves the extra VMEM so deep ring/crystal shapes
+    whose f32 stash overflows, e.g. ptgp-like 11L at M=128, keep the
+    +15-24% schedule at the cost of bf16-rounded gradient rebuilds;
+    parity-bounded by tests), or ``None`` (classic full-recompute,
+    exact). SCANN_TPU_LOOP_STASH=0 forces None."""
+    if os.environ.get("SCANN_TPU_LOOP_STASH", "1") == "0":
+        return None
+    if fits_loop_stash(cfm, M, N, budget_bytes):
+        return "f32"
+    if (os.environ.get("SCANN_TPU_LOOP_STASH_BF16", "0") == "1"
+            and _loop_bwd_base_bytes(cfm, M, N)
+            + _stash_extra_bytes(cfm, M, N, big_bytes=2) < budget_bytes):
+        return "bf16"
+    return None
 
 
 def _make_attn_mask(mol_seed, M, N, H, attn_dropout):
@@ -580,10 +611,13 @@ def _bwd_kernel(
             # skipping ~the whole per-layer forward dot budget. Gated by
             # fits_loop_stash — the extra (L, M, N, D)-class scratch is
             # ~57 MB at the MP2018 shape.
-            ns_stash[l] = acts[0]
-            u_stash[l] = acts[1]
-            key_stash[l] = acts[5]
-            attn_stash[l] = acts[7]
+            # the three big buffers may be bf16 (loop_stash_mode "bf16"):
+            # cast on write, cast back on read — a trace-time no-op when
+            # the scratch is f32
+            ns_stash[l] = acts[0].astype(ns_stash.dtype)
+            u_stash[l] = acts[1].astype(u_stash.dtype)
+            key_stash[l] = acts[5].astype(key_stash.dtype)
+            attn_stash[l] = acts[7].astype(attn_stash.dtype)
             o1_stash[l] = acts[10]
         return (c, g)
 
@@ -693,10 +727,10 @@ def _bwd_kernel(
         """Rebuild layer_fwd's acts tuple from the selective stash: only
         cheap [M, D] matmuls, elementwise chains, and LN-stat recomputes —
         the gather / wfg / key / energy-softmax dots are all read back."""
-        ns = ns_stash[l]
-        u_pre = u_stash[l]
-        key = key_stash[l]
-        attn = attn_stash[l]
+        ns = ns_stash[l].astype(jnp.float32)
+        u_pre = u_stash[l].astype(jnp.float32)
+        key = key_stash[l].astype(jnp.float32)
+        attn = attn_stash[l].astype(jnp.float32)
         o1 = o1_stash[l]
         if g_update:
             r = _swish(u_pre) + g_in
@@ -1044,10 +1078,12 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
                  + [jax.ShapeDtypeStruct((B, max(S, 1), 1), jnp.float32)])
 
     g_shape = (L + 1, M, N, D) if cfm.g_update else (1, 1, 1, 1)
-    # selective activation stash when it fits VMEM (see fits_loop_stash);
-    # env kill-switch for A/B measurement and emergency fallback
-    stash_acts = (fits_loop_stash(cfm, M, N)
-                  and os.environ.get("SCANN_TPU_LOOP_STASH", "1") != "0")
+    # selective activation stash when it fits VMEM (see loop_stash_mode;
+    # "bf16" is the opt-in half-VMEM variant for deep/large shapes);
+    # SCANN_TPU_LOOP_STASH=0 is the kill-switch for A/B and emergencies
+    stash_mode = loop_stash_mode(cfm, M, N)
+    stash_acts = stash_mode is not None
+    big_dtype = jnp.bfloat16 if stash_mode == "bf16" else jnp.float32
     a_shape = lambda shp: shp if stash_acts else (1, 1, 1, 1)
     outs = pl.pallas_call(
         functools.partial(
@@ -1068,11 +1104,11 @@ def _grad_impl(params, inputs, cfm: ModelConfig, ct_pred, ct_ga,
             pltpu.VMEM((L + 1, M, D), jnp.float32),    # c_stash
             pltpu.VMEM(g_shape, jnp.float32),          # g_stash
             pltpu.VMEM((max(L, 1), M, D), jnp.float32),  # dropout masks
-            pltpu.VMEM(a_shape((L, M, N, D)), jnp.float32),  # ns_stash
-            pltpu.VMEM(a_shape((L, M, N, D)), jnp.float32),  # key_stash
+            pltpu.VMEM(a_shape((L, M, N, D)), big_dtype),    # ns_stash
+            pltpu.VMEM(a_shape((L, M, N, D)), big_dtype),    # key_stash
             pltpu.VMEM(a_shape((L, M, N, cfm.num_head)),
-                       jnp.float32),                         # attn_stash
-            pltpu.VMEM(a_shape((L, M, N, D)), jnp.float32),  # u_stash
+                       big_dtype),                           # attn_stash
+            pltpu.VMEM(a_shape((L, M, N, D)), big_dtype),    # u_stash
             pltpu.VMEM(a_shape((L, M, D))
                        if stash_acts else (1, 1, 1), jnp.float32),  # o1
         ],

@@ -673,3 +673,58 @@ def test_fits_loop_stash_boundaries():
     assert not fits_loop_stash(ptgp_like, 128, 32)  # overflows -> fallback
     # the gate is monotone in M at fixed config
     assert fits_loop_stash(mp, 64, 32)
+
+
+def test_loop_stash_mode_selection(monkeypatch):
+    """loop_stash_mode: "f32" where the full stash fits; "bf16" ONLY as the
+    opt-in fallback where f32 overflows but the halved stash fits (e.g.
+    ptgp-like 11L ring crystals at M=128); None otherwise / when killed."""
+    from scann_tpu.kernels.scann_loop import loop_stash_mode
+
+    mp = ModelConfig(n_atoms=95, embedding_dim=128, n_attention=9,
+                     local_dim=128, num_head=8, global_dim=128,
+                     dense_out=128, g_update=True, use_ga_norm=True)
+    ptgp_like = ModelConfig(n_atoms=95, embedding_dim=128, n_attention=11,
+                            local_dim=128, num_head=8, global_dim=128,
+                            dense_out=128, g_update=True, use_ring=True)
+    monkeypatch.delenv("SCANN_TPU_LOOP_STASH_BF16", raising=False)
+    monkeypatch.delenv("SCANN_TPU_LOOP_STASH", raising=False)
+    assert loop_stash_mode(mp, 96, 32) == "f32"
+    assert loop_stash_mode(ptgp_like, 128, 32) is None  # exact by default
+    monkeypatch.setenv("SCANN_TPU_LOOP_STASH_BF16", "1")
+    assert loop_stash_mode(mp, 96, 32) == "f32"  # f32 still preferred
+    assert loop_stash_mode(ptgp_like, 128, 32) == "bf16"
+    monkeypatch.setenv("SCANN_TPU_LOOP_STASH", "0")
+    assert loop_stash_mode(ptgp_like, 128, 32) is None
+    assert loop_stash_mode(mp, 96, 32) is None
+
+
+def test_loop_bf16_stash_grads_close_to_recompute(rng, monkeypatch):
+    """The bf16 loop stash rebuilds gradients from rounded ns/u_pre/key:
+    they must track the exact full-recompute gradients within bf16
+    tolerance. The mode is forced via monkeypatching loop_stash_mode (a
+    small test shape always fits the f32 stash, so the real selector
+    would never pick bf16 here)."""
+    from scann_tpu.kernels import scann_loop
+
+    cfg, inputs, model, params = _case(rng, g_update=True, ga_norm=True,
+                                       B=2, M=16, N=6, L=2)
+    ct_pred = jnp.asarray(np.linspace(-1, 1, 2, dtype=np.float32))[:, None]
+    ct_ga = jnp.zeros((2, 16, 1), jnp.float32)
+
+    monkeypatch.setenv("SCANN_TPU_LOOP_STASH", "0")
+    g_full = loop_scann_grad(params, inputs, cfg, ct_pred, ct_ga,
+                             interpret=True)
+    monkeypatch.delenv("SCANN_TPU_LOOP_STASH", raising=False)
+    monkeypatch.setattr(scann_loop, "loop_stash_mode",
+                        lambda *a, **k: "bf16")
+    g_bf16 = loop_scann_grad(params, inputs, cfg, ct_pred, ct_ga,
+                             interpret=True)
+    flat_a = jax.tree_util.tree_flatten_with_path(g_full)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(g_bf16)[0]
+    assert len(flat_a) == len(flat_b)
+    for (p1, v1), (p2, v2) in zip(flat_a, flat_b):
+        scale = np.abs(np.asarray(v1)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), rtol=0, atol=2e-2 * scale,
+            err_msg=f"bf16 loop-stash drift at {jax.tree_util.keystr(p1)}")
